@@ -1,0 +1,3 @@
+from kawa_spark.functions.exact import dec, dsum, davg
+
+__all__ = ["dec", "dsum", "davg"]

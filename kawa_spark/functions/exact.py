@@ -1,0 +1,39 @@
+"""Cross-engine-exact aggregate arithmetic.
+
+Summing doubles is order-dependent; Spark's parallel partial
+aggregation and DuckDB's sequential scan WILL disagree in the low bits
+at ~100k rows, which breaks value-hash comparison. The fix is not
+rounding the output (boundary flips) but doing the aggregation in
+DECIMAL: double → decimal(18,2) is a deterministic per-value rounding
+both engines perform identically, decimal addition is exact and hence
+order-independent, and the final decimal → double cast is again
+deterministic. Both engines end at the same IEEE-754 bits.
+
+This mirrors how real money columns should be typed at 100 TB anyway
+(decimal, not double) — the testdata just happens to ship doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+
+
+def dec(col: str | Column, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """Exact decimal sum surfaced as double."""
+    return F.sum(dec(col, typ)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """avg as (exact decimal sum → double) / count: identical IEEE
+    division in both engines, unlike engine-native AVG whose
+    intermediate types differ."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c, typ)).cast("double") / F.count(c)).alias(alias)

@@ -1,0 +1,170 @@
+"""Event-time operators, batch twins of the streaming surface.
+
+Every query here also runs in streaming mode (see
+kawa_spark/streaming/jobs.py and tests/test_streaming.py) — the batch
+form is what the DuckDB oracle checks; Structured Streaming executes
+the identical logical plan incrementally with watermarks.
+
+kawa parity: the reference has NO event-time model (SURVEY.md §1.1) —
+its only clock is the batcher's wall-clock flush timer
+(/root/reference/x/batcher/batcher.go:341-371). These operators are
+the mandate (M) extension, built on Spark's native event-time support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kawa_spark.functions.exact import dec
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window ≙ the batcher's FlushFrequency trigger
+    (/root/reference/x/batcher/batcher.go:346) promoted from wall time
+    to event time. window('1 hour') is epoch-aligned = date_trunc."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT
+      TIMESTAMP '1970-01-01 00:00:00'
+        + (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300 * off)
+          * INTERVAL '1 second' AS window_start,
+      event_type,
+      COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(off)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 10 min / slide 5 min: each event lands in
+    exactly two windows (starts at its 5-min bucket and 5 min before),
+    which is what the oracle enumerates explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (
+      SELECT
+        user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT
+      user_id,
+      MIN(ts) AS session_start,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via the native
+    session_window — in streaming this runs on the state store with
+    watermark-driven eviction; the oracle is the gaps-and-islands
+    formulation. Session start == min event ts in both."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup ≙ streaming dropDuplicates with watermark (state-store
+    backed in stream mode; see streaming/jobs.py). Only the key columns
+    are emitted so batch/stream/oracle agree deterministically."""
+    e = table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "stateful_running_total",
+    oracle="""
+    SELECT
+      event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total
+    FROM events
+    """,
+)
+def stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total. Batch: a window cumsum. Streaming: the
+    same semantics via transformWithStateInPandas/applyInPandasWithState
+    (streaming/stateful.py). Decimal accumulation keeps it exact."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
+    )

@@ -1,0 +1,224 @@
+"""Join surface (SURVEY.md §2B rows M).
+
+Scale posture per query is in its docstring. The constant theme:
+dimension tables (region/nation/customer at low SF, any <32 MB side)
+go through BroadcastHashJoin — no shuffle of the fact table; genuinely
+large-to-large joins shuffle on the join key and rely on AQE skew
+splitting (enabled in kawa_spark.session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kawa_spark.functions.exact import dec, dsum
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-to-dims star join.
+
+    Catalyst broadcast-joins region/nation/customer (small sides) so
+    lineitem — the 100 TB table — is never shuffled for them; the
+    orders⋈lineitem equi-join shuffles on orderkey only after the
+    o_orderdate filter (pushed to the orders scan) has cut the build
+    side. Verified via .explain: BroadcastHashJoin × 3, one
+    SortMergeJoin/ShuffledHashJoin for the fact-fact edge.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_outer_left",
+    oracle="""
+    SELECT
+      c_custkey,
+      COUNT(o_orderkey) AS n_orders,
+      COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+        AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders. The
+    aggregation keys on the preserved side's key, so partial
+    aggregation still applies after the join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT
+      COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+      COUNT(DISTINCT c.c_custkey) AS n_customers,
+      COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM (SELECT DISTINCT c_nationkey, c_custkey FROM customer) c
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey, s_suppkey FROM supplier) s
+      ON c.c_nationkey = s.s_nationkey
+    GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey").distinct()
+    s = table(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey").distinct()
+    j = c.join(s, F.col("c_nationkey") == F.col("s_nationkey"), "full_outer")
+    return (
+        j.select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            "c_custkey",
+            "s_suppkey",
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: emits each matching left row once — no row
+    multiplication, and Spark only ships the join key of the right
+    side (here additionally pre-filtered before the shuffle)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('p00_0500', 0.0, 500.0),
+             ('p05_1000', 500.0, 1000.0),
+             ('p10_1500', 1000.0, 1500.0),
+             ('p15_inf',  1500.0, 1e18)
+    )
+    SELECT
+      band,
+      COUNT(*) AS n_parts,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_price
+    FROM part
+    JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join against a tiny banding dimension.
+
+    The only sane physical plan for theta joins at scale is
+    BroadcastNestedLoopJoin with the SMALL side broadcast — Spark
+    picks it here because `bands` is 4 rows. A large-large range join
+    would instead be rewritten into an equi-join on a bucketized key
+    (see operators/asof.py for that pattern).
+    """
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("p00_0500", 0.0, 500.0),
+            ("p05_1000", 500.0, 1000.0),
+            ("p10_1500", 1000.0, 1500.0),
+            ("p15_inf", 1500.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+        )
+    )

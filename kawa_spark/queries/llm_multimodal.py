@@ -1,0 +1,147 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode kernels are
+deterministic STUBS (clearly marked) — but everything Spark-side is
+real and load-bearing: binary columns, metadata structs, Arrow-batched
+``mapInPandas`` with explicit output schemas, 1→N frame expansion, and
+partition sizing. Swapping the stub for PIL/ffmpeg changes only the
+inner function body.
+
+At 100 TB the rules encoded here: binaries ride in their own column
+(columnar parquet keeps them out of metadata-only scans); decode is
+mapInPandas (Arrow batches, no per-row Python); fan-out (frames) emits
+rows, never driver-side lists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """STUB decode: a real build would call PIL.Image.open here.
+    Deterministic fake: dimensions derived from the payload bytes.
+
+    NOTE: worker closures must NOT reference this module-level symbol
+    (cloudpickle would pickle it by reference and workers can't import
+    kawa_spark unless shipped) — the mapInPandas bodies below inline
+    their own copy. Kept here as the documented decode contract."""
+    if not payload:
+        raise NotImplementedError("empty payload; real decoder not available")
+    return {
+        "width": 64 + payload[0] % 64,
+        "height": 64 + payload[-1] % 64,
+        "mode": "RGB",
+    }
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(strlen(text) AS BIGINT) AS n_bytes,
+      'image/fake' AS mime,
+      CAST(64 + unicode(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+      CAST(64 + unicode(text[-1]) % 64 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingestion + metadata extraction, column-expression path.
+
+    `documents.text` is encoded to a binary column standing in for
+    image bytes; width/height mimic header parsing (first/last byte).
+    ASCII corpus ⇒ byte n == codepoint n, which is what the oracle's
+    unicode() twin states.
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.lit("image/fake").alias("mime"),
+        (F.lit(64) + F.ascii(F.col("text")) % 64).cast("int").alias("width"),
+        (F.lit(64) + F.ascii(F.substring(F.col("text"), -1, 1)) % 64)
+        .cast("int")
+        .alias("height"),
+    )
+
+
+@register("multimodal_decode")  # rows-only: stub decoder, no SQL twin
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: binary in → feature
+    struct out. The batch shape (iterator of pandas DataFrames) and
+    the explicit output schema are the production contract."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    schema = "doc_id long, width int, height int, mode string, mean_byte double"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained copy of _decode_image_stub (see its docstring)
+        def decode_stub(payload: bytes) -> dict:
+            if not payload:
+                raise NotImplementedError("empty payload; decoder not available")
+            return {
+                "width": 64 + payload[0] % 64,
+                "height": 64 + payload[-1] % 64,
+                "mode": "RGB",
+            }
+
+        for pdf in batches:
+            meta = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "mode": [m["mode"] for m in meta],
+                    # stand-in for a pixel statistic
+                    "mean_byte": [sum(p) / len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return d.mapInPandas(decode, schema=schema)
+
+
+@register("multimodal_frames")  # rows-only: 1→N fan-out via mapInPandas
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each binary expands to ceil(n_bytes/256) frame
+    rows (stand-in for video frame extraction). Fan-out happens inside
+    the Arrow batch — output rows stream out per partition, nothing
+    accumulates on the driver."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    schema = "doc_id long, frame_no int, frame_bytes binary, frame_len int"
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 256
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_no": [],
+                "frame_bytes": [],
+                "frame_len": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload), chunk):
+                    frame = payload[i : i + chunk]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i // chunk)
+                    out["frame_bytes"].append(frame)
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(sample_frames, schema=schema)

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns.
+
+* similarity_topk — brute-force cosine top-k: the correctness
+  baseline. Query set broadcast; one scan of the corpus; per-partition
+  top-k then a k·|Q|-row merge (window over tiny result). Linear in
+  corpus size — the right plan up to ~10⁹ vectors per query batch.
+* similarity_lsh_ann — random-hyperplane (sign) LSH: corpus bucketed
+  by 16-bit signature, candidates only from matching buckets, exact
+  cosine rerank. The scale path: bucket join replaces the cross
+  product; recall traded via n_planes/multi-probe.
+
+Dot products are left-folds over doubles — bit-identical in Spark's
+``aggregate`` and DuckDB's ``list_reduce`` — so even the float scores
+hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 16
+DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left fold in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_DOT_SQL = """
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, {dim}),
+                       i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+      (acc, x) -> acc + x)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(dim=DIM, a=a, b=b)
+    na = _DOT_SQL.format(dim=DIM, a=a, b=a)
+    nb = _DOT_SQL.format(dim=DIM, a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             {_cos_sql('q.q_emb', 'e.embedding')} AS score
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, n_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, n_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, n_id, score, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a broadcast query set."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.select("q_id", "n_id", "score", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42) shared by LSH ops."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((N_PLANES, DIM)).tolist()
+
+
+def _signature(emb: Column) -> Column:
+    """16-bit sign-LSH bucket id as a long."""
+    planes = _hyperplanes()
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        sig = sig + F.when(dot(emb, p) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+@register("similarity_lsh_ann")  # rows-only: recall-traded ANN, no SQL twin
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH bucketing + exact rerank.
+
+    Corpus and queries are hashed to a 16-bit bucket; candidates are
+    corpus vectors sharing the query's bucket; exact cosine reranks
+    the candidates. At 100 TB the bucket column is what you'd
+    partition/Z-order the corpus by, turning each query into a
+    partition-pruned scan instead of a full pass.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+        .select("q_id", "n_id", "score", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register("dedup_embedding_cosine")  # rows-only (LSH-blocked near-dup pairs)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs in the same LSH bucket with cosine
+    ≥ 0.9. Bucket self-join instead of all-pairs — identical shape to
+    dedup_minhash but in vector space."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _signature(F.col("embedding")).alias("sig")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )

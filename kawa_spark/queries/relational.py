@@ -1,0 +1,393 @@
+"""Core relational query surface (SURVEY.md §2B, kawa-parity rows K + mandate rows M).
+
+Each query is a declarative DataFrame plan — Catalyst handles pushdown
+and pruning; check with ``.explain``: projections/filters land in the
+parquet scan (ReadSchema/PushedFilters), so at 100 TB these read only
+the touched column chunks and row groups.
+
+kawa capability parity notes (reference file:line):
+* scan_project     ≙ Source + 1→1 Handler   (/root/reference/types.go:122-135)
+* filter_predicate ≙ Handler emitting 0..1  (/root/reference/processor.go:107-112)
+* flatmap_explode  ≙ Handler emitting 0..N  (/root/reference/types.go:128)
+* deser_json       ≙ DeserializationSource / TransformUnmarshalJSON
+                     (/root/reference/types.go:163-195)
+* union_all        ≙ multi-source fan-in    (/root/reference/x/multi/multisrc.go:37-72)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kawa_spark.functions.exact import davg, dec, dsum
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+# --------------------------------------------------------------------------
+# scan + projection
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+
+
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "flatmap_explode",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    """,
+)
+def flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+
+
+@register(
+    "deser_json",
+    oracle="""
+    SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
+    FROM events
+    """,
+)
+def deser_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select("event_id", "event_type", parsed.getField("k").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# set operations (fan-in parity + mandate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name FROM supplier
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_hash_groupby",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship hash aggregation.
+
+    Scale posture: partial (map-side) aggregation happens for free
+    because the plan is a plain groupBy().agg of algebraic functions;
+    with 6 distinct (flag,status) groups the shuffle carries only
+    n_partitions*6 pre-aggregated rows regardless of input size.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity")
+    price = dec("l_extendedprice")
+    disc_price = price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation. At scale COUNT(DISTINCT) expands to a
+    two-phase aggregate (Catalyst rewrites it); for sketch-grade needs
+    use approx_count_distinct (see agg_approx_distinct, rows-only)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketch values are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HyperLogLog++: the 100 TB path for
+    cardinality (fixed-size sketch, no distinct expansion shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@register(
+    "grouping_rollup",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "grouping_cube",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / limit / top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heaps + a k-row merge on the driver, never a global
+    sort. Tiebreak keys make the k-set deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar function library
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_date_math",
+    oracle="""
+    SELECT
+      o_orderkey,
+      lower(o_orderpriority) AS prio_lower,
+      substring(o_orderpriority, 1, 1) AS prio_code,
+      concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+      regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+      round(o_totalprice, 0) AS price_rounded,
+      abs(o_totalprice - 100000.0) AS price_dist,
+      o_orderkey % 7 AS key_mod
+    FROM orders
+    """,
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("prio_num"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+        F.round("o_totalprice", 0).alias("price_rounded"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# --------------------------------------------------------------------------
+# array / map functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "array_map_ops",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      embedding[1] AS first_val,
+      embedding[1:3] AS head3,
+      list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        (a, x) -> a + x) AS sum_vals,
+      CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+      label AS b_val
+    FROM embeddings
+    """,
+)
+def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions stay inside codegen (no UDF); the
+    left-fold with a 0.0 init is bit-identical to the oracle's
+    list_reduce fold. The map round-trip (create_map → element_at)
+    semantically reduces to `label`, which is what the oracle states."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    m = F.create_map(F.lit("a"), F.col("vec_id"), F.lit("b"), F.col("label"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.slice(emb, 1, 3).alias("head3"),
+        F.aggregate(
+            emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("sum_vals"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.element_at(m, "b").alias("b_val"),
+    )

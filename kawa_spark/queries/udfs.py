@@ -1,0 +1,90 @@
+"""UDF surface — kawa's Handler is arbitrary user code
+(/root/reference/types.go:122-135); in Spark that surface is:
+
+* pandas_udf        — vectorized scalar functions (Arrow batches)
+* applyInPandas     — grouped map / UDAF-style aggregation
+* mapInPandas       — arbitrary partition-wise transform (see
+                      llm_multimodal.py)
+
+Row-at-a-time @udf is deliberately absent: at 100 TB it is 10-100×
+slower than the Arrow paths and never necessary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+
+@register(
+    "udf_python",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF. Per-row IEEE ops (no aggregation), so
+    the result is bit-identical to the oracle's column expression —
+    the hash check covers the whole Arrow round-trip."""
+
+    @F.pandas_udf(DoubleType())
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price(F.col("l_extendedprice"), F.col("l_discount")).alias("disc_price"),
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      MIN(user_id) AS min_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via applyInPandas: each group arrives as one pandas
+    DataFrame. Integer reductions only, so the custom aggregation
+    hash-matches the SQL twin exactly.
+
+    Scale note: applyInPandas shuffles whole groups to single tasks —
+    fine for bounded group sizes; for giant groups prefer two-phase
+    (mapInPandas partial + groupBy merge)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+    schema = "event_type string, n_events long, sum_k long, min_user long"
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "sum_k": [int(pdf["k"].sum())],
+                "min_user": [int(pdf["user_id"].min())],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(agg, schema=schema)

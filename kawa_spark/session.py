@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``);
+on a real cluster the same builder is used minus the master override.
+The defaults here are the ones that matter at 100 TB:
+
+* AQE on (runtime coalesce + skew-join splitting) so shuffle
+  partition counts self-tune per stage instead of being hand-set.
+* ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces. 32 suits local[32]; a cluster deployment would raise it
+  to ~2-3x total cores via ``extra_conf``.
+* Arrow enabled so any pandas UDF / toPandas path is vectorized.
+* UTC session timezone so timestamp semantics are engine-independent
+  (parquet naive timestamps == oracle's naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long
+    # with this flag and kawa_spark.io converts to a µs timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: 32 MB — the TPC-H dims (region/nation/
+    # customer/supplier/part at bench SF) all broadcast; at 100 TB the
+    # fact tables never do, which is exactly the split we want.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "kawa_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session. Idempotent within a JVM."""
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
