@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full query execution to materialized results (collect), after
+one untimed warmup of a trivial action so JVM/codegen startup isn't
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kawa_spark import registry
+from kawa_spark.session import get_spark
+
+HEADLINE = [
+    "scan_project",
+    "filter_predicate",
+    "agg_hash_groupby",
+    "agg_distinct",
+    "join_inner_hash",
+    "join_outer_left",
+    "window_rank",
+    "window_analytic",
+    "sort_limit_topk",
+    "grouping_rollup",
+    "deser_json",
+    "stream_tumbling_count",
+    "stream_session",
+    "stateful_running_total",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_stats",
+    "text_fingerprint",
+    "udf_python",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark(app_name="kawa_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JVM, codegen, parquet footer caches, and the
+    # Python UDF worker pool (workers are reused across queries; their
+    # one-time fork cost shouldn't be billed to the first UDF query)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    registry.QUERIES["scan_project"](spark, sf_dir).limit(1).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda x: x * 1.0, "double")
+    spark.range(10000).repartition(32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # noop sink: full distributed execution without billing the
+    # driver-side row serialization of collect() to the query.
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = registry.QUERIES[key]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
