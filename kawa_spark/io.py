@@ -48,3 +48,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The same relation as ``table`` but as a streaming DataFrame.
+
+    Streaming file sources need a directory; the testdata ships single
+    files, so we stage a per-(sf,table) symlink dir under /tmp. Handles
+    the events nanos→µs conversion identically to ``table``.
+    """
+    import tempfile
+
+    src = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "kawa_spark_stream",
+        sf_dir.strip("/").replace("/", "_"),
+        name,
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    raw_schema = spark.read.parquet(stage).schema
+    df = spark.readStream.schema(raw_schema).parquet(stage)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,187 @@
+"""Sinks. Each exposes ``write_batch(df)`` and
+``start_stream(df, trigger, checkpoint)``.
+
+Parity map (reference file:line):
+* ConsoleSink      ≙ printer destination (/root/reference/x/printer/printer.go:48-71)
+* MemorySink       ≙ x/memory channel sink (queryable temp view)
+* FileSink         ≙ s3 destination: compressed newline-JSON objects in
+                     time-partitioned paths (/root/reference/x/s3/s3.go:107-162);
+                     the file-sink commit log upgrades at-least-once to
+                     exactly-once for idempotent readers
+* ForeachBatchSink ≙ batcher destination + Flusher + ErrorHandler
+                     (/root/reference/x/batcher/batcher.go) — see
+                     kawa_spark.streaming.batcher for the policy knobs
+* MultiSink        ≙ fan-out destination (/root/reference/x/multi/multidest.go:20-49):
+                     each inner sink gets its own stream + checkpoint,
+                     which IS kawa's semantics (independent acks per
+                     destination)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kawa_spark.streaming.batcher import BatcherPolicy, make_foreach_batch
+
+
+def _start(writer, trigger: str | None, checkpoint: str | None, available_now: bool):
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+@dataclass
+class ConsoleSink:
+    num_rows: int = 20
+
+    def write_batch(self, df: DataFrame) -> None:
+        df.show(self.num_rows, truncate=False)
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        return _start(
+            df.writeStream.format("console").option("numRows", str(self.num_rows)),
+            trigger,
+            checkpoint,
+            available_now,
+        )
+
+
+@dataclass
+class MemorySink:
+    """Results land in a temp view named ``name`` (stream) or are
+    materialized to a local list (batch)."""
+
+    name: str
+    output_mode: str = "append"
+
+    def write_batch(self, df: DataFrame) -> None:
+        df.createOrReplaceTempView(self.name)
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        return _start(
+            df.writeStream.format("memory")
+            .queryName(self.name)
+            .outputMode(self.output_mode),
+            trigger,
+            checkpoint,
+            available_now,
+        )
+
+
+@dataclass
+class FileSink:
+    """s3-destination parity: ``prefix/YYYY/MM/DD/HH/…`` becomes hive
+    partitioning ``dt=…/hr=…`` (same pruning properties, atomically
+    committed via the file-sink log)."""
+
+    path: str
+    format: str = "json"  # gzip NDJSON ≙ reference objects
+    compression: str | None = "gzip"
+    time_partition: bool = True
+    partition_source: str = "ingest_ts"
+
+    def _prep(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        if not self.time_partition:
+            return df, []
+        src = (
+            F.col(self.partition_source)
+            if self.partition_source in df.columns
+            else F.current_timestamp()
+        )
+        out = df.withColumn("dt", F.date_format(src, "yyyy-MM-dd")).withColumn(
+            "hr", F.date_format(src, "HH")
+        )
+        return out, ["dt", "hr"]
+
+    def write_batch(self, df: DataFrame) -> None:
+        out, parts = self._prep(df)
+        w = out.write.format(self.format).mode("append")
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.save(self.path)
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        out, parts = self._prep(df)
+        w = out.writeStream.format(self.format).option("path", self.path)
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if parts:
+            w = w.partitionBy(*parts)
+        return _start(w, trigger, checkpoint, available_now)
+
+
+@dataclass
+class ForeachBatchSink:
+    """Batcher-parity sink: user flush function + retry/error policy.
+
+    flush(df, batch_id) is the Flusher
+    (/root/reference/x/batcher/batcher.go:30-38); policy carries
+    retries/backoff/error handling (§ batcher.py).
+    """
+
+    flush: object  # Callable[[DataFrame, int], None]
+    policy: BatcherPolicy = field(default_factory=BatcherPolicy)
+
+    def write_batch(self, df: DataFrame) -> None:
+        make_foreach_batch(self.flush, self.policy)(df, -1)
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        return _start(
+            df.writeStream.foreachBatch(make_foreach_batch(self.flush, self.policy)),
+            trigger,
+            checkpoint,
+            available_now,
+        )
+
+
+@dataclass
+class NoopSink:
+    """Benchmark sink: full execution, zero output cost."""
+
+    def write_batch(self, df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        return _start(df.writeStream.format("noop"), trigger, checkpoint, available_now)
+
+
+@dataclass
+class MultiSink:
+    """Fan-out: one independent stream (own checkpoint) per inner sink
+    — matching kawa's per-destination ack independence
+    (/root/reference/x/multi/multidest.go:34-49). For cost-coupled
+    fan-out (single source read), use a ForeachBatchSink whose flush
+    persists the batch and writes N times."""
+
+    sinks: list
+
+    def write_batch(self, df: DataFrame) -> None:
+        if len(self.sinks) > 1:
+            df.persist()
+        try:
+            for s in self.sinks:
+                s.write_batch(df)
+        finally:
+            if len(self.sinks) > 1:
+                df.unpersist()
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        queries: list[StreamingQuery] = []
+        for i, s in enumerate(self.sinks):
+            cp = f"{checkpoint}/dest{i}" if checkpoint else None
+            queries.append(
+                s.start_stream(
+                    df, trigger=trigger, checkpoint=cp, available_now=available_now
+                )
+            )
+        return queries

@@ -1,0 +1,126 @@
+"""Streaming-mode semantics: the event-time operators from
+kawa_spark/queries/events.py run as actual Structured Streaming
+queries (availableNow drain) and agree with their batch twins.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kawa_spark.io import table
+from kawa_spark.streaming.listener import Watchdog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    """The events table as a bounded stream."""
+    from kawa_spark.io import stream_table
+
+    def make():
+        return stream_table(spark, SF, "events")
+
+    return make
+
+
+def _drain(df, name, mode="complete", timeout=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_stream_tumbling_matches_batch(spark, events_stream):
+    name = f"tmb_{uuid.uuid4().hex[:8]}"
+    agg = (
+        events_stream()
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    _drain(agg, name)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_watermark_dedup(spark, events_stream):
+    """dropDuplicates on the stream with a watermark: event_ids unique
+    ⇒ row count preserved; duplicated input ⇒ deduped."""
+    name = f"ddp_{uuid.uuid4().hex[:8]}"
+    src = events_stream()
+    doubled = src.unionByName(src)  # every event twice
+    dedup = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    _drain(dedup, name, mode="append")
+    n = spark.table(name).count()
+    assert n == table(spark, SF, "events").count()
+
+
+def test_stream_session_window_runs(spark, events_stream):
+    """session_window executes incrementally with a watermark."""
+    name = f"ssn_{uuid.uuid4().hex[:8]}"
+    agg = (
+        events_stream()
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    _drain(agg, name, mode="append")
+    # append mode emits only watermark-closed sessions; bounded input +
+    # availableNow closes all but the tail. Compare against batch twin
+    # modulo the final watermark horizon: counts must be a subset.
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got.items() <= want.items()
+    assert len(got) > 0
+
+
+def test_watchdog_listener(spark, events_stream):
+    """Watchdog parity (batcher.go:296-339): progress tracked, no
+    false stall while batches advance."""
+    wd = Watchdog(stall_seconds=3600)
+    spark.streams.addListener(wd)
+    try:
+        name = f"wdg_{uuid.uuid4().hex[:8]}"
+        agg = events_stream().groupBy("event_type").count()
+        _drain(agg, name)
+        assert wd.check() == set()
+    finally:
+        spark.streams.removeListener(wd)
