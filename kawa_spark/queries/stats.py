@@ -1,0 +1,155 @@
+"""Statistical aggregates, pivot, percentiles, deterministic sampling.
+
+Float discipline for second-moment statistics: stddev/variance/corr
+are computed from EXACT decimal power sums (Σx, Σx², Σxy — decimal
+addition is order-independent) with the final formula evaluated in
+identical IEEE double arithmetic in both engines, instead of trusting
+engine-native accumulators that differ in summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kawa_spark.functions.exact import dec
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      n,
+      sx / n AS mean_qty,
+      (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      (sxy - sx * sy / n) / (n - 1) AS cov_qty_price
+    FROM s
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/covariance from exact power sums — one scan,
+    partial-aggregable, hash-exact across engines."""
+    l = table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"])
+    return g.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("cov_qty_price"),
+    )
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — at scale the implicit form
+    adds a distinct-values pass over the fact table; always enumerate
+    the pivot domain when it's known."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "percentile_cont",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles. l_quantity is integral-valued so
+    the linear interpolation is exact in both engines. At 100 TB the
+    exact form requires a per-group sort — approx_percentile (t-digest
+    sketch, see percentile_approx below) is the scale path."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+    )
+
+
+@register("percentile_approx")  # rows-only: sketch values are engine-specific
+def percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx")
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                        CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample via content hashing — reproducible
+    across engines, runs, and partitionings (unlike TABLESAMPLE /
+    rand(seed), which are engine- and plan-dependent). This is the
+    right sampling primitive for training-data pipelines: the sample
+    is a pure function of the key."""
+    l = table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return l.filter(F.substring(h, 1, 1) == "0").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

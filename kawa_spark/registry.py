@@ -49,4 +49,8 @@ def load_all() -> None:
         llm_text,
         llm_multimodal,
         udfs,
+        streaming_mode,
+        stats,
+        tpch,
+        ts_ops,
     )

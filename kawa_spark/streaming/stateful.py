@@ -1,0 +1,128 @@
+"""Custom stateful streaming operators.
+
+kawa has no key-partitioned state at all (SURVEY.md §2A "does NOT
+implement"); this is mandate surface. The batch twins live in
+kawa_spark/queries/events.py (window cumsum); these are the streaming
+forms, keyed on user_id with per-group state in the state store
+(RocksDB provider configured in kawa_spark.session).
+
+Scale posture: state is partitioned by the group key across
+executors; per-key state is O(1) (a single running float + count), so
+state-store size grows with distinct keys, not event volume. A
+watermark bounds replay on recovery; timeouts would evict idle keys
+(not used here — the ops are cumulative by design).
+
+Closures are self-contained (pandas-only) — see shipping.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+RUNNING_TOTAL_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, running_total double"
+)
+_STATE_SCHEMA = "total double, n long"
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """Per-user cumulative sum of `value`, one output row per event —
+    the streaming twin of queries/events.py::stateful_running_total.
+
+    Within a microbatch rows are ordered by (ts, event_id); the
+    carried state seeds the next batch, so the emitted totals equal
+    the batch window-cumsum modulo float (vs decimal) accumulation.
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        total, _n = state.get if state.exists else (0.0, 0)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            run = pdf["value"].cumsum() + total
+            total = float(run.iloc[-1]) if len(run) else total
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"],
+                        "event_id": pdf["event_id"],
+                        "ts": pdf["ts"],
+                        "running_total": run,
+                    }
+                )
+            )
+        n_out = sum(len(o) for o in outs)
+        state.update((total, (state.get[1] if state.exists else 0) + n_out))
+        yield from outs
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RUNNING_TOTAL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+SESSION_AGG_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def session_totals(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom session aggregation with explicit state — the
+    hand-rolled analogue of session_window (queries/events.py), shown
+    as the template for session semantics Spark's built-in can't
+    express (e.g. value-dependent gaps). Emits a row per CLOSED
+    session; the final open session per key stays in state (bounded
+    drains surface it on the next batch or never — at-least-once
+    session emission, documented behavior)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        US = 1_000_000
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = -1
+            n, total = 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                t = int(ts.value // 1000)  # pandas ns → µs
+                if start < 0:
+                    start, last, n, total = t, t, 1, float(val)
+                elif t - last >= gap_seconds * US:
+                    closed.append((key[0], start, n, total))
+                    start, last, n, total = t, t, 1, float(val)
+                else:
+                    last, n, total = t, n + 1, total + float(val)
+        state.update((start, last, n, total))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["user_id", "session_start", "n_events", "total_value"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            yield out
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_AGG_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
