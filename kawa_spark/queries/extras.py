@@ -1,0 +1,209 @@
+"""Additional query surface: null handling, ordered string agg,
+correlated subqueries, time-range window frames, text normalization,
+dedup keeper extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kawa_spark.functions.exact import dec
+from kawa_spark.io import TABLES, table
+from kawa_spark.registry import register
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      COALESCE(o.o_orderstatus, 'NONE') AS status_or_none,
+      NULLIF(c.c_mktsegment, 'BUILDING') AS seg_nullable,
+      CASE WHEN o.o_orderkey IS NULL THEN 0.0 ELSE o.o_totalprice END
+        AS price_or_zero,
+      o.o_orderkey IS NOT NULL AS has_order
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / conditional defaults over outer-join nulls."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderstatus", F.lit("NONE")).alias("status_or_none"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullable"),
+        F.when(F.col("o_orderkey").isNull(), F.lit(0.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_or_zero"),
+        F.col("o_orderkey").isNotNull().alias("has_order"),
+    )
+
+
+@register(
+    "agg_string_collect",
+    oracle="""
+    SELECT
+      n_name,
+      string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+      COUNT(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by
+    contract (task order), so determinism comes from array_sort before
+    joining — at any parallelism."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2 * AVG(o2.o_totalprice)
+      FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    JOIN (
+      SELECT o_custkey,
+             2 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*)) AS threshold
+      FROM orders GROUP BY o_custkey
+    ) t ON t.o_custkey = o.o_custkey
+    WHERE o.o_totalprice > t.threshold
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders above 2× their customer's
+    average. Catalyst decorrelates this into exactly the aggregate+
+    join the oracle states; we build the decorrelated form directly
+    with the exact-decimal average so both engines hash-match."""
+    o = table(spark, sf_dir, "orders")
+    thresholds = o.groupBy(F.col("o_custkey").alias("t_custkey")).agg(
+        (
+            F.lit(2)
+            * (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1)))
+        ).alias("threshold")
+    )
+    return (
+        o.join(thresholds, F.col("o_custkey") == F.col("t_custkey"))
+        .filter(F.col("o_totalprice") > F.col("threshold"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_range_time",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      ts,
+      CAST(SUM(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS rolling_24h_value,
+      COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        AS rolling_24h_events
+    FROM events
+    """,
+)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-user rolling 24 h sums — the
+    sliding-aggregate pattern that needs RANGE (value-based) frames,
+    not ROWS. Ordered on epoch seconds; decimal keeps sums exact."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_24h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_24h_events"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT
+      doc_id,
+      lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g'))) AS norm_text,
+      strlen(lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'),
+                                       ' +', ' ', 'g')))) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pass every text pipeline needs: strip non-alnum,
+    collapse whitespace, casefold — pure column expressions."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+@register(
+    "dedup_keeper_corpus",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT MIN(doc_id) AS keeper_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ) k ON k.keeper_id = d.doc_id
+    """,
+)
+def dedup_keeper_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup OUTPUT: the corpus restricted to keeper rows
+    (min doc_id per normalized content hash) via a semi-join — the
+    materialization step after dedup_exact_norm's group pass."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    keepers = d.groupBy(F.md5(norm).alias("h")).agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    return d.join(
+        keepers, F.col("doc_id") == F.col("keeper_id"), "left_semi"
+    ).select("doc_id", "lang", "n_chars")

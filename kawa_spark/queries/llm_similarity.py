@@ -152,6 +152,75 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf")  # rows-only: recall-traded ANN
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer + probed cells.
+
+    Centroids: deterministic sample of the corpus (vec_id % 53 == 0 —
+    a real build would k-means these; the pipeline shape is identical).
+    Each corpus vector is assigned to its nearest centroid (one
+    broadcast pass); a query probes its ``nprobe`` closest cells and
+    exact-reranks only those cells' members.
+
+    At 100 TB: partition/cluster the corpus BY cell id so a probe is a
+    partition-pruned read of nprobe/ncells of the data — the classic
+    IVF trade of recall for a bounded scan fraction.
+    """
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cents = e.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    # assign: nearest centroid per corpus vector (broadcast argmin)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cell_id")
+    )
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            (-cosine(F.col("embedding"), F.col("cent"))).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist")
+    )
+    # queries probe their 2 nearest cells
+    nprobe = 2
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("qdist").asc(), F.col("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "cell_id",
+            (-cosine(F.col("q_emb"), F.col("cent"))).alias("qdist"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "cell_id")
+    )
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+        .select("q_id", "n_id", "score", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @register("dedup_embedding_cosine")  # rows-only (LSH-blocked near-dup pairs)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs in the same LSH bucket with cosine

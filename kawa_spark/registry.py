@@ -53,4 +53,5 @@ def load_all() -> None:
         stats,
         tpch,
         ts_ops,
+        extras,
     )
