@@ -40,9 +40,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "similarity_topk",
+    "similarity_ivf",
     "text_stats",
     "text_fingerprint",
     "udf_python",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "join_asof",
+    "rollup_multires",
+    "window_range_time",
+    "subquery_correlated",
 ]
 
 

@@ -184,6 +184,73 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_edit_distance",
+    oracle="""
+    WITH heads AS (
+      SELECT doc_id, lang, substring(text, 1, 40) AS head
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM heads a JOIN heads b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-match pairs on document heads, blocked by
+    lang — the character-level fuzzy-match primitive (complementing
+    the token-level jaccard ops). Integer distances → exact oracle."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("head"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(props->>'$.k' AS INTEGER) AS k,
+      json_object('event_id', event_id, 'type', event_type,
+                  'k', CAST(props->>'$.k' AS INTEGER)) AS reencoded
+    FROM events
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JSON surface: parse (from_json) → restructure → re-emit
+    (to_json). Field order in to_json follows the struct definition,
+    matched to the oracle's json_object order."""
+    e = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    reencoded = F.to_json(
+        F.struct(
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("type"),
+            k.alias("k"),
+        )
+    )
+    return e.select("event_id", k.alias("k"), reencoded.alias("reencoded"))
+
+
+@register(
     "dedup_keeper_corpus",
     oracle="""
     SELECT d.doc_id, d.lang, d.n_chars

@@ -69,6 +69,66 @@ def stream_exec_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(session_totals(stream_table(spark, sf_dir, "events")), spark)
 
 
+@register("stream_exec_stream_stream_join")
+def stream_exec_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks within the preceding hour. Both sides watermarked;
+    the time-bound condition lets the state store evict — unbounded
+    stream-stream joins without a time constraint don't scale and are
+    deliberately not offered."""
+    e1 = stream_table(spark, sf_dir, "events")
+    purchases = (
+        e1.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("p_id", "c_id", "p_user", "p_ts", "c_ts")
+    return _drain(joined, spark)
+
+
+@register("stream_exec_stream_static_join")
+def stream_exec_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming fact side joins a static
+    (broadcastable) dimension — no state store involved; the dim is
+    re-resolved per microbatch."""
+    from kawa_spark.io import table as batch_table
+
+    dim = (
+        batch_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    e = stream_table(spark, sf_dir, "events")
+    joined = e.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts").cast("double") - F.col("first_seen").cast("double")).alias(
+            "seconds_since_first_seen"
+        ),
+    )
+    return _drain(joined, spark)
+
+
 @register("stream_passthrough")
 def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline bench shape: N messages through a
