@@ -1,0 +1,71 @@
+"""Plan-shape regression tests: the properties documented in
+docs/SCALE.md asserted mechanically."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kawa_spark import registry
+from kawa_spark.io import table
+from kawa_spark.plans.audit import audit_plan, shuffle_count
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "agg_hash_groupby",
+        "tpch_q6_forecast_revenue",
+        "tpch_q3_shipping_priority",
+        "join_inner_hash",
+        "sort_limit_topk",
+        "window_rank",
+        "dedup_exact",
+    ],
+)
+def test_headline_plans_clean(spark, key):
+    df = registry.QUERIES[key](spark, SF)
+    assert audit_plan(df) == []
+
+
+def test_q6_filters_pushed_and_pruned(spark):
+    df = registry.QUERIES["tpch_q6_forecast_revenue"](spark, SF)
+    assert (
+        audit_plan(df, expect_pushed_filters=True, max_scan_columns=4) == []
+    )
+
+
+def test_q1_single_shuffle(spark):
+    """Q1 = partial agg + one exchange (+ AQE bookkeeping at most)."""
+    df = registry.QUERIES["agg_hash_groupby"](spark, SF)
+    assert shuffle_count(df) <= 1, shuffle_count(df)
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = registry.QUERIES["join_inner_hash"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_audit_catches_cartesian(spark):
+    a = table(spark, SF, "region")
+    b = table(spark, SF, "nation")
+    cross = a.crossJoin(b)
+    warnings = audit_plan(cross)
+    assert any("Cartesian" in w or "NestedLoop" in w for w in warnings) or (
+        "BroadcastNestedLoopJoin"
+        in cross._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_audit_catches_row_udf(spark):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = table(spark, SF, "orders").select(slow(F.col("o_orderkey")))
+    assert any("BatchEvalPython" in w for w in audit_plan(df))
