@@ -51,6 +51,7 @@ HEADLINE = [
     "rollup_multires",
     "window_range_time",
     "subquery_correlated",
+    "stream_passthrough",
 ]
 
 

@@ -49,6 +49,33 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("udtf_lateral")  # rows-only: UDTF execution path
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → N output rows with
+    arbitrary Python logic, invoked via LATERAL join — the
+    table-function face of kawa's 1→N Handler. (For pure splitting,
+    explode() is the fast path — a UDTF earns its cost only when the
+    expansion logic is genuinely procedural.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int, is_long boolean")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i, len(w) > 6
+
+    spark.udtf.register("kawa_tokenize", Tokenize)
+    table(spark, sf_dir, "documents").select("doc_id", "text").limit(
+        200
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos, t.is_long
+        FROM udtf_docs d, LATERAL kawa_tokenize(d.text) t
+        """
+    )
+
+
 @register(
     "udf_grouped_agg",
     oracle="""

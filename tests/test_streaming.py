@@ -112,6 +112,26 @@ def test_stream_session_window_runs(spark, events_stream):
     assert len(got) > 0
 
 
+def test_graceful_stop(spark):
+    """StopTimeout/drain parity (batcher.go:380-400): stop() waits for
+    the in-flight batch; the query ends cleanly, no zombie stream."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1000")
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert not q.isActive
+    assert q.exception() is None
+
+
 def test_watchdog_listener(spark, events_stream):
     """Watchdog parity (batcher.go:296-339): progress tracked, no
     false stall while batches advance."""
