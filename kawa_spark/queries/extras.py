@@ -184,6 +184,176 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_argminmax",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+               + o_orderkey AS pricekey
+      FROM orders
+    )
+    SELECT
+      o_orderpriority,
+      arg_max(o_orderkey, pricekey) AS priciest_order,
+      arg_min(o_orderkey, pricekey) AS cheapest_order
+    FROM keyed
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a tie-proof composite ordering key (price
+    in exact cents ⊕ orderkey) — engine-native argmax is
+    nondeterministic under ties, so the key makes ties impossible."""
+    o = table(spark, sf_dir, "orders")
+    pricekey = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    k = o.select("o_orderpriority", "o_orderkey", pricekey.alias("pricekey"))
+    return k.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "pricekey").alias("priciest_order"),
+        F.min_by("o_orderkey", "pricekey").alias("cheapest_order"),
+    )
+
+
+@register(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT
+      l_returnflag,
+      bit_or(l_linenumber) AS lines_or,
+      bit_and(l_linenumber) AS lines_and,
+      bool_or(l_quantity > 49) AS any_max_qty,
+      bool_and(l_quantity > 0) AS all_positive,
+      COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_no_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise/boolean aggregates + FILTERed count."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_max_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_no_discount"),
+    )
+
+
+@register(
+    "scalar_string_extra",
+    oracle="""
+    SELECT
+      p_partkey,
+      split_part(p_name, ' ', 1) AS first_word,
+      split_part(p_name, ' ', 2) AS second_word,
+      translate(p_brand, 'ABC', 'xyz') AS brand_translated,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      repeat(p_type, 2) AS type_doubled,
+      reverse(p_name) AS name_reversed,
+      CAST(strpos(p_name, 'e') AS INTEGER) AS first_e_pos,
+      p_retailprice > 1000 AND p_size >= 25 AS big_and_pricey
+    FROM part
+    """,
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tier of the scalar string library (split_part, translate,
+    pad/repeat/reverse/locate, boolean expressions)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate("p_brand", "ABC", "xyz").alias("brand_translated"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.repeat("p_type", 2).alias("type_doubled"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.locate("e", F.col("p_name")).cast("int").alias("first_e_pos"),
+        ((F.col("p_retailprice") > 1000) & (F.col("p_size") >= 25)).alias(
+            "big_and_pricey"
+        ),
+    )
+
+
+@register(
+    "interval_arithmetic",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderdate + INTERVAL '90' DAY AS due_date,
+      o_orderdate - INTERVAL '12' HOUR AS half_day_before,
+      CAST(o_orderdate AS DATE) + 30 AS ship_by,
+      epoch(TIMESTAMP '2002-01-01 00:00:00' - o_orderdate) AS seconds_to_2002
+    FROM orders
+    """,
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp/interval arithmetic (day/hour offsets, date math,
+    epoch differences) — exact integer semantics in both engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 12 HOURS")).alias(
+            "half_day_before"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("ship_by"),
+        (
+            F.lit("2002-01-01 00:00:00").cast("timestamp").cast("double")
+            - F.col("o_orderdate").cast("timestamp").cast("double")
+        ).alias("seconds_to_2002"),
+    )
+
+
+@register(
+    "pipeline_dedup_corpus",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang, n_chars,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ), keepers AS (
+      SELECT MIN(doc_id) AS keeper_id
+      FROM normed GROUP BY md5(norm)
+    ), kept AS (
+      SELECT n.* FROM normed n JOIN keepers k ON k.keeper_id = n.doc_id
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      CAST(SUM(CASE WHEN strlen(norm) >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_long_docs
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: normalize →
+    exact-dedup (keeper policy) → quality gate → per-language stats —
+    the multi-stage flow a real corpus build runs, as ONE declarative
+    plan (Catalyst fuses the stages; nothing materializes between)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    normed = d.select("doc_id", "lang", "n_chars", norm.alias("norm"))
+    keepers = normed.groupBy(F.md5("norm").alias("h")).agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    kept = normed.join(
+        keepers, F.col("doc_id") == F.col("keeper_id"), "left_semi"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.when(F.length("norm") >= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("n_long_docs"),
+    )
+
+
+@register(
     "text_edit_distance",
     oracle="""
     WITH heads AS (
