@@ -1,0 +1,79 @@
+"""Connected components via label propagation — the dedup-cluster
+merger: near-dup PAIRS (from minhash/simhash/embedding blocking) form
+a graph; components are the duplicate clusters; one keeper survives
+per cluster.
+
+Algorithm: every node starts labeled with its own id; each round a
+node takes the min label in its neighborhood; converges in
+O(diameter) rounds. Near-dup graphs have tiny diameters (dup clusters
+are near-cliques), so 3-5 rounds suffice at any corpus size.
+
+Scale notes: each round is one join + one aggregate (shuffle on node
+id). localCheckpoint() truncates the growing lineage each round —
+without it, round N replans rounds 1..N-1. The loop is driver-side
+CONTROL only; all data stays distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node
+    id reachable. Deterministic."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id, is_keeper). Keeper = min
+    doc_id per component."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

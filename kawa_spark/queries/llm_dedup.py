@@ -310,6 +310,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters")  # rows-only: iterative label propagation
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive duplicate CLUSTERS with one keeper
+    each (operators/components.py label propagation). Pairwise dedup
+    alone under-merges: A~B and B~C must collapse to one cluster even
+    when A~C wasn't a candidate pair."""
+    from kawa_spark.operators.components import dedup_clusters
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs, "doc_a", "doc_b")
+
+
 @register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit weighted fingerprint per doc, banded

@@ -1,0 +1,33 @@
+"""Connected components / dedup clusters on known graphs."""
+
+from __future__ import annotations
+
+from kawa_spark.operators.components import connected_components, dedup_clusters
+
+
+def test_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, self-contained triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_dedup_clusters_keepers(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (100, 101)], "doc_a long, doc_b long"
+    )
+    rows = dedup_clusters(pairs, "doc_a", "doc_b").collect()
+    keepers = {r["doc_id"] for r in rows if r["is_keeper"]}
+    clusters = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert keepers == {5, 100}
+    assert clusters[7] == 5 and clusters[9] == 5 and clusters[101] == 100
