@@ -307,6 +307,37 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    parts = [
+        f"""
+        SELECT '{c}' AS "column",
+          COUNT(*) AS n_rows,
+          COUNT(*) - COUNT({c}) AS n_nulls,
+          COUNT(DISTINCT {c}) AS n_distinct,
+          MIN(CAST({c} AS DOUBLE)) AS min_val,
+          MAX(CAST({c} AS DOUBLE)) AS max_val,
+          CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM lineitem
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("data_profile", oracle=_profile_oracle())
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan numeric profiling of lineitem (operators/profile.py).
+    The oracle's UNION-ALL-per-column form states the semantics; the
+    implementation computes all columns in a single aggregate."""
+    from kawa_spark.operators.profile import profile_numeric
+
+    return profile_numeric(
+        table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 @register(
     "pipeline_dedup_corpus",
     oracle="""

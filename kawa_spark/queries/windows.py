@@ -60,6 +60,45 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_extra",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      PERCENT_RANK() OVER w AS pct_rank,
+      CUME_DIST() OVER w AS cume,
+      NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS second_best,
+      LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS worst_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value / last_value — the
+    distribution-rank tier. percent_rank and cume_dist reduce to
+    integer-ratio divisions, identical IEEE in both engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_best"),
+        F.last("o_orderkey").over(w_full).alias("worst_order"),
+    )
+
+
+@register(
     "window_analytic",
     oracle="""
     SELECT
