@@ -73,6 +73,12 @@ def main() -> None:
     spark.range(10000).repartition(32).select(_warm("id")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # envelope-shape codegen warmup (for stream_passthrough)
+    from kawa_spark.envelope import normalize
+
+    normalize(
+        spark.range(1000).selectExpr("id AS value"), value="value", key="value"
+    ).write.format("noop").mode("overwrite").save()
 
     # noop sink: full distributed execution without billing the
     # driver-side row serialization of collect() to the query.

@@ -233,6 +233,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_id", "band.band_hash")
 
+    # the self-join would otherwise recompute the whole signature
+    # pipeline for BOTH sides — persist materializes it once. At
+    # cluster scale this is the standard cache-before-self-join; the
+    # persisted set is (doc_id, shingles, band) — small relative to
+    # the corpus text.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -289,6 +295,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingles(F.col("text")).alias("shingles"),
         )
     )
+    d = d.persist()  # self-join below — avoid rebuilding shingles twice
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
@@ -392,6 +399,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    banded = banded.persist()  # self-join: materialize simhashes once
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

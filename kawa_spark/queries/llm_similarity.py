@@ -226,8 +226,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs in the same LSH bucket with cosine
     ≥ 0.9. Bucket self-join instead of all-pairs — identical shape to
     dedup_minhash but in vector space."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _signature(F.col("embedding")).alias("sig")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
+        .persist()  # self-join: hash each vector once
     )
     a, b = e.alias("a"), e.alias("b")
     return (

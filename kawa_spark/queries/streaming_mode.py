@@ -142,5 +142,6 @@ def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = RateSource(total_rows=1_000_000, num_partitions=8)
     env = normalize(src.read(spark), value="value", key="value", topic="bench")
+    env.write.format("noop").mode("overwrite").save()  # full materialization
     n = env.count()
-    return spark.createDataFrame([(n,)], "delivered long")
+    return spark.range(1).select(F.lit(n).alias("delivered"))
