@@ -114,6 +114,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode, schema=schema)
 
 
+@register("multimodal_audio_features")  # rows-only: stub DSP over binary
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: binary payload → fixed-size
+    window features (RMS energy, zero-crossing-ish rate) via numpy
+    over Arrow batches. The payload stands in for PCM samples; a real
+    build swaps the byte view for soundfile/librosa decode. One row in
+    → one row per 1024-byte analysis window out."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    schema = "doc_id long, window_no int, rms double, sign_changes int"
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        win = 1024
+        for pdf in batches:
+            out = {"doc_id": [], "window_no": [], "rms": [], "sign_changes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0  # fake PCM centering
+                for w in range(0, len(samples), win):
+                    chunk = samples[w : w + win]
+                    out["doc_id"].append(doc_id)
+                    out["window_no"].append(w // win)
+                    out["rms"].append(float(np.sqrt(np.mean(chunk**2))))
+                    out["sign_changes"].append(
+                        int(np.count_nonzero(np.diff(np.signbit(chunk))))
+                    )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(features, schema=schema)
+
+
 @register("multimodal_frames")  # rows-only: 1→N fan-out via mapInPandas
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each binary expands to ceil(n_bytes/256) frame

@@ -86,6 +86,24 @@ def deser_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "event_type", parsed.getField("k").alias("k"))
 
 
+@register(
+    "flatmap_posexplode",
+    oracle="""
+    SELECT p_partkey, CAST(t.i - 1 AS INTEGER) AS pos,
+           string_split(p_name, ' ')[t.i] AS word
+    FROM part,
+         UNNEST(generate_series(1, len(string_split(p_name, ' ')))) AS t(i)
+    """,
+)
+def flatmap_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N with ordinal positions (posexplode)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+
+
 # --------------------------------------------------------------------------
 # set operations (fan-in parity + mandate)
 # --------------------------------------------------------------------------

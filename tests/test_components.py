@@ -22,6 +22,43 @@ def test_components_chain_and_islands(spark):
     }
 
 
+def test_components_random_vs_union_find(spark):
+    """Property check against a pure-python union-find on a few random
+    graphs (seeded)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        nodes = list(range(30))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for a, _ in edges} | {b for _, b in edges}
+        want = {n: find(n) for n in touched}
+
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "src long, dst long")
+            ).collect()
+        }
+        assert got == want
+
+
 def test_dedup_clusters_keepers(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 7), (100, 101)], "doc_a long, doc_b long"
