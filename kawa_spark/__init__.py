@@ -22,5 +22,19 @@ genuinely cannot express the semantics (and then always Arrow-batched).
 
 from kawa_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy re-exports so `import kawa_spark` stays cheap
+    if name == "Pipeline":
+        from kawa_spark.pipeline import Pipeline
+
+        return Pipeline
+    if name == "pipeline":
+        from kawa_spark.pipeline import pipeline
+
+        return pipeline
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Pipeline", "pipeline"]
 __version__ = "0.1.0"

@@ -69,7 +69,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "part-0.parquet")
     if not os.path.exists(link):
-        os.symlink(src, link)
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass  # concurrent staging of the same table
 
     if name == "events":
         try:

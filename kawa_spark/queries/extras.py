@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kawa_spark.functions.exact import dec
-from kawa_spark.io import TABLES, table
+from kawa_spark.io import table
 from kawa_spark.registry import register
 
 
@@ -73,17 +73,6 @@ def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
-
-
-_SUBQ_SQL = """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders o
-    WHERE o_totalprice > (
-      SELECT 2 * AVG(o2.o_totalprice)
-      FROM orders o2
-      WHERE o2.o_custkey = o.o_custkey
-    )
-"""
 
 
 @register(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kawa_spark.functions.exact import dec, dsum
+from kawa_spark.functions.exact import dec
 from kawa_spark.io import table
 from kawa_spark.registry import register
 

@@ -15,7 +15,6 @@ sink succeeds; a crash before commit re-reads the same range.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader

@@ -5,7 +5,6 @@ timestamps, empty sides, tolerance) that fixture data never hits."""
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

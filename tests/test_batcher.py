@@ -7,7 +7,6 @@ acks-only-after-flush (offsets not committed on failure).
 from __future__ import annotations
 
 import os
-import uuid
 
 import pytest
 

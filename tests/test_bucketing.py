@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import uuid
 
-import pytest
-
 from kawa_spark.io import table
 
 SF = "/root/testdata/sf0.001"

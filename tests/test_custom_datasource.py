@@ -3,7 +3,6 @@ delivery, no duplicates across microbatches, incremental tailing."""
 
 from __future__ import annotations
 
-import time
 import uuid
 
 import pytest

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import uuid
 
-import pytest
-
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
