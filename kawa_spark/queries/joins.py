@@ -101,6 +101,27 @@ def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_outer_right",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_totalprice,
+      c_name
+    FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+    RIGHT JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def join_outer_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving all orders (null customer fields
+    where the filtered customer side has no match)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "right_outer").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
     SELECT

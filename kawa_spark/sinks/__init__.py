@@ -5,6 +5,7 @@ from kawa_spark.sinks.sinks import (
     MemorySink,
     MultiSink,
     NoopSink,
+    RoutingSink,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "MemorySink",
     "MultiSink",
     "NoopSink",
+    "RoutingSink",
 ]

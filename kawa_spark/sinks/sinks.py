@@ -156,6 +156,51 @@ class NoopSink:
 
 
 @dataclass
+class RoutingSink:
+    """Content-based routing — the reference's ROADMAP feature
+    ("routing and dynamic sources", /root/reference/README.md:40-44)
+    that kawa itself never implemented.
+
+    Each microbatch is split by ``route_col``; each route's rows go to
+    its sink; unmatched rows go to ``default`` (or are dropped). The
+    batch is persisted once, so routing costs one scan + N filtered
+    writes, not N source reads."""
+
+    route_col: str
+    routes: dict  # value -> sink
+    default: object | None = None
+
+    def _dispatch(self, df: DataFrame, batch_id: int) -> None:
+        many = len(self.routes) + (1 if self.default else 0) > 1
+        if many:
+            df.persist()
+        try:
+            for value, sink in self.routes.items():
+                part = df.filter(F.col(self.route_col) == value)
+                sink.write_batch(part)
+            if self.default is not None:
+                rest = df.filter(
+                    ~F.col(self.route_col).isin(list(self.routes))
+                    | F.col(self.route_col).isNull()
+                )
+                self.default.write_batch(rest)
+        finally:
+            if many:
+                df.unpersist()
+
+    def write_batch(self, df: DataFrame) -> None:
+        self._dispatch(df, -1)
+
+    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        return _start(
+            df.writeStream.foreachBatch(self._dispatch),
+            trigger,
+            checkpoint,
+            available_now,
+        )
+
+
+@dataclass
 class MultiSink:
     """Fan-out: one independent stream (own checkpoint) per inner sink
     — matching kawa's per-destination ack independence
