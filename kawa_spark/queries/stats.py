@@ -128,6 +128,37 @@ def percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_width_bucket",
+    oracle="""
+    SELECT
+      CAST(LEAST(GREATEST(floor(o_totalprice / 50000.0), -1), 12) + 1 AS BIGINT)
+        AS bucket,
+      COUNT(*) AS n_orders,
+      MIN(o_totalprice) AS lo,
+      MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the single-pass
+    distribution sketch (vs percentile's per-group sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
     "sample_hash",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
