@@ -161,6 +161,105 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunking",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(t.i - 1 AS INTEGER) AS chunk_no,
+           array_to_string(w[(t.i - 1) * 24 + 1 : (t.i - 1) * 24 + 32], ' ')
+             AS chunk_text,
+           CAST(len(w[(t.i - 1) * 24 + 1 : (t.i - 1) * 24 + 32]) AS INTEGER)
+             AS chunk_tokens
+    FROM words,
+         UNNEST(generate_series(1, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1)))
+           AS t(i)
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 32-token windows with 8-token
+    overlap (stride 24) — the standard context-window packing step for
+    training/RAG corpora. Pure array expressions: one scan, 1→N rows,
+    no UDF. At 100 TB the output is written partitioned by a hash of
+    doc_id so downstream shuffles are balanced."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(words) - F.lit(8)) / F.lit(24.0)).cast("long"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("chunk_no"),
+            F.concat_ws(" ", F.slice(words, (i - 1) * 24 + 1, 32)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size(words) - ((i - 1) * 24), F.lit(32)
+            ).cast("int").alias("chunk_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_no", "c.chunk_text", "c.chunk_tokens")
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT
+      doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text || ' contact: user' || doc_id ||
+                         '@example.com +1-555-0' || lpad(CAST(doc_id AS VARCHAR), 3, '0') || '-1234',
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g'),
+        '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text || ' contact: user' || doc_id ||
+               '@example.com +1-555-0' || lpad(CAST(doc_id AS VARCHAR), 3, '0') || '-1234',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        AS n_emails
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails → <EMAIL>, phones → <PHONE>, SSN-shaped →
+    <SSN>) — the redaction pass before corpus release. The corpus has
+    no PII, so a synthetic contact line (derived from doc_id, fully
+    deterministic) is appended before redaction to prove the rules
+    fire; production drops that concat."""
+    d = table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com +1-555-0"),
+        F.lpad(F.col("doc_id").cast("string"), 3, "0"),
+        F.lit("-1234"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    ssn_re = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(with_pii, email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ),
+        ssn_re,
+        "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(with_pii, F.lit(email_re)).cast("int").alias("n_emails"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT
