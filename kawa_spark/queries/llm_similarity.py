@@ -107,6 +107,24 @@ def _hyperplanes() -> list[list[float]]:
     return rng.standard_normal((N_PLANES, DIM)).tolist()
 
 
+def _sig_sql(emb: str) -> str:
+    """The sign-LSH signature as SQL over literal planes — python
+    repr() round-trips doubles, so DuckDB parses the exact values the
+    Spark side embeds via F.lit; the folds match bit-for-bit."""
+    terms = []
+    for i, plane in enumerate(_hyperplanes()):
+        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        d = f"""list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, {DIM}),
+              j -> CAST({emb}[j] AS DOUBLE) * ({lit})[j])),
+          (acc, x) -> acc + x)"""
+        terms.append(
+            f"(CASE WHEN ({d}) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _signature(emb: Column) -> Column:
     """16-bit sign-LSH bucket id as a long."""
     planes = _hyperplanes()
@@ -119,7 +137,28 @@ def _signature(emb: Column) -> Column:
     return sig
 
 
-@register("similarity_lsh_ann")  # rows-only: recall-traded ANN, no SQL twin
+def _lsh_ann_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, sig AS q_sig
+      FROM corpus WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             {_cos_sql('q.q_emb', 'c.embedding')} AS score
+      FROM q JOIN corpus c ON c.sig = q.q_sig AND c.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, n_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, n_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, n_id, score, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register("similarity_lsh_ann", oracle=_lsh_ann_oracle())
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-LSH bucketing + exact rerank.
 
@@ -221,7 +260,20 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_cosine")  # rows-only (LSH-blocked near-dup pairs)
+def _embedding_dedup_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM corpus a JOIN corpus b
+      ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs in the same LSH bucket with cosine
     ≥ 0.9. Bucket self-join instead of all-pairs — identical shape to

@@ -277,7 +277,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: (a) md5 of whitespace-normalized text;
     (b) min-hash over 5-word shingles (the rolling-hash fingerprint
     used as a near-dup prefilter). Arrays + HOFs only, no UDF."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     words = F.split(F.col("text"), " ")
     n = F.size(words)

@@ -32,9 +32,21 @@ def _drain(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFram
     return spark.table(name)
 
 
-@register("stream_exec_tumbling")
+@register(
+    "stream_exec_tumbling",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stream_tumbling_count through the streaming engine."""
+    """stream_tumbling_count through the ACTUAL streaming engine —
+    complete-mode output over the bounded drain equals the batch
+    aggregate, so even the streaming execution path is oracle-checked."""
     agg = (
         stream_table(spark, sf_dir, "events")
         .withWatermark("ts", "2 hours")
@@ -45,9 +57,17 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, spark, mode="complete")
 
 
-@register("stream_exec_dedup_watermark")
+@register(
+    "stream_exec_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
 def stream_exec_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming dropDuplicates on event_id."""
+    """Watermarked streaming dropDuplicates on event_id. event_ids are
+    unique in the testdata, so the deduped stream equals the input
+    relation — which is what the oracle states (and the single-batch
+    bounded drain emits every row before any watermark advance)."""
     e = stream_table(spark, sf_dir, "events")
     dedup = (
         e.withWatermark("ts", "1 hour")
