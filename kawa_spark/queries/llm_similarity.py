@@ -5,7 +5,8 @@
   top-k then a k·|Q|-row merge (window over tiny result). Linear in
   corpus size — the right plan up to ~10⁹ vectors per query batch.
 * similarity_lsh_ann — random-hyperplane (sign) LSH: corpus bucketed
-  by 16-bit signature, candidates only from matching buckets, exact
+  by an 8-bit signature (recall-biased; the near-dup variant uses 16
+  bits for precision), candidates only from matching buckets, exact
   cosine rerank. The scale path: bucket join replaces the cross
   product; recall traded via n_planes/multi-probe.
 
@@ -107,12 +108,12 @@ def _hyperplanes() -> list[list[float]]:
     return rng.standard_normal((N_PLANES, DIM)).tolist()
 
 
-def _sig_sql(emb: str) -> str:
+def _sig_sql(emb: str, n_planes: int = N_PLANES) -> str:
     """The sign-LSH signature as SQL over literal planes — python
     repr() round-trips doubles, so DuckDB parses the exact values the
     Spark side embeds via F.lit; the folds match bit-for-bit."""
     terms = []
-    for i, plane in enumerate(_hyperplanes()):
+    for i, plane in enumerate(_hyperplanes()[:n_planes]):
         lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
         d = f"""list_reduce(
           list_prepend(CAST(0.0 AS DOUBLE),
@@ -125,9 +126,9 @@ def _sig_sql(emb: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _signature(emb: Column) -> Column:
-    """16-bit sign-LSH bucket id as a long."""
-    planes = _hyperplanes()
+def _signature(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """n_planes-bit sign-LSH bucket id as a long."""
+    planes = _hyperplanes()[:n_planes]
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
@@ -137,10 +138,13 @@ def _signature(emb: Column) -> Column:
     return sig
 
 
+ANN_PLANES = 8  # 256 buckets: recall-biased; dedup keeps 16 (precision)
+
+
 def _lsh_ann_oracle() -> str:
     return f"""
     WITH corpus AS (
-      SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings
+      SELECT vec_id, embedding, {_sig_sql('embedding', ANN_PLANES)} AS sig FROM embeddings
     ), q AS (
       SELECT vec_id AS q_id, embedding AS q_emb, sig AS q_sig
       FROM corpus WHERE vec_id < {N_QUERIES}
@@ -162,14 +166,16 @@ def _lsh_ann_oracle() -> str:
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via sign-LSH bucketing + exact rerank.
 
-    Corpus and queries are hashed to a 16-bit bucket; candidates are
+    Corpus and queries are hashed to an 8-bit bucket; candidates are
     corpus vectors sharing the query's bucket; exact cosine reranks
     the candidates. At 100 TB the bucket column is what you'd
     partition/Z-order the corpus by, turning each query into a
     partition-pruned scan instead of a full pass.
     """
     e = table(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
+    corpus = e.select(
+        "vec_id", "embedding", _signature(F.col("embedding"), ANN_PLANES).alias("sig")
+    )
     q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
