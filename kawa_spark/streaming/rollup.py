@@ -1,0 +1,94 @@
+"""Incrementally-maintained rollup tables (continuous aggregates).
+
+The production form of stream_tumbling_count: a parquet rollup table
+that stays current as events arrive, maintained by UPDATE-mode
+streaming aggregation + per-partition overwrite in foreachBatch.
+
+Mechanics:
+* the streaming aggregation keeps per-window state; update mode emits
+  only windows CHANGED by each microbatch;
+* the flush overwrites exactly those windows' partition directories
+  (partitionBy window_start, dynamic overwrite) — an idempotent write,
+  so a replayed batch (crash before commit) converges to the same
+  table: exactly-once table contents from at-least-once batches;
+* a watermark bounds the state: windows older than the horizon stop
+  updating and their partitions go cold.
+
+At 100 TB this is the pattern that replaces "re-aggregate the world
+nightly": cost per batch is O(changed windows), not O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kawa_spark.functions.exact import dec
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The rollup relation: hourly × event_type counts and sums."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def start_incremental_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain ``path`` as the materialized hourly rollup of the
+    events stream."""
+    # dynamic partition overwrite: only the partitions present in the
+    # written frame are replaced
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        # partition on (window, type): an update emission replaces
+        # exactly the groups it contains — groups untouched by this
+        # batch keep their partitions (overwriting on window alone
+        # would drop the window's other event_types)
+        (
+            batch_df.withColumn(
+                "window_key", F.date_format("window_start", "yyyy-MM-dd-HH")
+            )
+            .write.mode("overwrite")
+            .partitionBy("window_key", "event_type")
+            .parquet(path)
+        )
+
+    writer = (
+        hourly_rollup(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(flush)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Current rollup contents: each (window, type) partition holds
+    exactly its latest emission, so this is a plain read."""
+    return spark.read.parquet(path).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
