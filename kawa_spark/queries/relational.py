@@ -86,6 +86,62 @@ def deser_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deser_csv",
+    oracle="""
+    SELECT
+      event_id,
+      string_split(event_id || ',' || event_type || ',' || user_id, ',')[2]
+        AS csv_type,
+      CAST(string_split(event_id || ',' || event_type || ',' || user_id, ',')[3]
+           AS BIGINT) AS csv_user
+    FROM events
+    """,
+)
+def deser_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DeserFunc parity (/root/reference/types.go:152): a CSV line
+    (here synthesized from columns) parsed back through from_csv into
+    a typed struct."""
+    e = table(spark, sf_dir, "events")
+    line = F.concat_ws(",", "event_id", "event_type", "user_id")
+    parsed = F.from_csv(line, "id BIGINT, typ STRING, uid BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("typ").alias("csv_type"),
+        parsed.getField("uid").alias("csv_user"),
+    )
+
+
+@register(
+    "map_ops_extra",
+    oracle="""
+    SELECT
+      event_id,
+      2 AS n_keys,
+      CAST(user_id * 10 AS BIGINT) AS scaled_user,
+      'user_id,event_len' AS key_csv
+    FROM events
+    """,
+)
+def map_ops_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a map, transform_values,
+    map_keys — reduced to scalar outputs (cross-engine map-value hash
+    comparison is avoided by design; the oracle states the reduced
+    semantics)."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("user_id"), F.col("user_id"),
+        F.lit("event_len"), F.length("event_type").cast("long"),
+    )
+    scaled = F.transform_values(m, lambda k, v: v * 10)
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(scaled, "user_id").alias("scaled_user"),
+        F.array_join(F.map_keys(m), ",").alias("key_csv"),
+    )
+
+
+@register(
     "flatmap_posexplode",
     oracle="""
     SELECT p_partkey, CAST(t.i - 1 AS INTEGER) AS pos,
