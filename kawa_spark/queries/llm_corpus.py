@@ -1,0 +1,224 @@
+"""Corpus-preparation operators: splits, stratified sampling, n-gram
+statistics, TF-IDF, containment similarity.
+
+These are the remaining standard stages of a training-data build
+(after dedup/quality/chunking in llm_dedup/llm_text): deterministic
+dataset splits, balanced sampling, and corpus-level term statistics.
+All hash/integer/log arithmetic — every query here is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+
+@register(
+    "corpus_split",
+    oracle="""
+    SELECT
+      doc_id,
+      CASE
+        WHEN ('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+          THEN 'train'
+        WHEN ('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+          THEN 'valid'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split: a pure function of the document
+    id (content-hash bucketing), stable across runs, engines, and
+    re-partitionings — the property rand(seed) splits do NOT have."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat#' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: hash-ordered row_number caps each
+    stratum at 20 docs — deterministic stratified sampling (the fix
+    for head-heavy corpora where one language dominates)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "corpus_bigrams",
+    oracle="""
+    WITH words AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    ), bigrams AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS bigram
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies (top 50): explode 2-gram
+    shingles, count, top-k — the n-gram-LM statistics pass. Partial
+    aggregation keeps the shuffle proportional to distinct bigrams."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_tfidf",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), terms AS (
+      SELECT doc_id, unnest(w) AS term FROM words
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT
+      tf.doc_id,
+      tf.term,
+      tf.tf,
+      df.df,
+      CAST(n.n_docs AS DOUBLE) / df.df AS idf_ratio,
+      tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_linear
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+)
+def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF statistics (restricted to doc_id < 50 for output size).
+
+    The hash-checked weight is the LINEAR idf form (n_docs/df):
+    division and multiplication are IEEE correctly-rounded and thus
+    engine-identical, while ln() differs by 1 ulp between libms
+    (measured Spark-vs-DuckDB) — so the log transform belongs after
+    the comparison boundary. Scale: df is the heavy aggregate —
+    shuffle keyed on term with map-side partials; n_docs is a scalar
+    (at scale a broadcast single-row join)."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    idf_ratio = F.lit(float(n_docs)) / F.col("df")
+    return (
+        tf.join(df, "term")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            idf_ratio.alias("idf_ratio"),
+            (F.col("tf") * idf_ratio).alias("tfidf_linear"),
+        )
+    )
+
+
+@register(
+    "similarity_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1)),
+               i -> array_to_string(string_split_regex(lower(text), '\\s+')[i:i+2], ' ')))
+               AS shingles
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(a.shingles) AS containment_a_in_b
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(a.shingles) >= 0.25
+    """,
+)
+def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| — catches a short document
+    embedded inside a longer one, which symmetric jaccard misses
+    (the quote/boilerplate detection primitive). Directed pairs,
+    lang-blocked, doc_id < 300 to bound the demo."""
+    from kawa_spark.queries.llm_dedup import _shingles
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "lang", _shingles(F.col("text")).alias("shingles"))
+        .persist()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    containment = (
+        F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+        / F.size("a.shingles")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            containment.alias("containment_a_in_b"),
+        )
+        .filter(F.col("containment_a_in_b") >= 0.25)
+    )

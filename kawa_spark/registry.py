@@ -54,4 +54,5 @@ def load_all() -> None:
         tpch,
         ts_ops,
         extras,
+        llm_corpus,
     )
