@@ -52,6 +52,11 @@ HEADLINE = [
     "window_range_time",
     "subquery_correlated",
     "stream_passthrough",
+    "text_chunking",
+    "corpus_tfidf",
+    "corpus_bigrams",
+    "dedup_clusters",
+    "pipeline_dedup_corpus",
 ]
 
 

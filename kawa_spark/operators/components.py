@@ -28,10 +28,14 @@ def connected_components(
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node
     id reachable. Deterministic."""
+    # materialize the edge set once: every round joins against it, and
+    # `edges` may itself be an expensive pipeline (e.g. LSH candidate
+    # generation) that must not be re-executed per iteration
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
