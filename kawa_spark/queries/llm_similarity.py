@@ -197,6 +197,69 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiprobe_oracle() -> str:
+    probes = ", ".join(f"xor(q.q_sig, {1 << k})" for k in range(ANN_PLANES))
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding, {_sig_sql('embedding', ANN_PLANES)} AS sig FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, sig AS q_sig
+      FROM corpus WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             {_cos_sql('q.q_emb', 'c.embedding')} AS score
+      FROM q JOIN corpus c
+        ON c.sig IN (q.q_sig, {probes}) AND c.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, n_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, n_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, n_id, score, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register("similarity_lsh_multiprobe", oracle=_multiprobe_oracle())
+def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query also probes the buckets at Hamming
+    distance 1 (one flipped hyperplane bit) — the standard recall
+    recovery for sign-LSH without growing the index. Probe set =
+    1 + n_planes buckets; candidates stay a tiny corpus fraction."""
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", "embedding", _signature(F.col("embedding"), ANN_PLANES).alias("sig")
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << k)).alias(f"p{k}")
+                    for k in range(ANN_PLANES)
+                ],
+            )
+        ).alias("probe_sig"),
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("probe_sig")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+        .distinct()
+        .select("q_id", "n_id", "score", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @register("similarity_ivf")  # rows-only: recall-traded ANN
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer + probed cells.

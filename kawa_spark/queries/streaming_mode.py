@@ -149,6 +149,28 @@ def stream_exec_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFram
     return _drain(joined, spark)
 
 
+@register("stream_exec_incremental_rollup")
+def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate path (streaming/rollup.py): maintain a
+    parquet rollup table from the bounded event stream, then read it
+    back. Rows-only: the table contents equal stream_tumbling_count's
+    aggregate (asserted exactly in tests/test_rollup.py)."""
+    import tempfile
+
+    from kawa_spark.streaming.rollup import read_rollup, start_incremental_rollup
+
+    base = tempfile.mkdtemp(prefix="kawa_rollup_")
+    q = start_incremental_rollup(
+        spark,
+        stream_table(spark, sf_dir, "events"),
+        path=f"{base}/table",
+        checkpoint=f"{base}/cp",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return read_rollup(spark, f"{base}/table")
+
+
 @register("stream_passthrough")
 def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline bench shape: N messages through a

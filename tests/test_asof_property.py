@@ -28,6 +28,26 @@ def asof_case(draw):
     return left, right
 
 
+def test_asof_tolerance(spark):
+    """Matches older than the tolerance window are nulled out."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "k bigint, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "monotonically_increasing_id() AS lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 7.0)], "k bigint, ts_s string, payload double"
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "payload")
+    got = {
+        r["ts"].hour: r["payload"]
+        for r in asof_join(
+            left, right, on="k", right_payload=["payload"],
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert got[10] == 7.0       # 30 min old: within tolerance
+    assert got[12] is None      # 2.5 h old: tolerance exceeded
+
+
 @settings(
     max_examples=12,
     deadline=None,
