@@ -34,6 +34,11 @@ def asof_join(
     right.ts <= left.ts on the same key (DuckDB/pandas ASOF LEFT JOIN
     semantics). Optional tolerance drops matches older than
     ``tolerance_seconds``.
+
+    Determinism requires (key, ts) to be unique on the RIGHT side —
+    the same precondition DuckDB's ASOF JOIN has; with duplicate
+    right timestamps the carried payload among the duplicates is
+    plan-order dependent (dedupe the right side first).
     """
     payload_cols = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
@@ -76,9 +81,11 @@ def asof_join(
         "__last_r", F.last("__rpay", ignorenulls=True).over(w)
     ).filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
+        # cast via TIMESTAMP so NTZ inputs work (NTZ → double directly
+        # is an invalid cast)
         in_tol = (
-            F.col("__ts").cast("double")
-            - F.col("__last_r.__rts").cast("double")
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__last_r.__rts").cast("timestamp").cast("double")
         ) <= F.lit(float(tolerance_seconds))
         carried = carried.withColumn(
             "__last_r", F.when(in_tol, F.col("__last_r"))
