@@ -63,6 +63,33 @@ def test_audit_catches_cartesian(spark):
     )
 
 
+def test_join_strategy_hints(spark):
+    """The engine surfaces Spark's join-strategy controls: hints
+    override the planner's choice (the escape hatch when statistics
+    mislead at scale)."""
+    c = table(spark, SF, "customer")
+    o = table(spark, SF, "orders")
+    plan_of = lambda df: df._jdf.queryExecution().executedPlan().toString()
+
+    merged = o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+    assert "SortMergeJoin" in plan_of(merged)
+
+    shuffled = o.join(c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"])
+    assert "ShuffledHashJoin" in plan_of(shuffled)
+
+    bcast = o.join(c.hint("broadcast"), o["o_custkey"] == c["c_custkey"])
+    assert "BroadcastHashJoin" in plan_of(bcast)
+
+
+def test_unknown_table_error(spark):
+    import pytest as _pytest
+
+    from kawa_spark.io import table as t
+
+    with _pytest.raises(KeyError, match="unknown table"):
+        t(spark, SF, "nope")
+
+
 def test_audit_catches_row_udf(spark):
     from pyspark.sql.types import LongType
 
