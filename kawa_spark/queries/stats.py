@@ -119,6 +119,44 @@ def percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_disc",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_disc(l_quantity, 0.5) AS p50_disc,
+      quantile_disc(l_quantity, 0.9) AS p90_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (actual data values, no interpolation):
+    the value at sorted 0-based index floor((n-1)·q) — matching
+    DuckDB's quantile_disc. Implemented rank-based (one shuffle+sort,
+    no per-group arrays), so it scales like any window query."""
+    from pyspark.sql.window import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wg = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    pos = lambda q: F.floor((F.col("n") - 1) * q) + 1
+    return ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == pos(0.5), F.col("l_quantity"))).alias(
+            "p50_disc"
+        ),
+        F.max(F.when(F.col("rn") == pos(0.9), F.col("l_quantity"))).alias(
+            "p90_disc"
+        ),
+    )
+
+
 @register("percentile_approx")  # rows-only: sketch values are engine-specific
 def percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")

@@ -26,6 +26,9 @@ SF = "/root/testdata/sf0.001"
         "sort_limit_topk",
         "window_rank",
         "dedup_exact",
+        "corpus_bigrams",
+        "text_chunking",
+        "percentile_disc",
     ],
 )
 def test_headline_plans_clean(spark, key):
