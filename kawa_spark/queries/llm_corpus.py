@@ -171,6 +171,38 @@ def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dedup_report",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS n_unique_exact,
+      (SELECT COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+       FROM documents) AS n_unique_norm,
+      (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+      CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS DOUBLE)
+        / (SELECT COUNT(*) FROM documents) AS exact_unique_ratio
+    """,
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup dashboard: corpus size, exact-unique and
+    normalized-unique counts, language spread, uniqueness ratio — the
+    one-row summary a pipeline run reports. Computed in a single
+    aggregate pass (the oracle's scalar subqueries state the
+    semantics; Catalyst's form here scans once)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_exact"),
+        F.countDistinct(F.md5(norm)).alias("n_unique_norm"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1))
+        ).alias("exact_unique_ratio"),
+    )
+
+
+@register(
     "similarity_containment",
     oracle="""
     WITH sh AS (
