@@ -18,16 +18,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 10,
+    max_iterations: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node
-    id reachable. Deterministic."""
+    id reachable. Deterministic.
+
+    Convergence contract: if the loop exhausts ``max_iterations``
+    before fixpoint (component diameter > max_iterations — possible
+    for chain-shaped graphs), ``strict=True`` (default) raises
+    rather than silently returning split components; ``strict=False``
+    returns the partial labels (every label is still a valid member
+    of its true component, just possibly not the global min)."""
     # materialize the edge set once: every round joins against it, and
     # `edges` may itself be an expensive pipeline (e.g. LSH candidate
     # generation) that must not be re-executed per iteration
@@ -42,6 +51,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -68,16 +78,28 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iterations or pass strict=False for partial labels"
+        )
     return labels
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     """Near-dup pairs → (doc_id, cluster_id, is_keeper). Keeper = min
-    doc_id per component."""
+    doc_id per cluster, derived as a per-cluster window min rather
+    than ``node == component`` — with partial labels a split cluster
+    could otherwise have zero keepers, and downstream "keep keepers
+    only" would drop every doc in it. The window min guarantees
+    exactly one keeper per emitted cluster_id unconditionally."""
     comp = connected_components(pairs, src=id_a, dst=id_b)
+    w = Window.partitionBy("component")
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
-        (F.col("node") == F.col("component")).alias("is_keeper"),
+        (F.col("node") == F.min("node").over(w)).alias("is_keeper"),
     )

@@ -13,10 +13,20 @@ Five tiers, all shared-nothing / shuffle-on-key designs that survive
 * ngram block  — blocked exact jaccard (lang × length bucket).
 
 Embedding-cosine near-dup lives in llm_similarity.py (same LSH
-machinery). minhash/ngram are md5-based so DuckDB can replay them —
-the LSH pipelines are hash-exact, giving full value-hash oracles, not
-just rows-only checks. simhash needs bit ops on xxhash64 (no DuckDB
-twin) → rows-only.
+machinery). ALL tiers (including simhash, since round 2) are
+md5-based so DuckDB can replay them — the LSH pipelines are
+hash-exact, giving full value-hash oracles, not just rows-only
+checks.
+
+Skew guards (round 2): every self-join key is size-capped —
+* minhash band buckets larger than ``BUCKET_CAP`` are dropped (a
+  degenerate bucket, e.g. empty docs, would otherwise be quadratic);
+* ngram-jaccard blocks larger than ``BLOCK_CAP`` are salted into
+  deterministic sub-blocks of ≤ BLOCK_CAP docs each (bounded B²
+  work per sub-block; cross-sub recall is delegated to minhash LSH,
+  which has no block-size dependence).
+Both guards are mirrored bit-for-bit in the DuckDB oracles, so the
+capped semantics themselves are hash-verified.
 """
 
 from __future__ import annotations
@@ -26,12 +36,15 @@ from operator import add
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kawa_spark.io import table
 from kawa_spark.registry import register
 
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # → 4 rows/band; P(candidate) = 1-(1-j^4)^4
+BUCKET_CAP = 200  # max LSH band-bucket size admitted to the self-join
+BLOCK_CAP = 1000  # max ngram-jaccard block size before salted split
 
 
 @register(
@@ -140,10 +153,15 @@ def _minhash_oracle() -> str:
       SELECT doc_id, shingles, {bands} FROM sigs
     ), bandrows AS (
       {band_unnest}
+    ), capped AS (
+      SELECT doc_id, shingles, band_id, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n
+        FROM bandrows
+      ) WHERE bucket_n <= {BUCKET_CAP}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.shingles AS sh_a, b.shingles AS sh_b
-      FROM bandrows a JOIN bandrows b
+      FROM capped a JOIN capped b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     )
@@ -165,10 +183,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band explode is ×4; the self-join shuffles only
     (band_id, band_hash, doc_id, shingles); exact jaccard runs on
     candidates only. For a mostly-unique corpus candidates ≈ true
-    near-dups, so the verify stage is tiny. Skew guard: a degenerate
-    band bucket (e.g. empty docs) would quadratically explode — AQE
-    skew-join handles moderate cases; a production run would cap
-    bucket sizes first.
+    near-dups, so the verify stage is tiny. Skew guard: buckets
+    larger than BUCKET_CAP are dropped before the self-join (a
+    degenerate band bucket — e.g. empty docs — would otherwise be
+    quadratic); the window count shuffles on the same
+    (band_id, band_hash) key the join uses, so the guard costs no
+    extra repartitioning. The cap is mirrored in the oracle, so the
+    capped semantics are hash-verified.
     """
     # Small single-file inputs arrive as ONE partition; the signature
     # stage is CPU-bound (16·|shingles| md5 per doc), so spread it
@@ -233,6 +254,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_id", "band.band_hash")
 
+    # skew guard: drop degenerate buckets before the self-join
+    banded = _cap_buckets(banded)
+
     # the self-join would otherwise recompute the whole signature
     # pipeline for BOTH sides — persist materializes it once. At
     # cluster scale this is the standard cache-before-self-join; the
@@ -262,29 +286,59 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", jaccard).filter(F.col("jaccard") >= 0.2)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
+def _ngram_pairs_ctes() -> str:
+    """Shared CTE chain producing the blocked-jaccard pair set —
+    used by both the dedup_ngram_jaccard oracle and (as the edge
+    input) the dedup_clusters oracle. Mirrors the Spark plan exactly,
+    including the salted sub-blocking guard."""
+    return f"""
+    sh AS (
       SELECT doc_id, lang, n_chars // 100 AS len_bucket,
              {_SHINGLES_SQL} AS shingles
       FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-     AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.15
+    ), sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY lang, len_bucket) AS block_n
+      FROM sh
+    ), sub AS (
+      SELECT doc_id, lang, len_bucket, shingles,
+             doc_id % CAST(ceil(block_n / {float(BLOCK_CAP)}) AS BIGINT) AS sub_id
+      FROM sized
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+      FROM sub a JOIN sub b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       AND a.sub_id = b.sub_id
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.15
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_ngram_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram jaccard: candidate pairs restricted to the
     same (lang, length-bucket) block — the classic pre-LSH blocking
-    scheme. The join shuffles on the block key; block sizes bound the
-    quadratic term."""
+    scheme. The join shuffles on the block key.
+
+    Scale guard: a block larger than BLOCK_CAP is salted into
+    ``ceil(block_n / BLOCK_CAP)`` deterministic sub-blocks keyed by
+    ``doc_id % n_sub``, bounding the quadratic term at ~BLOCK_CAP²
+    pairs per sub-block regardless of corpus size. Cross-sub-block
+    pairs are deliberately out of scope for this operator — global
+    recall at scale is dedup_minhash's job (LSH banding has no
+    block-size dependence). The guard is mirrored in the oracle.
+    At test SF every block is far below BLOCK_CAP, so n_sub == 1 and
+    results are identical to the unguarded plan; the guard itself is
+    unit-tested on synthetic oversized blocks in tests/test_dedup_guards.py.
+    """
     d = (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -295,6 +349,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingles(F.col("text")).alias("shingles"),
         )
     )
+    d = _salt_blocks(d)
     d = d.persist()  # self-join below — avoid rebuilding shingles twice
     a = d.alias("a")
     b = d.alias("b")
@@ -306,6 +361,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.sub_id") == F.col("b.sub_id"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -317,7 +373,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters")  # rows-only: iterative label propagation
+def _cap_buckets(
+    banded: DataFrame,
+    cap: int = BUCKET_CAP,
+    keys: tuple[str, str] = ("band_id", "band_hash"),
+) -> DataFrame:
+    """Drop rows in LSH buckets larger than ``cap`` before a bucket
+    self-join — a degenerate bucket (empty/boilerplate docs) is
+    otherwise quadratic. The window count shuffles on the same key
+    the join uses, so no extra repartitioning."""
+    w_bucket = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bucket_n") <= cap)
+        .drop("bucket_n")
+    )
+
+
+def _salt_blocks(d: DataFrame, cap: int = BLOCK_CAP) -> DataFrame:
+    """Add a deterministic ``sub_id`` splitting each (lang, len_bucket)
+    block into sub-blocks of ≤ cap docs: sub_id = doc_id % ceil(n/cap).
+    Content-deterministic (no rand/monotonic id), so retries and the
+    oracle agree."""
+    w_blk = Window.partitionBy("lang", "len_bucket")
+    n_sub = F.ceil(F.count(F.lit(1)).over(w_blk) / F.lit(float(cap))).cast("long")
+    return d.withColumn("sub_id", F.col("doc_id") % n_sub)
+
+
+def _clusters_oracle() -> str:
+    """Connected components of the ngram-jaccard near-dup graph as a
+    DuckDB recursive CTE: transitive reachability, component label =
+    min reachable node. Fine at oracle SF (the pair set is tiny);
+    the Spark side uses distributed label propagation instead."""
+    return f"""
+    WITH RECURSIVE {_ngram_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           node = MIN(node) OVER (PARTITION BY cluster_id) AS is_keeper
+    FROM cc
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive duplicate CLUSTERS with one keeper
     each (operators/components.py label propagation). Pairwise dedup
@@ -329,19 +437,73 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, "doc_a", "doc_b")
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def _simhash_oracle() -> str:
+    """DuckDB replay of the md5-based simhash pipeline. The 64-bit
+    term hash is two 32-bit halves of md5 (chars 1-8 / 9-16), so both
+    engines derive identical bits; band extraction masks with 0xFFFF,
+    making arithmetic-vs-logical shift irrelevant."""
+    bitsums = ", ".join(
+        f"SUM(CASE WHEN (h_{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1"
+        f" THEN cnt ELSE -cnt END) AS bs{b}"
+        for b in range(64)
+    )
+    weights = " + ".join(
+        f"(CASE WHEN bs{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(63)
+    ) + (
+        " + (CASE WHEN bs63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id,"
+        f" (simhash >> {b * 16}) & 65535 AS band_val FROM sh"
+        for b in range(4)
+    )
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, term, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    ), hashed AS (
+      SELECT doc_id, cnt,
+        ('0x' || substring(md5(term), 1, 8))::BIGINT AS h_lo,
+        ('0x' || substring(md5(term), 9, 8))::BIGINT AS h_hi
+      FROM terms
+    ), bitsums AS (
+      SELECT doc_id, {bitsums} FROM hashed GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, {weights} AS simhash FROM bitsums
+    ), bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit weighted fingerprint per doc, banded
     hamming-distance candidate join (4 × 16-bit bands), verify with
     bit_count(xor) <= 3.
 
-    All column expressions: term hashing via xxhash64, the 64 bit
-    sums via HOFs over the per-doc term list (bounded by distinct
-    terms per doc, not corpus size).
+    All column expressions; term hashing is md5-derived (two 32-bit
+    halves of the digest) so the oracle replays it exactly — round 1
+    used xxhash64, which has no DuckDB twin and forced a rows-only
+    check. The 64 bit sums are HOFs over the per-doc term list
+    (bounded by distinct terms per doc, not corpus size).
     """
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    digest = F.md5("term")
     terms = (
         d.select(
             "doc_id",
@@ -349,19 +511,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("doc_id", F.xxhash64("term").alias("h"), "cnt")
+        .select(
+            "doc_id",
+            F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h_lo"),
+            F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
+            "cnt",
+        )
         .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("h", "cnt")).alias("terms"))
+        .agg(F.collect_list(F.struct("h_lo", "h_hi", "cnt")).alias("terms"))
     )
     # bit b of the simhash = sign of sum over terms of ±cnt.
-    # b is unrolled as a Python int (shift amounts must be literals).
+    # b is unrolled as a Python int (shift amounts must be literals);
+    # bits 0-31 come from the low digest half, 32-63 from the high.
     def bit_sum(b: int):
+        field = "h_lo" if b < 32 else "h_hi"
+        shift = b % 32
         return F.aggregate(
             F.col("terms"),
             F.lit(0).cast("long"),
             lambda acc, t: acc
             + F.when(
-                F.shiftright(t.getField("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.shiftright(t.getField(field), shift).bitwiseAND(F.lit(1)) == 1,
                 t.getField("cnt"),
             ).otherwise(-t.getField("cnt")),
         )

@@ -260,7 +260,52 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf")  # rows-only: recall-traded ANN
+def _ivf_oracle() -> str:
+    """DuckDB replay of the IVF pipeline: same deterministic centroid
+    rule (vec_id % 53 == 0), same argmin assignment (ties → cell_id),
+    same nprobe=2 probe set, same exact rerank. The dot products are
+    the shared left-fold, so scores hash-match bit-for-bit."""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cent
+      FROM embeddings WHERE vec_id % 53 = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -({_cos_sql('e.embedding', 'c.cent')}) ASC, c.cell_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT q_id, q_emb, cell_id FROM (
+        SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY -({_cos_sql('q.embedding', 'c.cent')}) ASC, c.cell_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.q_id, p.q_emb, a.vec_id AS n_id, a.embedding
+      FROM probes p JOIN assigned a
+        ON a.cell_id = p.cell_id AND a.vec_id <> p.q_id
+    ), ranked AS (
+      SELECT q_id, n_id,
+             {_cos_sql('q_emb', 'embedding')} AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY {_cos_sql('q_emb', 'embedding')} DESC, n_id
+             ) AS rnk
+      FROM cand
+    )
+    SELECT q_id, n_id, score, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register("similarity_ivf", oracle=_ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer + probed cells.
 

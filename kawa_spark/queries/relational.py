@@ -435,7 +435,9 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
       vec_id,
       CAST(len(embedding) AS INTEGER) AS dim,
       embedding[1] AS first_val,
-      embedding[1:3] AS head3,
+      embedding[1:3][1] AS head_1,
+      embedding[1:3][2] AS head_2,
+      embedding[1:3][3] AS head_3,
       list_reduce(
         list_prepend(CAST(0.0 AS DOUBLE),
                      list_transform(embedding, x -> CAST(x AS DOUBLE))),
@@ -449,15 +451,25 @@ def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions stay inside codegen (no UDF); the
     left-fold with a 0.0 init is bit-identical to the oracle's
     list_reduce fold. The map round-trip (create_map → element_at)
-    semantically reduces to `label`, which is what the oracle states."""
+    semantically reduces to `label`, which is what the oracle states.
+
+    Driver-facing shape note: the sliced head is unpacked into three
+    scalar float columns — the driver canonicalizes results through a
+    pandas sort, which cannot order raw array cells (round-1 failure:
+    ``TypeError: unhashable type: 'list'``). Scalars keep the slice
+    semantics under test while staying sortable/hashable everywhere.
+    """
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head = F.slice(emb, 1, 3)
     m = F.create_map(F.lit("a"), F.col("vec_id"), F.lit("b"), F.col("label"))
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
-        F.slice(emb, 1, 3).alias("head3"),
+        F.element_at(head, 1).alias("head_1"),
+        F.element_at(head, 2).alias("head_2"),
+        F.element_at(head, 3).alias("head_3"),
         F.aggregate(
             emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("sum_vals"),

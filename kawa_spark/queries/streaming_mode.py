@@ -89,13 +89,28 @@ def stream_exec_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(session_totals(stream_table(spark, sf_dir, "events")), spark)
 
 
-@register("stream_exec_stream_stream_join")
+@register(
+    "stream_exec_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id,
+           p.user_id AS p_user, p.ts AS p_ts, c.ts AS c_ts
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
 def stream_exec_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each purchase joined to the same
     user's clicks within the preceding hour. Both sides watermarked;
     the time-bound condition lets the state store evict — unbounded
     stream-stream joins without a time constraint don't scale and are
-    deliberately not offered."""
+    deliberately not offered.
+
+    Oracle-checkable: the bounded drain runs the whole file source in
+    one microbatch (no maxFilesPerTrigger), so the initial watermark
+    drops nothing and the emitted matches equal the batch theta-join
+    the oracle states."""
     e1 = stream_table(spark, sf_dir, "events")
     purchases = (
         e1.filter(F.col("event_type") == "purchase")
@@ -125,11 +140,28 @@ def stream_exec_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     return _drain(joined, spark)
 
 
-@register("stream_exec_stream_static_join")
+@register(
+    "stream_exec_stream_static_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           (epoch_us(e.ts) / 1000000.0)
+             - (epoch_us(d.first_seen) / 1000000.0)
+             AS seconds_since_first_seen
+    FROM events e JOIN dim d USING (user_id)
+    """,
+)
 def stream_exec_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the streaming fact side joins a static
     (broadcastable) dimension — no state store involved; the dim is
-    re-resolved per microbatch."""
+    re-resolved per microbatch.
+
+    Oracle-checkable: the dim is batch-computed and the stream drains
+    in one microbatch, so the join output equals the batch join. The
+    seconds math is µs/1e6 double division on both engines —
+    bit-identical."""
     from kawa_spark.io import table as batch_table
 
     dim = (
@@ -149,12 +181,24 @@ def stream_exec_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFram
     return _drain(joined, spark)
 
 
-@register("stream_exec_incremental_rollup")
+@register(
+    "stream_exec_incremental_rollup",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-aggregate path (streaming/rollup.py): maintain a
     parquet rollup table from the bounded event stream, then read it
-    back. Rows-only: the table contents equal stream_tumbling_count's
-    aggregate (asserted exactly in tests/test_rollup.py)."""
+    back. Oracle-checkable: the materialized table equals the batch
+    hourly aggregate (idempotent dynamic-partition overwrite; DECIMAL
+    sums are order-independent, so parallel and sequential agree)."""
     import tempfile
 
     from kawa_spark.streaming.rollup import read_rollup, start_incremental_rollup
