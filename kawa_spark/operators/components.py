@@ -50,7 +50,20 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    # Convergence probe: labels move MONOTONICALLY down (new =
+    # least(old, min neighbor)), so Σ component strictly decreases
+    # until fixpoint and equal sums ⇔ no label changed. One cheap
+    # aggregate per round replaces a full old⋈new join probe.
+    # DECIMAL(38,0): exact and overflow-safe for 64-bit ids at any
+    # node count the sum could meet.
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -69,17 +82,12 @@ def connected_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged and strict:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

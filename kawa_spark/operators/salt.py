@@ -47,8 +47,17 @@ def replicated_broadcast_join(
     hash. The hot key's rows land on n_replicas different partitions
     instead of one. (With a truly broadcastable small side, plain
     F.broadcast is better — this is for the mid-size build side that
-    must shuffle.)"""
-    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_replicas))
+    must shuffle.)
+
+    The salt is a content hash over ALL of the skewed row's columns —
+    deterministic under task retry/recomputation (unlike
+    monotonically_increasing_id, whose value depends on partition
+    layout). Fully identical duplicate rows share a salt and land on
+    one replica; hot keys whose rows differ in any column spread.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_replicas)
+    )
     left = skewed.withColumn("__salt", salt)
     replicas = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1)))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from kawa_spark.handlers import Handler, chain
+from kawa_spark.sinks.sinks import StreamingQueryGroup  # noqa: F401 (re-export)
 
 
 @dataclass
@@ -75,7 +76,10 @@ class Pipeline:
         trigger: str | None = None,  # FlushFrequency parity
         checkpoint: str | None = None,  # the ack ledger
         available_now: bool = False,  # bounded drain (graceful stop)
-    ) -> StreamingQuery:
+    ) -> "StreamingQuery | StreamingQueryGroup":
+        # MultiSink returns a StreamingQueryGroup — a StreamingQuery-
+        # shaped facade (awaitTermination/stop/isActive), so callers
+        # need not care which sink kind the pipeline ends in.
         if self.sink is None:
             raise ValueError("streaming pipeline requires a sink")
         df = self.stream_dataframe(spark)

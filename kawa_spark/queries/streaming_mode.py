@@ -28,7 +28,14 @@ def _drain(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on expiry WITHOUT
+    # raising — a silent partial drain would feed a wrong (smaller)
+    # result to the correctness gate, so fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"bounded drain {name} did not finish within 300s"
+        )
     return spark.table(name)
 
 

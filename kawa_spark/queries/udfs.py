@@ -105,12 +105,21 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "event_type string, n_events long, sum_k long, min_user long"
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        # mirror SQL null semantics: SUM/MIN over an all-NULL column is
+        # NULL, not 0 (pandas sum() of all-NaN returns 0.0, which would
+        # silently diverge from the oracle; int(nan) would raise)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_events": [len(pdf)],
-                "sum_k": [int(pdf["k"].sum())],
-                "min_user": [int(pdf["user_id"].min())],
+                "sum_k": [
+                    int(pdf["k"].sum()) if pdf["k"].count() > 0 else None
+                ],
+                "min_user": [
+                    int(pdf["user_id"].min())
+                    if pdf["user_id"].count() > 0
+                    else None
+                ],
             }
         )
 

@@ -6,6 +6,7 @@ from kawa_spark.sinks.sinks import (
     MultiSink,
     NoopSink,
     RoutingSink,
+    StreamingQueryGroup,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "MultiSink",
     "NoopSink",
     "RoutingSink",
+    "StreamingQueryGroup",
 ]

@@ -200,6 +200,42 @@ class RoutingSink:
         )
 
 
+class StreamingQueryGroup:
+    """StreamingQuery-shaped facade over N fan-out queries, so
+    ``Pipeline.run_stream`` callers (``q.awaitTermination()`` /
+    ``q.stop()``) work unchanged whether the sink is single or multi.
+    Indexable/iterable for callers that want the individual queries."""
+
+    def __init__(self, queries: list[StreamingQuery]):
+        self.queries = queries
+
+    def awaitTermination(self, timeout: float | None = None) -> bool:
+        ok = True
+        for q in self.queries:
+            res = q.awaitTermination(timeout) if timeout is not None else (
+                q.awaitTermination() or True
+            )
+            ok = ok and bool(res)
+        return ok
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+
+    @property
+    def isActive(self) -> bool:
+        return any(q.isActive for q in self.queries)
+
+    def __iter__(self):
+        return iter(self.queries)
+
+    def __getitem__(self, i: int) -> StreamingQuery:
+        return self.queries[i]
+
+    def __len__(self) -> int:
+        return len(self.queries)
+
+
 @dataclass
 class MultiSink:
     """Fan-out: one independent stream (own checkpoint) per inner sink
@@ -220,7 +256,9 @@ class MultiSink:
             if len(self.sinks) > 1:
                 df.unpersist()
 
-    def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+    def start_stream(
+        self, df, trigger=None, checkpoint=None, available_now=False
+    ) -> StreamingQueryGroup:
         queries: list[StreamingQuery] = []
         for i, s in enumerate(self.sinks):
             cp = f"{checkpoint}/dest{i}" if checkpoint else None
@@ -229,4 +267,4 @@ class MultiSink:
                     df, trigger=trigger, checkpoint=cp, available_now=available_now
                 )
             )
-        return queries
+        return StreamingQueryGroup(queries)

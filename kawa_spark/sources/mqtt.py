@@ -13,10 +13,12 @@ blocks per message (:188-198). Here:
   returning, so the microbatch commits only after the broker accepted
   the batch — the reference's ack-after-publish, wholesale.
 
-paho-mqtt is NOT installed in this container: the import is gated and
-everything raises a clear error at use time. The structural twin that
-IS testable end-to-end (same reader API, same offset/replay contract)
-is sources/replay.py; tests cover MQTT's envelope mapping through it.
+Client resolution: paho-mqtt when installed (production path),
+otherwise the built-in minimal 3.1.1 client (sources/mqtt_mini.py —
+same wire protocol over real TCP, paho-shaped API). Either way the
+connector itself is LIVE-tested end-to-end: tests/test_mqtt.py runs
+the reference's conformance shape (N random payloads → delivered
+exactly once, in envelope form) against an in-process broker.
 """
 
 from __future__ import annotations
@@ -32,13 +34,14 @@ except ImportError:
     HAVE_PAHO = False
 
 
-def _require_paho():
-    if not HAVE_PAHO:
-        raise NotImplementedError(
-            "paho-mqtt is not available in this environment; install it to "
-            "use the MQTT connector. The offset/replay contract is covered "
-            "by kawa_spark.sources.replay (same DataSource API)."
-        )
+def _client_factory():
+    """paho Client when available, else the built-in minimal client
+    (identical surface for the subset this connector uses)."""
+    if HAVE_PAHO:
+        return _paho.Client()
+    from kawa_spark.sources.mqtt_mini import MiniClient
+
+    return MiniClient()
 
 
 class _MqttStreamReader(SimpleDataSourceStreamReader):
@@ -49,18 +52,33 @@ class _MqttStreamReader(SimpleDataSourceStreamReader):
     gap, identical to the reference's contract)."""
 
     def __init__(self, options: dict) -> None:
-        _require_paho()
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options.get("port", 1883))
         self.topic = options["topic"]
         self.qos = int(options.get("qos", 1))
         self._buf: list[tuple[str, bytes, str]] = []
         self._count = 0
-        self._client = _paho.Client()
+        self._client = None
+        # connect eagerly: the subscription must be live before batch 0
+        # commits, or messages published "after stream start" are lost
+        self._connect()
+
+    def _connect(self) -> None:
+        self._client = _client_factory()
         self._client.on_message = self._on_message
         self._client.connect(self.host, self.port)
         self._client.subscribe(self.topic, qos=self.qos)
         self._client.loop_start()
+
+    # Spark pickles the reader while planning the scan (the simple-
+    # reader wrapper ships to executors; prefetch itself stays on the
+    # driver). A live socket cannot pickle — strip it; the executor
+    # copy only replays prefetched rows and never reads the wire.
+    def __getstate__(self) -> dict:
+        state = self.__dict__.copy()
+        state["_client"] = None
+        state["_buf"] = []
+        return state
 
     def _on_message(self, _client, _userdata, msg) -> None:
         self._buf.append((str(msg.mid), msg.payload, msg.topic))
@@ -92,7 +110,6 @@ class MqttDataSource(DataSource):
 
 
 def register_mqtt_source(spark) -> None:
-    _require_paho()
     from kawa_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
@@ -103,11 +120,12 @@ def mqtt_publisher(
     topic: str, host: str = "127.0.0.1", port: int = 1883, qos: int = 1
 ):
     """foreachBatch flush publishing each row's value (MQTT dest
-    parity: ack only after all publishes complete)."""
-    _require_paho()
+    parity: ack only after all publishes complete — the microbatch
+    commits only after every wait_for_publish returned, i.e. the
+    broker PUBACKed the whole batch)."""
 
     def flush(batch_df, batch_id: int) -> None:
-        client = _paho.Client()
+        client = _client_factory()
         client.connect(host, port)
         try:
             infos = [

@@ -1,0 +1,174 @@
+"""Live MQTT conformance (VERDICT r01 task 7).
+
+Ports the reference's broker conformance shape — N random payloads
+published, every one delivered exactly once (/root/reference/test/
+suite_test.go:16-104, stream_test.go:57-75; its CI runs mosquitto) —
+against the in-process MiniBroker (kawa_spark/sources/mqtt_mini.py):
+real MQTT 3.1.1 frames over real TCP, no file-replay fake anywhere.
+
+Three layers:
+1. protocol: MiniClient ↔ MiniBroker roundtrip, QoS1 acks, wildcard
+   filters;
+2. connector: the kawa_mqtt Spark DataSource streaming messages into
+   a memory sink in envelope form;
+3. destination: mqtt_publisher's flush acks only after the broker
+   PUBACKed every row.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+
+import pytest
+
+from kawa_spark.sources.mqtt_mini import MiniBroker, MiniClient, topic_matches
+
+
+def _rand_payloads(n: int) -> list[bytes]:
+    return [uuid.uuid4().hex.encode() for _ in range(n)]
+
+
+# ------------------------------------------------------------- protocol
+
+
+def test_roundtrip_qos1_exactly_once():
+    """suite_test.go semantics: N random payloads in, N out, no dups."""
+    n = 50
+    with MiniBroker() as broker:
+        got: list[bytes] = []
+        done = threading.Event()
+        sub = MiniClient()
+        sub.on_message = lambda c, u, m: (
+            got.append(m.payload),
+            done.set() if len(got) >= n else None,
+        )
+        sub.connect("127.0.0.1", broker.port)
+        sub.subscribe("t/conf", qos=1)
+        sub.loop_start()
+
+        payloads = _rand_payloads(n)
+        pub = MiniClient()
+        pub.connect("127.0.0.1", broker.port)
+        for p in payloads:
+            pub.publish("t/conf", p, qos=1).wait_for_publish()
+
+        assert done.wait(30), f"only {len(got)}/{n} delivered"
+        time.sleep(0.2)  # would catch late duplicates
+        assert sorted(got) == sorted(payloads)  # every payload, no dups
+        pub.disconnect()
+        sub.disconnect()
+
+
+def test_wildcard_filters():
+    assert topic_matches("a/+/c", "a/b/c")
+    assert not topic_matches("a/+/c", "a/b/d")
+    assert topic_matches("a/#", "a/b/c/d")
+    assert topic_matches("#", "anything/at/all")
+    assert not topic_matches("a/b", "a/b/c")
+    assert not topic_matches("a/b/c", "a/b")
+
+
+def test_fan_out_two_subscribers():
+    """multidest shape: both subscribers see every message."""
+    with MiniBroker() as broker:
+        boxes: list[list[bytes]] = [[], []]
+        subs = []
+        for box in boxes:
+            c = MiniClient()
+            c.on_message = lambda cl, u, m, b=box: b.append(m.payload)
+            c.connect("127.0.0.1", broker.port)
+            c.subscribe("fan/x", qos=1)
+            c.loop_start()
+            subs.append(c)
+        pub = MiniClient()
+        pub.connect("127.0.0.1", broker.port)
+        payloads = _rand_payloads(10)
+        for p in payloads:
+            pub.publish("fan/x", p, qos=1).wait_for_publish()
+        deadline = time.time() + 30
+        while time.time() < deadline and any(len(b) < 10 for b in boxes):
+            time.sleep(0.05)
+        for b in boxes:
+            assert sorted(b) == sorted(payloads)
+        for c in subs + [pub]:
+            c.disconnect()
+
+
+# ------------------------------------------------------------ connector
+
+
+def test_spark_source_end_to_end(spark, tmp_path):
+    """stream_test.go:57-75 shape through the ACTUAL kawa_mqtt source:
+    publish N random payloads, read them off the Spark stream as
+    envelopes, assert exactly-once delivery."""
+    from kawa_spark.sources.mqtt import register_mqtt_source
+
+    n = 25
+    with MiniBroker() as broker:
+        register_mqtt_source(spark)
+        name = f"mqtt_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("kawa_mqtt")
+            .option("topic", "spark/in")
+            .option("host", "127.0.0.1")
+            .option("port", str(broker.port))
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="1 second")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        try:
+            # reader subscribes during stream init; wait for batch 0 so
+            # the subscription is live before publishing
+            deadline = time.time() + 60
+            while q.lastProgress is None and time.time() < deadline:
+                time.sleep(0.2)
+
+            payloads = _rand_payloads(n)
+            pub = MiniClient()
+            pub.connect("127.0.0.1", broker.port)
+            for p in payloads:
+                pub.publish("spark/in", p, qos=1).wait_for_publish()
+            pub.disconnect()
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                rows = spark.table(name).collect()
+                if len(rows) >= n:
+                    break
+                time.sleep(0.5)
+            rows = spark.table(name).collect()
+            assert sorted(bytes(r["value"]) for r in rows) == sorted(payloads)
+            assert all(r["topic"] == "spark/in" for r in rows)
+            assert all(r["key"] is not None for r in rows)
+        finally:
+            q.stop()
+
+
+def test_mqtt_publisher_acks_batch(spark):
+    """Destination parity (x/mqtt/mqtt.go:188-198): flush returns only
+    after the broker accepted every row."""
+    from kawa_spark.sources.mqtt import mqtt_publisher
+
+    with MiniBroker() as broker:
+        got: list[bytes] = []
+        sub = MiniClient()
+        sub.on_message = lambda c, u, m: got.append(m.payload)
+        sub.connect("127.0.0.1", broker.port)
+        sub.subscribe("out/t", qos=1)
+        sub.loop_start()
+
+        payloads = _rand_payloads(10)
+        df = spark.createDataFrame([(p,) for p in payloads], "value binary")
+        flush = mqtt_publisher("out/t", host="127.0.0.1", port=broker.port)
+        flush(df, batch_id=0)  # returns ⇒ every publish PUBACKed
+
+        deadline = time.time() + 30
+        while time.time() < deadline and len(got) < len(payloads):
+            time.sleep(0.05)
+        assert sorted(got) == sorted(payloads)
+        sub.disconnect()
