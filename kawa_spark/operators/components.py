@@ -37,12 +37,16 @@ def connected_components(
     rather than silently returning split components; ``strict=False``
     returns the partial labels (every label is still a valid member
     of its true component, just possibly not the global min)."""
-    # materialize the edge set once: every round joins against it, and
-    # `edges` may itself be an expensive pipeline (e.g. LSH candidate
-    # generation) that must not be re-executed per iteration
+    # materialize the edge set FIRST: `edges` may itself be an
+    # expensive pipeline (e.g. LSH candidate generation), and the
+    # symmetric union below references it twice — without this
+    # checkpoint the candidate pipeline executes twice before the
+    # loop even starts (measured 2× the whole operator's cost)
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -45,6 +45,11 @@ N_PERM = 16  # minhash permutations
 N_BANDS = 4  # → 4 rows/band; P(candidate) = 1-(1-j^4)^4
 BUCKET_CAP = 200  # max LSH band-bucket size admitted to the self-join
 BLOCK_CAP = 1000  # max ngram-jaccard block size before salted split
+# signature-agreement prefilter for candidate verification: a band
+# collision guarantees 4 equal positions, so requiring ≥5 demands
+# agreement BEYOND the colliding band — a 16-int comparison that
+# culls noise pairs before the expensive shingle-set intersection
+SIG_MIN_MATCH = 5
 
 
 @register(
@@ -113,6 +118,24 @@ _SHINGLES_SQL = """
 """
 
 
+def _shingle_hashes(text_col: F.Column) -> F.Column:
+    """Distinct shingles as 60-bit md5-derived LONGS: set operations
+    (intersect / distinct-union) compare and shuffle 8-byte ints
+    instead of ~20-char strings — the arrays riding the block join
+    shrink ~3× and the per-pair jaccard cost drops with them.
+    Deterministic and replayed bit-for-bit by the oracle twin."""
+    return F.transform(
+        _shingles(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+_SHINGLE_HASHES_SQL = (
+    f"list_transform({_SHINGLES_SQL}, "
+    "s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)"
+)
+
+
 _MH_PRIME = 1_000_000_007
 
 
@@ -139,8 +162,11 @@ def _minhash_oracle() -> str:
         for b in range(N_BANDS)
     )
     band_unnest = " UNION ALL ".join(
-        f"SELECT doc_id, shingles, {b} AS band_id, band{b} AS band_hash FROM banded"
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM banded"
         for b in range(N_BANDS)
+    )
+    n_match = " + ".join(
+        f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(N_PERM)
     )
     return f"""
     WITH sh AS (
@@ -148,29 +174,35 @@ def _minhash_oracle() -> str:
     ), hashed AS (
       SELECT doc_id, shingles, {hs} AS hs FROM sh
     ), sigs AS (
-      SELECT doc_id, shingles, {sig} FROM hashed
+      SELECT doc_id,
+             list_transform(hs, t -> t.h1 * {_MH_PRIME} + t.h2) AS vh,
+             {sig}
+      FROM hashed
     ), banded AS (
-      SELECT doc_id, shingles, {bands} FROM sigs
+      SELECT doc_id, {bands} FROM sigs
     ), bandrows AS (
       {band_unnest}
     ), capped AS (
-      SELECT doc_id, shingles, band_id, band_hash FROM (
+      SELECT doc_id, band_id, band_hash FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n
         FROM bandrows
       ) WHERE bucket_n <= {BUCKET_CAP}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.shingles AS sh_a, b.shingles AS sh_b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT p.doc_a, p.doc_b,
+        {n_match} AS n_match,
+        CAST(len(list_intersect(sa.vh, sb.vh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.vh, sb.vh))) AS jaccard
+      FROM pairs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id
     )
-    SELECT doc_a, doc_b,
-      CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-        / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
-    FROM cand
-    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-        / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.2
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE n_match >= {SIG_MIN_MATCH} AND jaccard >= 0.2
     """
 
 
@@ -180,16 +212,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay it exactly.
 
     Plan shape (the 100 TB story): one scan computes signatures; the
-    band explode is ×4; the self-join shuffles only
-    (band_id, band_hash, doc_id, shingles); exact jaccard runs on
-    candidates only. For a mostly-unique corpus candidates ≈ true
-    near-dups, so the verify stage is tiny. Skew guard: buckets
-    larger than BUCKET_CAP are dropped before the self-join (a
-    degenerate band bucket — e.g. empty docs — would otherwise be
-    quadratic); the window count shuffles on the same
-    (band_id, band_hash) key the join uses, so the guard costs no
-    extra repartitioning. The cap is mirrored in the oracle, so the
-    capped semantics are hash-verified.
+    band explode is ×4 over NARROW rows — the self-join and the
+    pair-distinct move only (band_id, band_hash, doc_id), never the
+    shingle arrays. Verification re-joins the signature table by
+    doc_id: first a 16-int signature-agreement prefilter
+    (n_match ≥ SIG_MIN_MATCH — a band collision guarantees 4, so
+    this demands agreement beyond the colliding band), then exact
+    jaccard on the survivors only. At corpus scale this is the
+    difference between shuffling text-sized arrays through a
+    self-join and shuffling three longs. Skew guard: buckets larger
+    than BUCKET_CAP are dropped before the self-join (a degenerate
+    band bucket — e.g. empty docs — would otherwise be quadratic);
+    the window count shuffles on the same (band_id, band_hash) key
+    the join uses, so the guard costs no extra repartitioning. Cap
+    and prefilter are both mirrored in the oracle, so the exact
+    semantics are hash-verified.
     """
     # Small single-file inputs arrive as ONE partition; the signature
     # stage is CPU-bound (16·|shingles| md5 per doc), so spread it
@@ -224,15 +261,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # persist the signature table: it feeds the banding AND both
+    # sides of the verify join; computed exactly once per document.
+    # ``vh`` re-bases each shingle's (h1, h2) pair as one long
+    # (injective: base-P digits), so the exact-jaccard verify
+    # intersects 8-byte ints — the original string shingles never
+    # leave the scan stage.
     sig = (
         d.withColumn("hs", hs)
         .withColumn("mhs", mhs)
-        .select("doc_id", "shingles", "mhs")
+        .select(
+            "doc_id",
+            F.transform(
+                "hs",
+                lambda t: t.getField("h1") * F.lit(P) + t.getField("h2"),
+            ).alias("vh"),
+            "mhs",
+        )
+        .persist()
     )
     rows_per_band = N_PERM // N_BANDS
+    # NARROW band rows: the self-join never carries shingle arrays
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -252,20 +303,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
     # skew guard: drop degenerate buckets before the self-join
-    banded = _cap_buckets(banded)
-
-    # the self-join would otherwise recompute the whole signature
-    # pipeline for BOTH sides — persist materializes it once. At
-    # cluster scale this is the standard cache-before-self-join; the
-    # persisted set is (doc_id, shingles, band) — small relative to
-    # the corpus text.
-    banded = banded.persist()
+    banded = _cap_buckets(banded).persist()
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -275,15 +319,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
-        .distinct()
+        .distinct()  # distinct over two longs, not two shingle arrays
+    )
+    # verify: re-join signatures by doc_id; 16-int agreement prefilter
+    # first, exact shingle jaccard only on survivors
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("vh").alias("sh_a"),
+        F.col("mhs").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("vh").alias("sh_b"),
+        F.col("mhs").alias("mh_b"),
+    )
+    n_match = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jaccard = (inter / union).alias("jaccard")
-    return cand.select("doc_a", "doc_b", jaccard).filter(F.col("jaccard") >= 0.2)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(n_match >= F.lit(SIG_MIN_MATCH))
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
 
 
 def _ngram_pairs_ctes() -> str:
@@ -294,7 +358,7 @@ def _ngram_pairs_ctes() -> str:
     return f"""
     sh AS (
       SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-             {_SHINGLES_SQL} AS shingles
+             {_SHINGLE_HASHES_SQL} AS shingles
       FROM documents
     ), sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY lang, len_bucket) AS block_n
@@ -346,7 +410,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
-            _shingles(F.col("text")).alias("shingles"),
+            _shingle_hashes(F.col("text")).alias("shingles"),
         )
     )
     d = _salt_blocks(d)
@@ -394,10 +458,21 @@ def _salt_blocks(d: DataFrame, cap: int = BLOCK_CAP) -> DataFrame:
     """Add a deterministic ``sub_id`` splitting each (lang, len_bucket)
     block into sub-blocks of ≤ cap docs: sub_id = doc_id % ceil(n/cap).
     Content-deterministic (no rand/monotonic id), so retries and the
-    oracle agree."""
-    w_blk = Window.partitionBy("lang", "len_bucket")
-    n_sub = F.ceil(F.count(F.lit(1)).over(w_blk) / F.lit(float(cap))).cast("long")
-    return d.withColumn("sub_id", F.col("doc_id") % n_sub)
+    oracle agree.
+
+    Block sizes come from a partial-aggregated groupBy broadcast back
+    onto the rows — NOT a window over the data: a window would
+    shuffle every (possibly wide) row on the block key, while the
+    groupBy's map-side combine shuffles one count per (block ×
+    partition) and the block table (|langs| × |length buckets|) is
+    trivially broadcastable at any corpus size."""
+    sizes = d.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("block_n"))
+    n_sub = F.ceil(F.col("block_n") / F.lit(float(cap))).cast("long")
+    return (
+        d.join(F.broadcast(sizes), ["lang", "len_bucket"])
+        .withColumn("sub_id", F.col("doc_id") % n_sub)
+        .drop("block_n")
+    )
 
 
 def _clusters_oracle() -> str:

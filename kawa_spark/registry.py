@@ -128,6 +128,7 @@ def load_all() -> None:
         ts_ops,
         extras,
         llm_corpus,
+        llm_quality,
     )
 
     missing = [k for k in DRIVER_WINDOW if k not in QUERIES]
