@@ -99,3 +99,51 @@ def test_audit_catches_row_udf(spark):
     slow = F.udf(lambda x: x + 1, LongType())
     df = table(spark, SF, "orders").select(slow(F.col("o_orderkey")))
     assert any("BatchEvalPython" in w for w in audit_plan(df))
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "quality_repetition",
+        "quality_gopher_filter",
+        "corpus_length_filter",
+        "tpch_q5_local_supplier",
+        "tpch_q14_promo_revenue",
+        "tpch_q18_large_volume",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+    ],
+)
+def test_r2_plans_clean(spark, key):
+    df = registry.QUERIES[key](spark, SF)
+    assert audit_plan(df) == []
+
+
+def test_gopher_filter_is_map_only(spark):
+    """Pure column expressions: one scan, zero exchanges."""
+    df = registry.QUERIES["quality_gopher_filter"](spark, SF)
+    assert shuffle_count(df) == 0, shuffle_count(df)
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """customer/supplier/nation/region all broadcast; the only
+    shuffled join is lineitem⋈orders."""
+    df = registry.QUERIES["tpch_q5_local_supplier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+
+
+def test_minhash_selfjoin_is_narrow(spark):
+    """The band self-join must not carry shingle/signature arrays:
+    no exchange row wider than (doc_id, band_id, band_hash)."""
+    from kawa_spark.queries import llm_dedup as m
+
+    df = registry.QUERIES["dedup_minhash"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pair-producing SMJ keys on (band_id, band_hash); assert the
+    # vh/mhs arrays are absent from every exchange feeding it
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        if "band_hash" in ex:
+            assert "vh" not in ex and "mhs" not in ex and "shingles" not in ex
