@@ -310,3 +310,54 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", containment.alias("containment_a_in_b"))
         .filter(F.col("containment_a_in_b") >= 0.25)
     )
+
+
+SEQ_CAPACITY = 2048  # tokens per packed training sequence
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+      (cum_tokens - n_tokens) // {SEQ_CAPACITY} AS seq_id,
+      (cum_tokens - n_tokens) % {SEQ_CAPACITY} AS seq_offset
+    FROM packed
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs are laid head-to-tail in
+    doc_id order within each language stream and cut into
+    SEQ_CAPACITY-token training sequences (seq_id, seq_offset) — the
+    standard "concat then chunk" packing used to build fixed-length
+    LM batches. One running-sum window per lang; all integer
+    arithmetic, so the assignment is oracle-exact. At 100 TB the
+    per-lang ordered window is the scale constraint: a dominant
+    language should be pre-split by a coarse doc_id range (the
+    running sum then needs one extra prefix-offset join per range —
+    the classic two-pass distributed prefix sum)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("doc_id", "lang", n_tokens)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / SEQ_CAPACITY).alias("seq_id"),
+        (start % SEQ_CAPACITY).alias("seq_offset"),
+    )

@@ -411,3 +411,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.9)
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+        i -> {'dim': i - 1,
+              'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)})) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.dim AS INT) AS dim,
+      CAST(CAST(SUM(u.qv) AS DOUBLE) / COUNT(*) / 1000000 AS DOUBLE)
+        AS centroid,
+      COUNT(*) AS n_vecs
+    FROM ex
+    GROUP BY label, u.dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, dimension-wise — the building block for
+    IVF cell training / cluster summaries. posexplode shards the
+    work by (label, dim): the shuffle key has |labels|×|dims|
+    cardinality, so a 10⁹-vector corpus still aggregates without any
+    hot key. Float sums are order-dependent, so each component is
+    quantized to exact micro-units (round half away from zero in
+    both engines) and summed as longs — the centroid hash-matches
+    the oracle bit-for-bit."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1000000)
+        )
+        .cast("double")
+        .alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

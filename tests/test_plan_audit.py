@@ -112,6 +112,8 @@ def test_audit_catches_row_udf(spark):
         "tpch_q18_large_volume",
         "dedup_minhash",
         "dedup_ngram_jaccard",
+        "corpus_pack_sequences",
+        "embedding_centroids",
     ],
 )
 def test_r2_plans_clean(spark, key):
