@@ -84,15 +84,58 @@ def stream_exec_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(dedup, spark)
 
 
-@register("stream_exec_running_total")
+@register(
+    "stream_exec_running_total",
+    oracle="""
+    SELECT
+      user_id, event_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total
+    FROM events
+    """,
+)
 def stream_exec_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState cumulative sums (streaming/stateful.py)."""
+    """applyInPandasWithState cumulative sums (streaming/stateful.py).
+    The state accumulates integer cents — the same exact arithmetic
+    as the oracle's DECIMAL(12,2) window sum — so the streaming
+    execution path is hash-checked, not just row-counted."""
     return _drain(running_total(stream_table(spark, sf_dir, "events")), spark)
 
 
-@register("stream_exec_session_totals")
+@register(
+    "stream_exec_session_totals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ), marks AS (
+      SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 1800 SECOND
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ), agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start, COUNT(*) AS n_events,
+             CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM sess GROUP BY 1, 2
+    ), last AS (
+      SELECT user_id, MAX(sid) AS max_sid FROM sess GROUP BY 1
+    )
+    SELECT a.user_id, a.session_start, a.n_events, a.total_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.max_sid
+    """,
+)
 def stream_exec_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful session aggregation (closed sessions)."""
+    """Custom stateful session aggregation. The oracle is the batch
+    gaps-and-islands twin restricted to CLOSED sessions (each user's
+    final session stays open in the state store — the bounded drain
+    never emits it, and the oracle's `sid < max_sid` mirrors that).
+    Cent-exact totals make the match a value hash, not rows-only."""
     return _drain(session_totals(stream_table(spark, sf_dir, "events")), spark)
 
 

@@ -49,13 +49,34 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_lateral")  # rows-only: UDTF execution path
+@register(
+    "udtf_lateral",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+      FROM d
+    )
+    SELECT doc_id, u.word, CAST(u.pos AS INT) AS pos,
+           len(u.word) > 6 AS is_long
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws)),
+                    i -> {'word': ws[i], 'pos': i - 1})) AS u
+      FROM toks
+    )
+    """,
+)
 def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4): one input row → N output rows with
     arbitrary Python logic, invoked via LATERAL join — the
     table-function face of kawa's 1→N Handler. (For pure splitting,
     explode() is the fast path — a UDTF earns its cost only when the
-    expansion logic is genuinely procedural.)"""
+    expansion logic is genuinely procedural.) The tokenizer's output
+    is deterministic (whitespace split + enumerate), so the UDTF
+    execution path itself is hash-checked against a pure-SQL twin."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="word string, pos int, is_long boolean")
@@ -65,8 +86,8 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield w, i, len(w) > 6
 
     spark.udtf.register("kawa_tokenize", Tokenize)
-    table(spark, sf_dir, "documents").select("doc_id", "text").limit(
-        200
+    table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
     ).createOrReplaceTempView("udtf_docs")
     return spark.sql(
         """

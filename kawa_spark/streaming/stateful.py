@@ -23,7 +23,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 RUNNING_TOTAL_SCHEMA = (
     "user_id long, event_id long, ts timestamp, running_total double"
 )
-_STATE_SCHEMA = "total double, n long"
+_STATE_SCHEMA = "total_cents long, n long"
 
 
 def running_total(events: DataFrame) -> DataFrame:
@@ -31,31 +31,38 @@ def running_total(events: DataFrame) -> DataFrame:
     the streaming twin of queries/events.py::stateful_running_total.
 
     Within a microbatch rows are ordered by (ts, event_id); the
-    carried state seeds the next batch, so the emitted totals equal
-    the batch window-cumsum modulo float (vs decimal) accumulation.
+    carried state seeds the next batch. The accumulator is integer
+    CENTS (value has 2 decimals), the same exact arithmetic as the
+    batch twin's DECIMAL(12,2) sum — so the emitted totals are
+    order-independent and hash-match the SQL window-cumsum oracle
+    exactly, not just approximately.
     """
 
     def fn(key, pdfs, state):
         import pandas as pd
 
-        total, _n = state.get if state.exists else (0.0, 0)
+        total_cents, _n = state.get if state.exists else (0, 0)
         outs = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            run = pdf["value"].cumsum() + total
-            total = float(run.iloc[-1]) if len(run) else total
+            cents = (pdf["value"] * 100).round().astype("int64")
+            run_cents = cents.cumsum() + total_cents
+            if len(run_cents):
+                total_cents = int(run_cents.iloc[-1])
             outs.append(
                 pd.DataFrame(
                     {
                         "user_id": pdf["user_id"],
                         "event_id": pdf["event_id"],
                         "ts": pdf["ts"],
-                        "running_total": run,
+                        "running_total": run_cents / 100.0,
                     }
                 )
             )
         n_out = sum(len(o) for o in outs)
-        state.update((total, (state.get[1] if state.exists else 0) + n_out))
+        state.update(
+            (total_cents, (state.get[1] if state.exists else 0) + n_out)
+        )
         yield from outs
 
     return (
@@ -74,7 +81,7 @@ def running_total(events: DataFrame) -> DataFrame:
 SESSION_AGG_SCHEMA = (
     "user_id long, session_start timestamp, n_events long, total_value double"
 )
-_SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+_SESSION_STATE_SCHEMA = "start long, last long, n long, total_cents long"
 
 
 def session_totals(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
@@ -84,30 +91,33 @@ def session_totals(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     express (e.g. value-dependent gaps). Emits a row per CLOSED
     session; the final open session per key stays in state (bounded
     drains surface it on the next batch or never — at-least-once
-    session emission, documented behavior)."""
+    session emission, documented behavior). Totals accumulate in
+    integer cents (exact, order-independent), so closed sessions
+    hash-match the batch gaps-and-islands oracle."""
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         US = 1_000_000
         if state.exists:
-            start, last, n, total = state.get
+            start, last, n, total_cents = state.get
         else:
             start = last = -1
-            n, total = 0, 0.0
+            n, total_cents = 0, 0
         closed = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = int(ts.value // 1000)  # pandas ns → µs
+                cents = int(round(float(val) * 100))
                 if start < 0:
-                    start, last, n, total = t, t, 1, float(val)
+                    start, last, n, total_cents = t, t, 1, cents
                 elif t - last >= gap_seconds * US:
-                    closed.append((key[0], start, n, total))
-                    start, last, n, total = t, t, 1, float(val)
+                    closed.append((key[0], start, n, total_cents / 100.0))
+                    start, last, n, total_cents = t, t, 1, cents
                 else:
-                    last, n, total = t, n + 1, total + float(val)
-        state.update((start, last, n, total))
+                    last, n, total_cents = t, n + 1, total_cents + cents
+        state.update((start, last, n, total_cents))
         if closed:
             out = pd.DataFrame(
                 closed, columns=["user_id", "session_start", "n_events", "total_value"]
