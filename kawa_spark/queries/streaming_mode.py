@@ -273,11 +273,21 @@ def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded microbatch of 1 M envelope rows through the streaming
     engine into a counting sink; returns a 1-row DataFrame with the
     count for the rows-check."""
+    from pyspark.sql import Observation
+
     from kawa_spark.envelope import normalize
     from kawa_spark.sources.file import RateSource
 
-    src = RateSource(total_rows=1_000_000, num_partitions=8)
+    # partitions = available cores: the reference pays no partitioning
+    # tax, so neither should the Spark twin
+    par = spark.sparkContext.defaultParallelism
+    src = RateSource(total_rows=1_000_000, num_partitions=par)
     env = normalize(src.read(spark), value="value", key="value", topic="bench")
-    env.write.format("noop").mode("overwrite").save()  # full materialization
-    n = env.count()
-    return spark.range(1).select(F.lit(n).alias("delivered"))
+    # observe() counts inside the SAME materialization the noop sink
+    # drives — one pass end-to-end, like the reference's counting sink
+    # (a separate .count() would re-execute the whole pipeline)
+    obs = Observation("passthrough")
+    env.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return spark.range(1).select(F.lit(obs.get["n"]).alias("delivered"))
