@@ -98,7 +98,12 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequencies (top 50): explode 2-gram
     shingles, count, top-k — the n-gram-LM statistics pass. Partial
     aggregation keeps the shuffle proportional to distinct bigrams."""
-    d = table(spark, sf_dir, "documents")
+    # single-file local input arrives as ONE partition; the explode +
+    # map-side partial agg are CPU-bound, so spread across cores first
+    # (a no-op cost at real scale where file splits provide this)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.split(F.lower(F.col("text")), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(words) - 1),
@@ -148,11 +153,21 @@ def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison boundary. Scale: df is the heavy aggregate —
     shuffle keyed on term with map-side partials; n_docs is a scalar
     (at scale a broadcast single-row join)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     terms = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the tf branch only surfaces doc_id < 50: push that filter below
+    # the aggregate (it commutes with the group key) so the per-doc
+    # term counting touches 50 docs, not the corpus. The df branch
+    # still sees every doc, as it must.
+    tf = (
+        terms.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
     idf_ratio = F.lit(float(n_docs)) / F.col("df")

@@ -81,7 +81,11 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     single most frequent word / bigram. Two explode → count → per-doc
     max pipelines; partial aggregation keeps the (doc_id, token)
     shuffle proportional to distinct tokens, not corpus bytes."""
-    d = table(spark, sf_dir, "documents")
+    # spread the single-file local scan before the CPU-bound explode
+    # stages (file splits provide this for free at real scale)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
 
     wc = (
