@@ -458,3 +458,134 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+K_CLUSTERS = 8
+
+
+def _d2_sql(a: str, c: str) -> str:
+    """Squared L2 distance as the same left fold both engines run."""
+    return f"""list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, {DIM}),
+          i -> (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))
+             * (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)))),
+      (acc, x) -> acc + x)"""
+
+
+def _kmeans_oracle() -> str:
+    d2_seed = _d2_sql("e.embedding", "s.emb")
+    d2_cent = _d2_sql("e.embedding", "c.emb")
+    return f"""
+    WITH seeds AS (
+      SELECT embedding AS emb,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings
+      QUALIFY cid < {K_CLUSTERS}
+    ), a1 AS (
+      SELECT e.vec_id, e.embedding, s.cid, {d2_seed} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2_seed}, s.cid) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    ), best1 AS (
+      SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1
+    ), ex1 AS (
+      SELECT cid, unnest(list_transform(generate_series(1, {DIM}),
+        i -> {{'dim': i,
+              'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)}})) AS u
+      FROM best1
+    ), cm AS (
+      SELECT cid, u.dim AS dim,
+             CAST(CAST(SUM(u.qv) AS DOUBLE) / COUNT(*) / 1000000 AS DOUBLE)
+               AS mv
+      FROM ex1 GROUP BY cid, u.dim
+    ), cent1 AS (
+      SELECT cid, list(mv ORDER BY dim) AS emb FROM cm GROUP BY cid
+    ), a2 AS (
+      SELECT e.vec_id, c.cid, {d2_cent} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2_cent}, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent1 c
+    )
+    SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM a2 WHERE rn = 1
+    """
+
+
+@register("kmeans_lloyd", oracle=_kmeans_oracle())
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round Lloyd's k-means over the embedding corpus —
+    the iterative-algorithm template: every round is
+    (broadcast centroids → argmin assign → quantized exact mean),
+    entirely DataFrame ops with the driver doing control flow only.
+
+    Determinism, the whole trick: seeds are the K vectors minimal in
+    md5(vec_id) order; distances are the identical left fold in both
+    engines; recomputed centroids are micro-unit-quantized exact
+    means (order-independent integer sums). So even this ITERATIVE
+    pipeline is value-hash-verified against DuckDB — rare for
+    clustering. Scale: assignment is a broadcast nested loop against
+    K=8 centroids (K rows — always broadcastable); the mean is the
+    (cluster, dim)-sharded aggregate from embedding_centroids."""
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    w_seed = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        e.select("vec_id", "embedding")
+        .withColumn("cid", F.row_number().over(w_seed) - 1)
+        .filter(F.col("cid") < K_CLUSTERS)
+        .select("cid", F.col("embedding").alias("emb"))
+    )
+
+    def d2(a: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a,
+                c,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = e.join(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            d2(F.col("embedding"), F.col("emb")).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    best1 = assign(seeds)
+    ex1 = best1.select(
+        "cid", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    cm = ex1.groupBy("cid", "dim").agg(
+        (F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1000000))
+        .cast("double")
+        .alias("mv")
+    )
+    cent1 = cm.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s.getField("mv"),
+        ).alias("emb")
+    )
+    return assign(cent1).select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("d2").alias("dist2"),
+    )

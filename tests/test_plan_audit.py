@@ -114,6 +114,7 @@ def test_audit_catches_row_udf(spark):
         "dedup_ngram_jaccard",
         "corpus_pack_sequences",
         "embedding_centroids",
+        "kmeans_lloyd",
     ],
 )
 def test_r2_plans_clean(spark, key):
