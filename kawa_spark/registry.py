@@ -125,6 +125,7 @@ def load_all() -> None:
         streaming_mode,
         stats,
         tpch,
+        tpch_full,
         ts_ops,
         extras,
         llm_corpus,

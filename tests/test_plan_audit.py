@@ -115,6 +115,22 @@ def test_audit_catches_row_udf(spark):
         "corpus_pack_sequences",
         "embedding_centroids",
         "kmeans_lloyd",
+        "tpch_q1_pricing_summary",
+        "tpch_q2_best_supplier",
+        "tpch_q4_priority_check",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_stock",
+        "tpch_q12_late_lines",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_relationship",
+        "tpch_q17_small_quantity",
+        "tpch_q19_discounted_revenue",
+        "tpch_q20_part_promotion",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales",
     ],
 )
 def test_r2_plans_clean(spark, key):
@@ -150,3 +166,24 @@ def test_minhash_selfjoin_is_narrow(spark):
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         if "band_hash" in ex:
             assert "vh" not in ex and "mhs" not in ex and "shingles" not in ex
+
+
+def test_tpch_q1_single_shuffle(spark):
+    """Q1 is scan → partial agg → one exchange → final agg."""
+    df = registry.QUERIES["tpch_q1_pricing_summary"](spark, SF)
+    assert shuffle_count(df) <= 1, shuffle_count(df)
+
+
+def test_q7_broadcasts_nation_twice(spark):
+    df = registry.QUERIES["tpch_q7_volume_shipping"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+
+
+def test_q19_part_filter_pushed(spark):
+    """The factored brand/size disjunction must reach the part scan."""
+    df = registry.QUERIES["tpch_q19_discounted_revenue"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    scans = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("Or(" in s or "In(" in s for s in scans), scans
