@@ -57,6 +57,15 @@ HEADLINE = [
     "corpus_bigrams",
     "dedup_clusters",
     "pipeline_dedup_corpus",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    "kmeans_lloyd",
+    "quality_gopher_filter",
+    "corpus_pack_sequences",
 ]
 
 

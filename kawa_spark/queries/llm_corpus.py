@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kawa_spark.io import table
+from kawa_spark.queries.llm_dedup import _SHINGLE_HASHES_SQL as _SHINGLE_HASHES_SQL_LOCAL
 from kawa_spark.registry import register
 
 
@@ -375,4 +376,146 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start / SEQ_CAPACITY).alias("seq_id"),
         (start % SEQ_CAPACITY).alias("seq_offset"),
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_HASHES_SQL_LOCAL} AS hs FROM documents
+    ), eval_set AS (
+      SELECT DISTINCT u.h
+      FROM (SELECT unnest(hs) AS h FROM sh WHERE doc_id % 29 = 0) u
+    ), corpus AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 29 <> 0
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM corpus c JOIN eval_set e ON c.h = e.h
+      GROUP BY c.doc_id
+    )
+    SELECT
+      s.doc_id,
+      len(s.hs) AS n_shingles,
+      COALESCE(h.n_overlap, 0) AS n_overlap,
+      CAST(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(s.hs) AS DOUBLE)
+        AS contamination,
+      COALESCE(h.n_overlap, 0) * 2 >= len(s.hs) AS contaminated
+    FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % 29 <> 0
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step that drops
+    documents overlapping an evaluation set. Eval set = doc_id % 29
+    == 0 (a deterministic stand-in for a real benchmark corpus);
+    overlap = shared distinct 3-word shingle hashes; a doc is
+    contaminated when ≥ half its shingles appear in the eval set.
+
+    Scale: the eval side is the SMALL side by construction
+    (benchmarks are MBs; corpora are TBs), so its distinct shingle
+    hashes broadcast and the corpus side never shuffles — one scan,
+    map-side join, per-doc aggregate keyed on doc_id. The
+    contamination ratio divides two exact ints, so the oracle
+    hash-matches. Threshold compare is int×2 vs int — no float
+    boundary."""
+    from kawa_spark.queries.llm_dedup import _shingle_hashes
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("hs")
+    )
+    is_eval = F.col("doc_id") % 29 == 0
+    eval_hashes = (
+        d.filter(is_eval)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corpus = d.filter(~is_eval)
+    hits = (
+        corpus.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(eval_hashes), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumnRenamed("doc_id", "h_doc_id")
+    )
+    return (
+        corpus.join(hits, F.col("doc_id") == F.col("h_doc_id"), "left_outer")
+        .select(
+            "doc_id",
+            F.size("hs").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.size("hs")
+            )
+            .cast("double")
+            .alias("contamination"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) * 2 >= F.size("hs")
+            ).alias("contaminated"),
+        )
+    )
+
+
+VOCAB_TOP = 500
+
+
+@register(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT word, COUNT(*) AS n
+      FROM words WHERE word <> ''
+      GROUP BY word
+    ), tot AS (
+      SELECT SUM(n) AS total FROM counts
+    ), ranked AS (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    )
+    SELECT word, n, rank,
+           CAST(CAST(cum AS DOUBLE) / total AS DOUBLE) AS coverage
+    FROM ranked, tot
+    WHERE rank <= {VOCAB_TOP}
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary: top words by frequency with the
+    cumulative corpus-coverage fraction a vocab of that size buys —
+    the curve that picks a BPE vocab size.
+
+    Scale: the word-count aggregate partial-aggregates map-side
+    (shuffle ∝ distinct words, not tokens). The ranked cumsum is a
+    global ordered window — fine here because it runs on the
+    COUNTED table (≤ a few million distinct words, not the corpus);
+    at 100 TB the count table still fits one executor, and if it
+    didn't, the two-pass range-partitioned prefix sum from
+    corpus_pack_sequences applies. Only the top rows are emitted;
+    cum/total is exact-int ÷ exact-int, one double division."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "word")
+    ranked = counts.select(
+        "word",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rank") <= VOCAB_TOP)
+    return ranked.join(F.broadcast(total), F.col("cum") <= F.col("total")).select(
+        "word",
+        "n",
+        "rank",
+        (F.col("cum").cast("double") / F.col("total")).cast("double").alias("coverage"),
     )
