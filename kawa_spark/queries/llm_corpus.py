@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kawa_spark.io import table
-from kawa_spark.queries.llm_dedup import _SHINGLE_HASHES_SQL as _SHINGLE_HASHES_SQL_LOCAL
+from kawa_spark.queries.llm_dedup import _SHINGLES_SQL as _SHINGLES_SQL_LOCAL
 from kawa_spark.registry import register
 
 
@@ -383,7 +383,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_decontaminate",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, {_SHINGLE_HASHES_SQL_LOCAL} AS hs FROM documents
+      SELECT doc_id, {_SHINGLES_SQL_LOCAL} AS hs FROM documents
     ), eval_set AS (
       SELECT DISTINCT u.h
       FROM (SELECT unnest(hs) AS h FROM sh WHERE doc_id % 29 = 0) u

@@ -119,21 +119,21 @@ _SHINGLES_SQL = """
 
 
 def _shingle_hashes(text_col: F.Column) -> F.Column:
-    """Distinct shingles as 60-bit md5-derived LONGS: set operations
+    """Distinct shingles as xxhash64 LONGS: set operations
     (intersect / distinct-union) compare and shuffle 8-byte ints
     instead of ~20-char strings — the arrays riding the block join
     shrink ~3× and the per-pair jaccard cost drops with them.
-    Deterministic and replayed bit-for-bit by the oracle twin."""
-    return F.transform(
-        _shingles(text_col),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
 
-
-_SHINGLE_HASHES_SQL = (
-    f"list_transform({_SHINGLES_SQL}, "
-    "s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)"
-)
+    xxhash64, not md5: the operators built on this (jaccard,
+    decontamination overlap) expose only SET-SIZE arithmetic, never
+    the hash values, so the oracle twins compute the same sizes on
+    the raw string shingles and any injective-in-practice hash
+    matches them. That frees the Spark side to use the native
+    codegen'd hash (~10× cheaper than md5 string + base conversion —
+    this stage is the dedup tier's CPU bill at 100 TB). Operators
+    whose CANDIDATE SET depends on hash values (minhash banding)
+    keep the md5 scheme so their oracles replay it exactly."""
+    return F.transform(_shingles(text_col), lambda s: F.xxhash64(s))
 
 
 _MH_PRIME = 1_000_000_007
@@ -358,7 +358,7 @@ def _ngram_pairs_ctes() -> str:
     return f"""
     sh AS (
       SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-             {_SHINGLE_HASHES_SQL} AS shingles
+             {_SHINGLES_SQL} AS shingles
       FROM documents
     ), sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY lang, len_bucket) AS block_n
@@ -370,13 +370,15 @@ def _ngram_pairs_ctes() -> str:
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) AS jaccard
       FROM sub a JOIN sub b
         ON a.lang = b.lang AND a.len_bucket = b.len_bucket
        AND a.sub_id = b.sub_id
        AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.15
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.15
     )"""
 
 
@@ -412,14 +414,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
             _shingle_hashes(F.col("text")).alias("shingles"),
         )
+        # persist BEFORE _salt_blocks: its block-size aggregate is a
+        # second consumer of this chain, and unpersisted it would
+        # rebuild scan+shingles for the broadcast side (measured ~2s
+        # of the operator's wall at sf0.1). The salted result then
+        # feeds both self-join sides from the same cache.
+        .persist()
     )
     d = _salt_blocks(d)
-    d = d.persist()  # self-join below — avoid rebuilding shingles twice
     a = d.alias("a")
     b = d.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-    union = F.size(F.array_distinct(F.concat("a.shingles", "b.shingles")))
-    jaccard = (inter / union).alias("jaccard")
+    # |A∪B| = |A| + |B| − |A∩B| (shingle arrays are distinct), so the
+    # per-pair cost is ONE hash-set intersect, not intersect + an even
+    # larger distinct-union build — measured ~2× on the pair stage,
+    # which is this operator's entire bill at scale.
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size("a.shingles") + F.size("b.shingles") - inter
+    jaccard = (inter.cast("double") / union).alias("jaccard")
     return (
         a.join(
             b,
