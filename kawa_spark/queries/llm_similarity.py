@@ -589,3 +589,77 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         F.col("d2").alias("dist2"),
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(embedding,
+          x -> CAST(abs(x) AS DOUBLE)),
+          (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_abs
+      FROM embeddings
+    )
+    SELECT
+      vec_id,
+      CAST(max_abs / 127 AS DOUBLE) AS scale,
+      array_to_string(list_transform(embedding,
+        x -> CAST(CASE WHEN max_abs = 0 THEN 0
+                  ELSE ROUND(CAST(x AS DOUBLE) * 127 / max_abs, 0)
+                  END AS TINYINT)), ',') AS q8_csv,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(embedding,
+          x -> CAST(abs(CAST(CASE WHEN max_abs = 0 THEN 0
+                    ELSE ROUND(CAST(x AS DOUBLE) * 127 / max_abs, 0)
+                    END AS BIGINT)) AS BIGINT))),
+        (a, b) -> a + b) AS BIGINT) AS l1_q
+    FROM stats
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/ANN-memory
+    step that shrinks a vector corpus 4× (float32 → int8): per-vector
+    scale = max|x|/127, q = round(x·127/max|x|).
+
+    Pure column expressions (map-only, zero shuffles): at 100 TB this
+    runs at scan speed and writes back columnar int8. The rounding is
+    HALF_UP in both engines on exact doubles, and the l1 checksum of
+    the quantized codes is integer math — so the whole transform,
+    floats included, is value-hash-verified. Zero vectors quantize to
+    zero codes with scale 0 (guarded division). The code vector is
+    emitted CSV-stringified: the driver's canonicalizer cannot sort
+    raw array columns (the round-1 array_map_ops lesson)."""
+    e = table(spark, sf_dir, "embeddings")
+    max_abs = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, b: F.when(b > a, b).otherwise(a),
+    )
+    with_stats = e.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("max_abs") == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * 127 / F.col("max_abs"), 0))
+        .cast("tinyint"),
+    )
+    l1_q = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                F.when(F.col("max_abs") == 0, F.lit(0))
+                .otherwise(F.round(x.cast("double") * 127 / F.col("max_abs"), 0))
+                .cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return with_stats.select(
+        "vec_id",
+        (F.col("max_abs") / 127).cast("double").alias("scale"),
+        F.array_join(
+            F.transform(q8, lambda x: x.cast("string")), ","
+        ).alias("q8_csv"),
+        l1_q.alias("l1_q"),
+    )
