@@ -168,3 +168,71 @@ def stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(dec("value")).over(w).cast("double").alias("running_total"),
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "events_sessionize_batch",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS new_session
+      FROM t
+    ), sessions AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap — the lag→flag→running-
+    sum→aggregate idiom (the batch twin of session_window, which
+    covers the streaming side in stream_session). All timestamps as
+    integer epoch-micros, so every boundary compare and the duration
+    arithmetic are exact in both engines.
+
+    Scale: both windows and the final aggregate partition on user_id —
+    ONE shuffle total, state bounded per user. This is the shape that
+    replaces per-event stateful code for offline session builds."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )

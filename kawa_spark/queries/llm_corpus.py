@@ -519,3 +519,71 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         (F.col("cum").cast("double") / F.col("total")).cast("double").alias("coverage"),
     )
+
+
+MIX_TOTAL = 200
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             (CAST(substring(source, 4) AS INT) % 3) + 1 AS wt,
+             COUNT(*) AS n_avail
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(wt) AS sum_wt FROM w
+    ), quota AS (
+      SELECT source, wt, n_avail,
+             LEAST(n_avail, ({MIX_TOTAL} * wt) // sum_wt) AS q
+      FROM w, tot
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix#' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, r.rn, q.wt, q.q AS quota
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rn <= q.q
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: each domain (source) gets an
+    integer quota ∝ its mixture weight (here a deterministic
+    weight-of-source stand-in), capped by availability, filled with
+    the domain's hash-first documents — the domain-reweighting step
+    of a training-data build (upsample code, downsample crawl).
+
+    All-integer quota arithmetic (floor division against Σweights) —
+    no float boundary anywhere, so the exact sample is hash-verified.
+    Scale: weights/quotas live in a tiny per-domain table (broadcast);
+    the corpus needs one hash-ranked window per domain — a single
+    shuffle on source; a dominant domain's window is the same
+    per-stratum-cap pattern as corpus_stratified_sample and shares
+    its mitigation (coarse pre-split by doc_id range)."""
+    d = table(spark, sf_dir, "documents")
+    wt = (F.substring("source", 4, 10).cast("int") % 3) + 1
+    w = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_avail")
+    ).withColumn("wt", wt)
+    tot = w.agg(F.sum("wt").alias("sum_wt"))
+    quota = w.join(F.broadcast(tot), F.lit(True)).select(
+        F.col("source").alias("q_source"),
+        "wt",
+        F.least(
+            F.col("n_avail"),
+            F.floor(F.lit(MIX_TOTAL) * F.col("wt") / F.col("sum_wt")),
+        ).alias("quota"),
+    )
+    h = F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    win = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    ranked = d.select("doc_id", "source", F.row_number().over(win).alias("rn"))
+    return ranked.join(
+        F.broadcast(quota), F.col("source") == F.col("q_source")
+    ).filter(F.col("rn") <= F.col("quota")).select(
+        "doc_id", "source", "rn", "wt", "quota"
+    )
