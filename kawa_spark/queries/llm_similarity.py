@@ -531,12 +531,23 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    w_seed = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    seeds = (
-        e.select("vec_id", "embedding")
-        .withColumn("cid", F.row_number().over(w_seed) - 1)
-        .filter(F.col("cid") < K_CLUSTERS)
-        .select("cid", F.col("embedding").alias("emb"))
+    # seed pick = global top-K by hash: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition heaps, driver merges K
+    # rows) — NOT a full-corpus single-partition sort window. The
+    # row_number that assigns cids then runs over K rows only.
+    topk = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(K_CLUSTERS)
+    )
+    w_seed = Window.orderBy("h", "vec_id")
+    seeds = topk.select(
+        (F.row_number().over(w_seed) - 1).alias("cid"),
+        F.col("embedding").alias("emb"),
     )
 
     def d2(a: Column, c: Column) -> Column:
@@ -552,15 +563,26 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def assign(cents: DataFrame) -> DataFrame:
+        # argmin as a lexicographic struct-min hash aggregate, NOT a
+        # row_number sort window: same result ((d2, cid) is unique per
+        # vec_id, so the tie-break matches the oracle's ORDER BY d2,
+        # cid), but partial-aggregates map-side and never sorts — at
+        # corpus scale the per-round cost drops from a K·N sort to a
+        # K·N scan + N-row combine. The embedding rides the struct
+        # (never compared: d2/cid decide first) for the mean stage.
         scored = e.join(F.broadcast(cents)).select(
             "vec_id",
             "embedding",
             "cid",
             d2(F.col("embedding"), F.col("emb")).alias("d2"),
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        return scored.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cid", "embedding")).alias("b")
+        ).select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d2").alias("d2"),
+            F.col("b.embedding").alias("embedding"),
         )
 
     best1 = assign(seeds)
