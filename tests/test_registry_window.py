@@ -49,3 +49,24 @@ def test_window_keys_are_oracle_backed_or_allowlisted():
 def test_every_key_still_registered_once():
     assert len(registry.QUERIES) >= 100
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_oracle_outputs_are_driver_canonicalizable(spark):
+    """The driver canonicalizes hash-checked results via pandas
+    sort_values, which dies on array/map/struct cells (round 1's
+    array_map_ops failure). Every oracle-backed query must therefore
+    emit scalar columns only — complex values go out stringified
+    (array_join / to_json), as embedding_quantize does."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for key in registry.ORACLES:
+        df = registry.QUERIES[key](spark, "/root/testdata/sf0.001")
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[key] = complex_cols
+    assert not offenders, offenders
