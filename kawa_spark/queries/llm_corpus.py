@@ -232,7 +232,7 @@ DF_CAP = 100  # max document frequency for an inverted-index shingle
                AS shingles
       FROM documents
     ), posting AS (
-      SELECT doc_id, md5(s) AS sh FROM (
+      SELECT doc_id, s AS sh FROM (
         SELECT doc_id, unnest(shingles) AS s FROM sh
       )
     ), capped AS (
@@ -284,8 +284,13 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", _shingles(F.col("text")).alias("shingles"))
         .persist()
     )
+    # posting key = xxhash64 of the shingle (8-byte join/shuffle key),
+    # NOT md5: the output exposes only containment ratios (set sizes),
+    # so the oracle indexes the raw string shingles and any
+    # injective-in-practice hash yields the same candidates — the
+    # hash-function policy from llm_dedup._shingle_hashes.
     posting = d.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.md5("s").alias("sh")
+        "doc_id", F.xxhash64("s").alias("sh")
     )
     # document-frequency cap: the window count shuffles on the same
     # key the index self-join uses, so the guard adds no extra
