@@ -261,7 +261,9 @@ def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         checkpoint=f"{base}/cp",
         available_now=True,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("incremental rollup drain did not finish within 300s")
     return read_rollup(spark, f"{base}/table")
 
 
