@@ -96,12 +96,20 @@ def main() -> None:
 
     # noop sink: full distributed execution without billing the
     # driver-side row serialization of collect() to the query.
+    # Per-query time = min over REPS runs: shared-host noise (CPU
+    # steal, cache eviction) only ever ADDS time, so the minimum is
+    # the query's achievable cost — single runs varied up to ±60%
+    # on this box while per-query minima stayed within a few percent.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for key in HEADLINE:
-        fn = registry.QUERIES[key]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+    for r in range(reps):
+        for key in HEADLINE:
+            fn = registry.QUERIES[key]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if r == 0 or dt < timings[key]:
+                timings[key] = dt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
             }
         )
     )
