@@ -513,6 +513,94 @@ def _kmeans_oracle() -> str:
     """
 
 
+def _d2_col(a: Column, c: Column) -> Column:
+    """Squared L2 distance — the Column twin of ``_d2_sql``."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            c,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin-d2 centroid assignment as a lexicographic struct-min
+    hash aggregate, NOT a row_number sort window: same result
+    ((d2, cid) is unique per vec_id, so the tie-break matches the
+    oracle's ORDER BY d2, cid), but partial-aggregates map-side and
+    never sorts — at corpus scale the cost is a K·N scan + N-row
+    combine instead of a K·N sort. The embedding rides the struct
+    (never compared: d2/cid decide first) for downstream stages."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _d2_col(F.col("embedding"), F.col("emb")).alias("d2"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid", "embedding")).alias("b")
+    ).select(
+        "vec_id",
+        F.col("b.cid").alias("cid"),
+        F.col("b.d2").alias("d2"),
+        F.col("b.embedding").alias("embedding"),
+    )
+
+
+def _lloyd_seeds(e: DataFrame) -> DataFrame:
+    """The K seed vectors minimal in md5(vec_id) order.
+
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    heaps, driver merges K rows) — NOT a full-corpus single-partition
+    sort window. The row_number that assigns cids then runs over K
+    rows only."""
+    topk = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(K_CLUSTERS)
+    )
+    w_seed = Window.orderBy("h", "vec_id")
+    return topk.select(
+        (F.row_number().over(w_seed) - 1).alias("cid"),
+        F.col("embedding").alias("emb"),
+    )
+
+
+def _lloyd_cent1(e: DataFrame) -> DataFrame:
+    """One Lloyd's round: seed-assign the corpus, then the quantized
+    exact mean per cluster → (cid, emb). Micro-unit integer sums make
+    the mean order-independent, so DuckDB replays it bit-for-bit."""
+    best1 = _lloyd_assign(e, _lloyd_seeds(e))
+    ex1 = best1.select(
+        "cid", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "cid",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    cm = ex1.groupBy("cid", "dim").agg(
+        (F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1000000))
+        .cast("double")
+        .alias("mv")
+    )
+    return cm.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s.getField("mv"),
+        ).alias("emb")
+    )
+
+
 @register("kmeans_lloyd", oracle=_kmeans_oracle())
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-round Lloyd's k-means over the embedding corpus —
@@ -531,85 +619,133 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    # seed pick = global top-K by hash: orderBy+limit compiles to
-    # TakeOrderedAndProject (per-partition heaps, driver merges K
-    # rows) — NOT a full-corpus single-partition sort window. The
-    # row_number that assigns cids then runs over K rows only.
-    topk = (
-        e.select(
-            "vec_id",
-            "embedding",
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(K_CLUSTERS)
-    )
-    w_seed = Window.orderBy("h", "vec_id")
-    seeds = topk.select(
-        (F.row_number().over(w_seed) - 1).alias("cid"),
-        F.col("embedding").alias("emb"),
-    )
-
-    def d2(a: Column, c: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                a,
-                c,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        # argmin as a lexicographic struct-min hash aggregate, NOT a
-        # row_number sort window: same result ((d2, cid) is unique per
-        # vec_id, so the tie-break matches the oracle's ORDER BY d2,
-        # cid), but partial-aggregates map-side and never sorts — at
-        # corpus scale the per-round cost drops from a K·N sort to a
-        # K·N scan + N-row combine. The embedding rides the struct
-        # (never compared: d2/cid decide first) for the mean stage.
-        scored = e.join(F.broadcast(cents)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            d2(F.col("embedding"), F.col("emb")).alias("d2"),
-        )
-        return scored.groupBy("vec_id").agg(
-            F.min(F.struct("d2", "cid", "embedding")).alias("b")
-        ).select(
-            "vec_id",
-            F.col("b.cid").alias("cid"),
-            F.col("b.d2").alias("d2"),
-            F.col("b.embedding").alias("embedding"),
-        )
-
-    best1 = assign(seeds)
-    ex1 = best1.select(
-        "cid", F.posexplode("embedding").alias("dim0", "v")
-    ).select(
-        "cid",
-        (F.col("dim0") + 1).alias("dim"),
-        F.round(F.col("v").cast("double") * 1000000, 0)
-        .cast("long")
-        .alias("qv"),
-    )
-    cm = ex1.groupBy("cid", "dim").agg(
-        (F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1000000))
-        .cast("double")
-        .alias("mv")
-    )
-    cent1 = cm.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-            lambda s: s.getField("mv"),
-        ).alias("emb")
-    )
-    return assign(cent1).select(
+    return _lloyd_assign(e, _lloyd_cent1(e)).select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
         F.col("d2").alias("dist2"),
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    """DuckDB replay of the trained-IVF pipeline: the kmeans CTE chain
+    (seeds → assign → quantized mean → cent1) verbatim from
+    ``_kmeans_oracle``, then L2 cell assignment / nprobe=2 probe /
+    exact cosine rerank. Every stage deterministic, so the float
+    scores hash-match bit-for-bit."""
+    d2_seed = _d2_sql("e.embedding", "s.emb")
+    d2_cent = _d2_sql("e.embedding", "c.emb")
+    d2_q = _d2_sql("q.embedding", "c.emb")
+    cos = _cos_sql("q_emb", "embedding")
+    return f"""
+    WITH seeds AS (
+      SELECT embedding AS emb,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings
+      QUALIFY cid < {K_CLUSTERS}
+    ), a1 AS (
+      SELECT e.vec_id, e.embedding, s.cid, {d2_seed} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {d2_seed}, s.cid) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    ), best1 AS (
+      SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1
+    ), ex1 AS (
+      SELECT cid, unnest(list_transform(generate_series(1, {DIM}),
+        i -> {{'dim': i,
+              'qv': CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)}})) AS u
+      FROM best1
+    ), cm AS (
+      SELECT cid, u.dim AS dim,
+             CAST(CAST(SUM(u.qv) AS DOUBLE) / COUNT(*) / 1000000 AS DOUBLE)
+               AS mv
+      FROM ex1 GROUP BY cid, u.dim
+    ), cent1 AS (
+      SELECT cid, list(mv ORDER BY dim) AS emb FROM cm GROUP BY cid
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2_cent}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent1 c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT q_id, q_emb, cid FROM (
+        SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d2_q}, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent1 c
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.q_id, p.q_emb, a.vec_id AS n_id, a.embedding
+      FROM probes p JOIN assigned a
+        ON a.cid = p.cid AND a.vec_id <> p.q_id
+    ), ranked AS (
+      SELECT q_id, n_id, {cos} AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY {cos} DESC, n_id
+             ) AS rnk
+      FROM cand
+    )
+    SELECT q_id, n_id, score, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register("similarity_ivf_kmeans", oracle=_ivf_kmeans_oracle())
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse quantizer: the cells are Lloyd's
+    centroids (one quantized-exact round, shared with kmeans_lloyd)
+    instead of similarity_ivf's sampled stand-ins — the real
+    train/assign/probe/rerank pipeline, still value-hash-verified.
+
+    Plan shape (the 100 TB story): cell count K is tiny by
+    construction, so BOTH joins stay broadcast — centroids broadcast
+    for assignment (K rows against the corpus scan, struct-min
+    argmin, no sort), and the PROBES side broadcast for candidate
+    selection (|Q|·nprobe rows), so the corpus is scanned, never
+    shuffled on the K-value cell id (8 distinct keys would be a
+    hot-key shuffle). A production build would persist `assigned`
+    partitioned/clustered BY cell id so a probe is a partition-pruned
+    read of nprobe/K of the data; here the train+search pipeline runs
+    end-to-end in one plan. Rerank is exact cosine on probed cells
+    only (~nprobe/K of the corpus per query)."""
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cents = _lloyd_cent1(e)
+    assigned = _lloyd_assign(e, cents)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe: 2 nearest cells per query — the window runs over K=8
+    # broadcast-joined rows per query, not corpus data
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("qd2").asc(), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "cid",
+            _d2_col(F.col("q_emb"), F.col("emb")).alias("qd2"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "q_emb", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+        .select("q_id", "n_id", "score", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
     )
 
 

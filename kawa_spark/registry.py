@@ -48,11 +48,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rows-only keys that now carry oracles). tests/test_registry_window.py
 # pins this list against accidental registration-order drift.
 # ROUND-3 ROTATION NOTE: the r2 additions registered AFTER this
-# window (all 16 tpch_full keys, kmeans_lloyd, corpus_decontaminate,
-# corpus_vocab_coverage, embedding_quantize, events_sessionize_batch,
-# corpus_mixture_sample) have no driver-side evidence yet — next
-# round, swap them into the window in place of keys that will then
-# hold green CORRECTNESS_r02 entries.
+# window (all 16 tpch_full keys, kmeans_lloyd, similarity_ivf_kmeans,
+# corpus_decontaminate, corpus_vocab_coverage, embedding_quantize,
+# events_sessionize_batch, corpus_mixture_sample) have no driver-side
+# evidence yet — next round, swap them into the window in place of
+# keys that will then hold green CORRECTNESS_r02 entries.
 DRIVER_WINDOW: list[str] = [
     # round-1 red/weak rows, re-verified this round
     "array_map_ops",
