@@ -64,6 +64,7 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
     "kmeans_lloyd",
+    "similarity_ivf_kmeans",
     "quality_gopher_filter",
     "corpus_pack_sequences",
 ]
