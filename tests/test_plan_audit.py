@@ -187,3 +187,18 @@ def test_q19_part_filter_pushed(spark):
     import re as _re
     scans = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("Or(" in s or "In(" in s for s in scans), scans
+
+
+def test_ivf_kmeans_search_is_broadcast_only(spark):
+    """The trained-IVF search path must never shuffle the corpus on
+    the K-value cell id (8 distinct keys = hot-key shuffle): both the
+    centroid assignment and the probe→candidate join broadcast their
+    small side, and the plan is clean of the generic antipatterns."""
+    df = registry.QUERIES["similarity_ivf_kmeans"](spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # every join is broadcast — no shuffled join anywhere (the only
+    # cid-keyed exchange allowed is the training mean's K×DIM-row agg)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
