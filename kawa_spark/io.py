@@ -29,24 +29,44 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-timezone TIMESTAMP.
+
+    The driver has shipped events.ts in three physical encodings across
+    testdata regenerations; every downstream event-time op (withWatermark,
+    RANGE frames, unix_micros) requires plain TIMESTAMP, so normalize all
+    of them here — the single choke point every reader goes through:
+
+    - parquet TIMESTAMP(NANOS): read as bigint via the legacy
+      ``nanosAsLong`` conf, truncate ns→µs (DuckDB semantics).
+    - untimezoned ``timestamp[us]``: Spark 4 infers TIMESTAMP_NTZ; cast to
+      TIMESTAMP. Session timezone is pinned UTC (session.py), so the cast
+      reinterprets identical micros — lossless and oracle-neutral.
+    - timezoned ``timestamp[us, tz=UTC]``: already TIMESTAMP; no-op.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read it as a raw long (legacy flag — set here
-        # too in case the driver built its own session) and truncate to
-        # microseconds, matching DuckDB's ns→µs truncation semantics.
+        # Legacy flag for the nanos-era encoding; harmless otherwise.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # static conf on some builds; session default covers it
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -81,8 +101,6 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     raw_schema = spark.read.parquet(stage).schema
     df = spark.readStream.schema(raw_schema).parquet(stage)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _normalize_ts(df)
     return df

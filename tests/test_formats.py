@@ -37,6 +37,54 @@ def test_roundtrip(spark, tmp_path, fmt):
     assert tuple(a) == tuple(b)
 
 
+@pytest.mark.parametrize("encoding", ["timestamp_utc", "timestamp_ntz", "nanos_bigint"])
+def test_events_ts_normalization(spark, tmp_path, encoding):
+    """``table()`` must normalize every ts encoding the driver has ever
+    shipped (tz-aware µs, untimezoned µs → NTZ, legacy nanos-as-bigint)
+    to plain TIMESTAMP with identical micros — so the next silent
+    testdata regeneration can't break event-time ops again."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kawa_spark.io import table as load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789 // 1000 * 1000]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }
+    if encoding == "timestamp_utc":
+        ts = pa.array(micros, pa.timestamp("us", tz="UTC"))
+    elif encoding == "timestamp_ntz":
+        ts = pa.array(micros, pa.timestamp("us"))
+    else:
+        ts = pa.array([m * 1000 for m in micros], pa.int64())
+    tbl = pa.table({"event_id": base["event_id"], "ts": ts, **{
+        k: v for k, v in base.items() if k != "event_id"
+    }})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "events.parquet"))
+
+    df = load_table(spark, str(sf), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        r[0] for r in df.select(F.unix_micros("ts").alias("us")).collect()
+    )
+    assert got == micros
+    # and the event-time contract downstream ops rely on actually holds
+    vals = sorted(
+        r[0]
+        for r in df.select(F.col("ts").cast("timestamp").alias("t")).collect()
+    )
+    assert all(isinstance(v, datetime.datetime) for v in vals)
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Hive-style dt/hr partitioning from FileSink must show up as
     PartitionFilters (not a full scan + post-filter) when read back."""
