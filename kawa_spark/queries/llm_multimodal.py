@@ -76,7 +76,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode")  # rows-only: stub decoder, no SQL twin
+@register(
+    "multimodal_decode",
+    # The stub decoder is deterministic byte math over ASCII payloads
+    # (byte n == codepoint n, like multimodal_meta), so the full decode
+    # output — including the mean-byte "pixel statistic" — has an exact
+    # SQL twin: integer byte sums are exact in float64, so the single
+    # final division lands on the identical IEEE double in both engines.
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(64 + unicode(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+      CAST(64 + unicode(text[-1]) % 64 AS INTEGER) AS height,
+      'RGB' AS mode,
+      list_sum([unicode(c) for c in string_split(text, '')])::DOUBLE
+        / strlen(text) AS mean_byte
+    FROM documents
+    WHERE strlen(text) > 0
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode via mapInPandas: binary in → feature
     struct out. The batch shape (iterator of pandas DataFrames) and
@@ -114,7 +132,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode, schema=schema)
 
 
-@register("multimodal_audio_features")  # rows-only: stub DSP over binary
+@register(
+    "multimodal_audio_features",
+    # Exact SQL twin of the stub DSP: squares of centered uint8 samples
+    # are integers ≤ 128², window sums stay < 2^24 — exact in float64
+    # under ANY summation order, so numpy's pairwise sum and DuckDB's
+    # sequential sum agree bit-for-bit; sqrt and the one division are
+    # both correctly rounded. Sign changes mirror np.signbit diffs
+    # (s == 0.0 is positive-signbit on both sides).
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, strlen(text))) AS i
+      FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, i,
+             unicode(substring(text, CAST(i AS INTEGER), 1)) - 128.0 AS s
+      FROM idx
+    ),
+    w AS (
+      SELECT doc_id, CAST((i - 1) // 1024 AS INTEGER) AS window_no, s,
+             lag(s) OVER (
+               PARTITION BY doc_id, (i - 1) // 1024 ORDER BY i
+             ) AS prev
+      FROM chars
+    )
+    SELECT doc_id, window_no,
+      sqrt(sum(s * s) / count(*)) AS rms,
+      CAST(
+        count(*) FILTER (WHERE prev IS NOT NULL AND (s < 0) != (prev < 0))
+        AS INTEGER
+      ) AS sign_changes
+    FROM w
+    GROUP BY doc_id, window_no
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction plumbing: binary payload → fixed-size
     window features (RMS energy, zero-crossing-ish rate) via numpy
@@ -149,17 +202,42 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(features, schema=schema)
 
 
-@register("multimodal_frames")  # rows-only: 1→N fan-out via mapInPandas
+@register(
+    "multimodal_frames",
+    # Each frame row is summarized by exact integer stats of its byte
+    # slice (ASCII ⇒ byte == codepoint), so the 1→N fan-out has an
+    # exact char-explode SQL twin.
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, strlen(text))) AS i
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST((i - 1) // 256 AS INTEGER) AS frame_no,
+             unicode(substring(text, CAST(i AS INTEGER), 1)) AS b
+      FROM idx
+    )
+    SELECT doc_id, frame_no,
+      CAST(count(*) AS INTEGER) AS frame_len,
+      CAST(sum(b) AS BIGINT) AS frame_byte_sum
+    FROM f
+    GROUP BY doc_id, frame_no
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each binary expands to ceil(n_bytes/256) frame
     rows (stand-in for video frame extraction). Fan-out happens inside
     the Arrow batch — output rows stream out per partition, nothing
-    accumulates on the driver."""
+    accumulates on the driver. The binary slice itself stays inside the
+    UDF; each emitted row carries exact integer stats of its frame so
+    the fan-out is value-checkable cross-engine (raw BLOB columns
+    canonicalize differently between engines)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
-    schema = "doc_id long, frame_no int, frame_bytes binary, frame_len int"
+    schema = "doc_id long, frame_no int, frame_len int, frame_byte_sum long"
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk = 256
@@ -167,16 +245,16 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             out: dict[str, list] = {
                 "doc_id": [],
                 "frame_no": [],
-                "frame_bytes": [],
                 "frame_len": [],
+                "frame_byte_sum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 for i in range(0, len(payload), chunk):
                     frame = payload[i : i + chunk]
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(i // chunk)
-                    out["frame_bytes"].append(frame)
                     out["frame_len"].append(len(frame))
+                    out["frame_byte_sum"].append(sum(frame))
             yield pd.DataFrame(out)
 
     return d.mapInPandas(sample_frames, schema=schema)

@@ -303,13 +303,43 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketch values are engine-specific
+@register(
+    "agg_approx_distinct",
+    # HLL sketch values are engine-specific; the driver-checkable
+    # contract is the exact cardinality plus a boolean asserting the
+    # sketch landed within 3·rsd of it (rsd=0.02 ⇒ ±6%, a 3-sigma
+    # bound HLL++ satisfies with overwhelming probability). The oracle
+    # recomputes the exact side and expects true.
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS n_customers_exact,
+      true AS approx_within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct = HyperLogLog++: the 100 TB path for
-    cardinality (fixed-size sketch, no distinct expansion shuffle)."""
+    cardinality (fixed-size sketch, no distinct expansion shuffle).
+    The exact count rides along only to make the sketch verifiable;
+    production callers use the sketch column alone."""
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_customers_exact"))
+                / F.col("n_customers_exact")
+                <= 0.06
+            ).alias("approx_within_tol"),
+        )
     )
 
 

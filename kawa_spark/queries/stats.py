@@ -157,11 +157,74 @@ def percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_approx")  # rows-only: sketch values are engine-specific
+@register(
+    "percentile_approx",
+    # Sketch values are engine-specific, so the driver-checkable contract
+    # is: (a) the exact discrete median (deterministic, cross-engine) and
+    # (b) a boolean asserting Spark's own approx landed within rank
+    # tolerance of its own data. The oracle recomputes (a) and expects
+    # (b) true — the sketch is verified without hashing sketch internals.
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_disc(l_extendedprice, 0.5) AS median_price_exact,
+      true AS approx_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx")
+    """Approximate percentile (GK sketch, accuracy=1000 ⇒ rank error
+    ≤ n/1000). Verification: the fraction of values ≤ the approx median
+    must sit in [0.49, 0.51] — a 10× margin over the sketch's guarantee,
+    robust to ties. The exact median rides along rank-based (same
+    machinery as percentile_disc, which matches DuckDB quantile_disc).
+
+    Scale shape: sketch agg + rank window + one broadcast join of the
+    5-row approx table back onto lineitem — no all-pairs, no collect."""
+    from pyspark.sql.window import Window
+
+    l = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wg = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") - 1) * 0.5) + 1,
+                F.col("l_extendedprice"),
+            )
+        ).alias("median_price_exact")
+    )
+    ap = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    frac = (
+        l.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= F.col("approx"), 1
+                    ).otherwise(0)
+                )
+                / F.first("n")
+            ).alias("frac_le")
+        )
+    )
+    return exact.join(frac, "l_returnflag").select(
+        "l_returnflag",
+        "median_price_exact",
+        ((F.col("frac_le") >= 0.49) & (F.col("frac_le") <= 0.51)).alias(
+            "approx_within_tol"
+        ),
     )
 
 

@@ -267,7 +267,13 @@ def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     return read_rollup(spark, f"{base}/table")
 
 
-@register("stream_passthrough")
+@register(
+    "stream_passthrough",
+    # The delivered-count is the whole contract (the reference's bench
+    # asserts all N messages arrive): a constant oracle makes the driver
+    # verify exact 1,000,000-row delivery, not just "some rows came out".
+    oracle="SELECT CAST(1000000 AS BIGINT) AS delivered",
+)
 def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline bench shape: N messages through a
     source→identity→sink pipeline (/root/reference/test/stream_test.go:29-41,

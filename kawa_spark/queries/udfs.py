@@ -103,7 +103,9 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n_events,
-      SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the
+      -- driver canonicalizer stringifies differently from Spark's long
+      CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       MIN(user_id) AS min_user
     FROM events
     GROUP BY event_type

@@ -41,77 +41,80 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # only (measured round 1: CORRECTNESS_r01.json == the first 50 keys
 # of registration order). Rounds therefore ROTATE which keys occupy
 # the window: round 1 verified the relational/join/window/stream/
-# dedup/similarity/text tier; round 2's window (below) holds the 50
-# keys with no round-1 driver evidence — the tpch/udf/stats/extras/
-# corpus tier — plus the four round-1 non-green rows (array_map_ops,
-# which failed driver canonicalization, and the three formerly
-# rows-only keys that now carry oracles). tests/test_registry_window.py
-# pins this list against accidental registration-order drift.
-# ROUND-3 ROTATION NOTE: the r2 additions registered AFTER this
-# window (all 16 tpch_full keys, kmeans_lloyd, similarity_ivf_kmeans,
-# corpus_decontaminate, corpus_vocab_coverage, embedding_quantize,
-# events_sessionize_batch, corpus_mixture_sample) have no driver-side
-# evidence yet — next round, swap them into the window in place of
-# keys that will then hold green CORRECTNESS_r02 entries.
+# dedup/similarity/text tier; round 2 verified the tpch(6)/udf/stats/
+# extras/corpus tier; round 4's window (below) holds the 35 keys that
+# have never had driver evidence (the full tpch_full suite, the
+# kmeans/IVF-trained tier, the quality/corpus-prep tier, the
+# embedding aggregation tier, sessionization, multimodal, and the
+# passthrough bench shape — the last four carry new oracles this
+# round), plus the three formerly-red keys whose oracles were fixed
+# this round (udf_grouped_agg HUGEINT cast; percentile_approx and
+# agg_approx_distinct via the exact-value + approx_within_tol
+# pattern), padded to 50 with re-confirmations of r1-only keys.
+# tests/test_registry_window.py pins this list against accidental
+# registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # round-1 red/weak rows, re-verified this round
-    "array_map_ops",
-    "dedup_simhash",
-    "dedup_clusters",
-    "similarity_ivf",
-    # text tail
-    "text_redact_pii",
-    "text_fingerprint",
-    "multimodal_meta",
-    # UDF surface
-    "udf_python",
-    "udtf_lateral",
+    # --- 35 driver-unseen keys ---
+    # tpch_full suite (q3/q6/q10 were driver-verified in r1/r3)
+    "tpch_q1_pricing_summary",
+    "tpch_q2_best_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
+    # clustering / trained-quantizer ANN
+    "kmeans_lloyd",
+    "similarity_ivf_kmeans",
+    # embedding aggregation / storage
+    "embedding_centroids",
+    "embedding_quantize",
+    # corpus prep
+    "corpus_pack_sequences",
+    "corpus_decontaminate",
+    "corpus_vocab_coverage",
+    "corpus_mixture_sample",
+    "corpus_length_filter",
+    # quality filters
+    "quality_repetition",
+    "quality_gopher_filter",
+    # sessionization
+    "events_sessionize_batch",
+    # multimodal (oracle-carrying as of this round)
+    "multimodal_decode",
+    "multimodal_audio_features",
+    "multimodal_frames",
+    # reference bench shape (constant oracle: exact delivery count)
+    "stream_passthrough",
+    # --- formerly-red keys, oracles fixed this round ---
     "udf_grouped_agg",
-    # streaming-engine execution paths
-    "stream_exec_tumbling",
-    "stream_exec_dedup_watermark",
-    "stream_exec_running_total",
-    "stream_exec_session_totals",
-    "stream_exec_stream_stream_join",
-    "stream_exec_stream_static_join",
-    "stream_exec_incremental_rollup",
-    # stats tier
-    "agg_stats_moments",
-    "pivot_wide",
-    "percentile_cont",
-    "percentile_disc",
     "percentile_approx",
-    "histogram_width_bucket",
-    "sample_hash",
-    # TPC-H tier
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "sql_surface",
-    # time-series / extras tier
-    "join_asof",
-    "rollup_multires",
-    "null_handling",
-    "agg_string_collect",
-    "subquery_correlated",
-    "window_range_time",
-    "text_normalize",
-    "agg_argminmax",
-    "agg_bitwise_bool",
-    "scalar_string_extra",
-    "interval_arithmetic",
-    "data_profile",
-    "pipeline_dedup_corpus",
-    "text_edit_distance",
-    "json_roundtrip",
-    "dedup_keeper_corpus",
-    # corpus tier
-    "corpus_split",
-    "corpus_stratified_sample",
-    "corpus_bigrams",
-    "corpus_tfidf",
-    "corpus_dedup_report",
-    "similarity_containment",
+    "agg_approx_distinct",
+    # --- r1-only re-confirmations (evidence is 3 rounds old) ---
+    "agg_hash_groupby",
+    "join_inner_hash",
+    "window_rank",
+    "grouping_cube",
+    "deser_csv",
+    "dedup_minhash",
+    "dedup_embedding_cosine",
+    "similarity_lsh_ann",
+    "similarity_topk",
+    "stream_dedup",
+    "stream_sliding",
+    "text_langid",
 ]
 
 
