@@ -56,6 +56,25 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ONLY when the scan produced too few partitions to
+    occupy the cluster — the single-file small-SF testdata case, where
+    CPU-bound downstream work (shingling, hashing, explodes) would
+    otherwise run on one core.
+
+    At production scale parquet file splits already provide ample
+    partitions, and this is a no-op: an unconditional ``repartition``
+    here would be a full-table Exchange before work that is often
+    map-only or broadcast-joined — the classic avoidable shuffle at
+    100 TB. Partition count is read from the physical plan (no job).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

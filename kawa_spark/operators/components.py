@@ -1,17 +1,30 @@
-"""Connected components via label propagation — the dedup-cluster
-merger: near-dup PAIRS (from minhash/simhash/embedding blocking) form
-a graph; components are the duplicate clusters; one keeper survives
-per cluster.
+"""Connected components via alternating large-star/small-star — the
+dedup-cluster merger: near-dup PAIRS (from minhash/simhash/embedding
+blocking) form a graph; components are the duplicate clusters; one
+keeper survives per cluster.
 
-Algorithm: every node starts labeled with its own id; each round a
-node takes the min label in its neighborhood; converges in
-O(diameter) rounds. Near-dup graphs have tiny diameters (dup clusters
-are near-cliques), so 3-5 rounds suffice at any corpus size.
+Algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", public): repeatedly rewrite the EDGE set —
 
-Scale notes: each round is one join + one aggregate (shuffle on node
-id). localCheckpoint() truncates the growing lineage each round —
-without it, round N replans rounds 1..N-1. The loop is driver-side
-CONTROL only; all data stays distributed.
+- large-star: every node connects its larger neighbors to the minimum
+  of its closed neighborhood;
+- small-star: every node connects its smaller neighbors (and itself)
+  to that minimum.
+
+Each phase preserves connectivity, and the alternation converges to
+rooted stars (every node → its component's min id) in O(log n) rounds
+— vs O(diameter) for plain label propagation. Near-dup graphs have
+tiny diameters, so the practical win is fewer Spark rounds: each
+round's fixed scheduling cost dominates at small edge counts, and the
+star alternation needs roughly half the rounds (replacing the
+label-propagation loop measured at 5.7 s for dedup_clusters at sf0.1).
+
+Scale notes: each phase is one aggregate + one join, shuffled on node
+id — no step ever materializes a neighborhood list, so skewed
+high-degree nodes cost a hot key at worst (AQE skew-join splits it).
+localCheckpoint() truncates lineage each round; the loop is
+driver-side CONTROL only (one scalar checksum per round); all data
+stays distributed.
 """
 
 from __future__ import annotations
@@ -19,6 +32,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(a,b) directed edges → large-star rewrite.
+
+    Symmetrize, then for each node a: m = min(closed neighborhood);
+    emit (b, m) for every strictly-larger neighbor b."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    m = sym.groupBy("a").agg(
+        F.least(F.first("a"), F.min("b")).alias("m")
+    )
+    return (
+        sym.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Directed edges → small-star rewrite.
+
+    Orient a > b; for each node a: m = min of its smaller neighbors;
+    emit (v, m) for every smaller neighbor v ≠ m plus (a, m)."""
+    e = (
+        edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = e.groupBy("a").agg(F.min("b").alias("m"))
+    leaves = (
+        e.join(m, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    roots = m.select("a", F.col("m").alias("b"))
+    return leaves.unionByName(roots).distinct()
+
+
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """Cheap fixpoint probe: (count, Σa, Σb) in exact DECIMAL.
+
+    Equal triples on consecutive rounds make a fixpoint CANDIDATE;
+    the caller confirms with one exact set comparison (paid once),
+    so a checksum collision can never produce a wrong answer."""
+    row = edges.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("a").cast("decimal(38,0)")),
+        F.sum(F.col("b").cast("decimal(38,0)")),
+    ).collect()[0]
+    return tuple(row)
 
 
 def connected_components(
@@ -31,74 +99,67 @@ def connected_components(
     """edges(src, dst) → (node, component) with component = min node
     id reachable. Deterministic.
 
-    Convergence contract: if the loop exhausts ``max_iterations``
-    before fixpoint (component diameter > max_iterations — possible
-    for chain-shaped graphs), ``strict=True`` (default) raises
+    Convergence contract: a round whose edge-set checksum matches the
+    previous round is verified by an EXACT multiset comparison before
+    being accepted as the fixpoint. If ``max_iterations`` rounds pass
+    without a verified fixpoint, ``strict=True`` (default) raises
     rather than silently returning split components; ``strict=False``
     returns the partial labels (every label is still a valid member
     of its true component, just possibly not the global min)."""
     # materialize the edge set FIRST: `edges` may itself be an
     # expensive pipeline (e.g. LSH candidate generation), and the
-    # symmetric union below references it twice — without this
-    # checkpoint the candidate pipeline executes twice before the
-    # loop even starts (measured 2× the whole operator's cost)
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
-    sym = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # star rewrites reference it repeatedly — without this checkpoint
+    # the candidate pipeline would re-execute every round
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    # every node that appears anywhere (isolated-in-pairs nodes keep
+    # their own label; roots get self-labels at the end). Derived from
+    # the checkpointed edge set — lazy, used once in the final join.
+    first = cur
+    nodes = (
+        first.select(F.col("a").alias("node"))
+        .unionByName(first.select(F.col("b").alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    # Convergence probe: labels move MONOTONICALLY down (new =
-    # least(old, min neighbor)), so Σ component strictly decreases
-    # until fixpoint and equal sums ⇔ no label changed. One cheap
-    # aggregate per round replaces a full old⋈new join probe.
-    # DECIMAL(38,0): exact and overflow-safe for 64-bit ids at any
-    # node count the sum could meet.
-    def _label_sum(df: DataFrame) -> int:
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    # No checksum of the INPUT set: real pipelines never arrive
+    # converged, so the first comparable round is round 2 — saving one
+    # driver round-trip on every invocation at the cost of one extra
+    # rewrite round iff the caller passed an already-star-shaped set.
+    prev_sum: tuple | None = None
     converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node2"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        cur_sum = _label_sum(new_labels)
-        labels = new_labels
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur_sum = _edge_checksum(new)
         if cur_sum == prev_sum:
-            converged = True
-            break
+            # checksum says fixpoint — confirm exactly. Both sides are
+            # distinct sets and the checksum already matched counts, so
+            # new ⊆ cur alone proves equality (one exactly-once job).
+            if new.exceptAll(cur).limit(1).count() == 0:
+                cur = new
+                converged = True
+                break
+        cur = new
         prev_sum = cur_sum
     if not converged and strict:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "iterations (component diameter exceeds the budget); raise "
-            "max_iterations or pass strict=False for partial labels"
+            "iterations; raise max_iterations or pass strict=False for "
+            "partial labels"
         )
-    return labels
+    # fixpoint edges are rooted stars (node → component min); roots
+    # and isolated nodes label themselves
+    return (
+        nodes.join(cur, nodes["node"] == cur["a"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("b"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kawa_spark.io import table
+from kawa_spark.io import table, spread
 from kawa_spark.registry import register
 
 N_PERM = 16  # minhash permutations
@@ -229,13 +229,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are hash-verified.
     """
     # Small single-file inputs arrive as ONE partition; the signature
-    # stage is CPU-bound (16·|shingles| md5 per doc), so spread it
-    # across cores first. At real scale the file splits already
-    # provide this and AQE coalesces the excess.
-    par = spark.sparkContext.defaultParallelism
+    # stage is CPU-bound (16·|shingles| md5 per doc), so spread() it
+    # across cores first (gated: a no-op at real scale where file
+    # splits already provide the parallelism).
     d = (
-        table(spark, sf_dir, "documents")
-        .repartition(par, "doc_id")
+        spread(table(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", _shingles(F.col("text")).alias("shingles"))
     )
     # ONE md5 per shingle; the 16 permutations are (h1 + i·h2) mod P
@@ -406,8 +404,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested on synthetic oversized blocks in tests/test_dedup_guards.py.
     """
     d = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(table(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             "lang",
@@ -586,9 +583,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     check. The 64 bit sums are HOFs over the per-doc term list
     (bounded by distinct terms per doc, not corpus size).
     """
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     digest = F.md5("term")
     terms = (
         d.select(

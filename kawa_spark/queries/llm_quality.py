@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kawa_spark.io import table
+from kawa_spark.io import table, spread
 from kawa_spark.registry import register
 from kawa_spark.queries.llm_text import LANG_MARKERS
 
@@ -83,9 +83,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle proportional to distinct tokens, not corpus bytes."""
     # spread the single-file local scan before the CPU-bound explode
     # stages (file splits provide this for free at real scale)
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread(table(spark, sf_dir, "documents"))
     ws = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
 
     wc = (

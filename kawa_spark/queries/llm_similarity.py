@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kawa_spark.io import table
+from kawa_spark.io import table, spread
 from kawa_spark.registry import register
 
 N_QUERIES = 10
@@ -81,9 +81,7 @@ def _cos_sql(a: str, b: str) -> str:
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a broadcast query set."""
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -319,9 +317,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned read of nprobe/ncells of the data — the classic
     IVF trade of recall for a bounded scan fraction.
     """
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     cents = e.filter(F.col("vec_id") % 53 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
     )
@@ -616,9 +612,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering. Scale: assignment is a broadcast nested loop against
     K=8 centroids (K rows — always broadcastable); the mean is the
     (cluster, dim)-sharded aggregate from embedding_centroids."""
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     return _lloyd_assign(e, _lloyd_cent1(e)).select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
@@ -711,9 +705,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     read of nprobe/K of the data; here the train+search pipeline runs
     end-to-end in one plan. Rerank is exact cosine on probed cells
     only (~nprobe/K of the corpus per query)."""
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     cents = _lloyd_cent1(e)
     assigned = _lloyd_assign(e, cents)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kawa_spark.io import table
+from kawa_spark.io import table, spread
 from kawa_spark.registry import register
 
 # language-marker stopwords used by the naive lang-id heuristic.
@@ -277,9 +277,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: (a) md5 of whitespace-normalized text;
     (b) min-hash over 5-word shingles (the rolling-hash fingerprint
     used as a near-dup prefilter). Arrays + HOFs only, no UDF."""
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     words = F.split(F.col("text"), " ")
     n = F.size(words)
