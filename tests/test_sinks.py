@@ -57,3 +57,41 @@ def test_file_sink_streaming_commit_log(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "_spark_metadata"))
     back = spark.read.json(out)
     assert sorted(r["value"] for r in back.collect()) == ["v0", "v1", "v2"]
+
+
+def test_file_sink_streaming_s3_layout(spark, tmp_path):
+    """STREAMING path of the s3-parity layout (x/s3/s3.go:128-148
+    semantics): event-time-partitioned dt=/hr= object naming, gzip
+    NDJSON objects, and full content round-trip — the exact contract
+    the reference's Flush writes per object, produced by writeStream
+    instead of a hand-rolled batcher."""
+    from kawa_spark.io import stream_table, table
+
+    src = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    out = str(tmp_path / "out")
+    q = FileSink(out, format="json", compression="gzip", partition_source="ts").start_stream(
+        src, checkpoint=str(tmp_path / "cp"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    # dt=YYYY-MM-DD/hr=HH directories derived from EVENT time
+    parts = glob.glob(os.path.join(out, "dt=*/hr=*"))
+    assert parts, os.listdir(out)
+    for p in parts:
+        dt_dir, hr_dir = p.split("/")[-2:]
+        assert len(dt_dir) == len("dt=2024-01-01") and dt_dir.startswith("dt=")
+        assert len(hr_dir) == len("hr=00") and hr_dir.startswith("hr=")
+        # every object inside is a gzip NDJSON file
+        objs = glob.glob(os.path.join(p, "*"))
+        assert objs and all(f.endswith(".json.gz") for f in objs), objs
+
+    # content round-trip: every event arrives exactly once
+    rows = []
+    for f in glob.glob(os.path.join(out, "dt=*/hr=*/*.json.gz")):
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(ln) for ln in fh if ln.strip()]
+    expected = table(spark, "/root/testdata/sf0.001", "events").count()
+    assert len(rows) == expected
+    assert len({r["event_id"] for r in rows}) == expected
