@@ -68,3 +68,41 @@ def test_dedup_clusters_keepers(spark):
     clusters = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert keepers == {5, 100}
     assert clusters[7] == 5 and clusters[9] == 5 and clusters[101] == 100
+
+
+def test_components_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path graph is the worst case for label propagation
+    (diameter 199) but the star alternation must finish in O(log n)
+    rounds — well inside the default max_iterations=20."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_components_strict_contract(spark):
+    """strict=True raises when the round budget is exhausted before a
+    verified fixpoint; strict=False returns partial labels that are
+    still valid members of each node's true component."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1, strict=True)
+
+    partial = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, max_iterations=1, strict=False
+        ).collect()
+    }
+    # every label is a real node of the (single) component, and labels
+    # never exceed the node they label (min-propagation invariant)
+    assert set(partial) == set(range(64))
+    assert all(0 <= c <= node for node, c in partial.items())
