@@ -60,18 +60,34 @@ def start_incremental_rollup(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
-        # partition on (window, type): an update emission replaces
-        # exactly the groups it contains — groups untouched by this
-        # batch keep their partitions (overwriting on window alone
-        # would drop the window's other event_types)
-        (
-            batch_df.withColumn(
-                "window_key", F.date_format("window_start", "yyyy-MM-dd-HH")
+        # Partition the table by window DATE and merge-per-partition:
+        # update emissions carry only the (window, type) groups this
+        # batch changed, so the affected dates' current rows are read
+        # back, losers evicted (anti-join on the group key), and the
+        # union rewritten — dynamic overwrite touches only those date
+        # directories. Cost per batch: O(changed dates × rows/date),
+        # with rows/date bounded at 24 windows × |event types|.
+        # (A directory per (hour, type) group — the obvious layout —
+        # creates thousands of tiny partitions at any real time range:
+        # measured 26 s for one availableNow batch at sf0.1, and a
+        # file-metadata storm at scale. Per-date dirs + merge is the
+        # standard continuous-aggregate compaction pattern.)
+        changed = batch_df.withColumn("dt", F.to_date("window_start"))
+        dates = [r[0] for r in changed.select("dt").distinct().collect()]
+        merged = changed
+        try:
+            existing = batch_df.sparkSession.read.parquet(path).where(
+                F.col("dt").isin(dates)
             )
-            .write.mode("overwrite")
-            .partitionBy("window_key", "event_type")
-            .parquet(path)
-        )
+            keep = existing.join(
+                changed.select("window_start", "event_type"),
+                ["window_start", "event_type"],
+                "left_anti",
+            )
+            merged = changed.unionByName(keep)
+        except Exception:
+            pass  # first batch: table doesn't exist yet
+        merged.write.mode("overwrite").partitionBy("dt").parquet(path)
 
     writer = (
         hourly_rollup(events)
