@@ -313,6 +313,14 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pass); a query probes its ``nprobe`` closest cells and
     exact-reranks only those cells' members.
 
+    SCALE CAVEAT: the 1/53 sampling ties centroid count to corpus
+    size, so the broadcast grows linearly with N — fine at bench SF,
+    wrong at 100 TB, where ncells is sized ~√N independently of the
+    modulus trick. similarity_ivf_kmeans is the production path: a
+    TRAINED quantizer with fixed K, so both joins stay broadcast at
+    any corpus size. This variant exists for the sampled-quantizer
+    pipeline shape and its fully-replayable oracle.
+
     At 100 TB: partition/cluster the corpus BY cell id so a probe is a
     partition-pruned read of nprobe/ncells of the data — the classic
     IVF trade of recall for a bounded scan fraction.

@@ -39,6 +39,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # Local mode runs executors inside the driver JVM, whose default
+    # heap (1g) starves 32 concurrent tasks long before the host does —
+    # measured: a 10x sf0.1 scale probe OOM-killed the JVM. Heap must
+    # be set before JVM launch, so it only applies to sessions this
+    # factory creates (a cluster deployment sizes executors instead).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.driver.maxResultSize": "4g",
 }
 
 
