@@ -38,10 +38,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """(a,b) directed edges → large-star rewrite.
 
     Symmetrize, then for each node a: m = min(closed neighborhood);
-    emit (b, m) for every strictly-larger neighbor b."""
+    emit (b, m) for every strictly-larger neighbor b.
+
+    No intermediate distinct()s: the min aggregate is insensitive to
+    duplicate edges, and _small_star canonicalizes its output — each
+    skipped distinct is a skipped shuffle per round."""
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    )
     m = sym.groupBy("a").agg(
         F.least(F.first("a"), F.min("b")).alias("m")
     )
@@ -49,7 +53,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         sym.join(m, "a")
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .distinct()
     )
 
 
@@ -63,7 +66,6 @@ def _small_star(edges: DataFrame) -> DataFrame:
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .where(F.col("a") != F.col("b"))
-        .distinct()
     )
     m = e.groupBy("a").agg(F.min("b").alias("m"))
     leaves = (
@@ -133,7 +135,11 @@ def connected_components(
     prev_sum: tuple | None = None
     converged = False
     for _ in range(max_iterations):
-        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action right below is the
+        # round's single job — it materializes the checkpoint AND
+        # returns the fixpoint probe in one pass (eager=True would
+        # spend a second job per round on the same data)
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur_sum = _edge_checksum(new)
         if cur_sum == prev_sum:
             # checksum says fixpoint — confirm exactly. Both sides are
