@@ -258,3 +258,83 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(sample_frames, schema=schema)
+
+
+@register(
+    "multimodal_resize",
+    # Nearest-neighbor index math is exact integer arithmetic, so the
+    # resample has an exact SQL twin: out[i] = payload[(i*n)//64] for
+    # i in 0..63 (upsampling repeats samples when n < 64, exactly as
+    # the kernel does).
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             unnest(generate_series(0, 63)) AS i
+      FROM documents
+      WHERE strlen(text) > 0
+    ),
+    sampled AS (
+      SELECT doc_id, n, i,
+             unicode(substring(text, CAST((i * n) // 64 AS INTEGER) + 1, 1))
+               AS b
+      FROM idx
+    )
+    SELECT doc_id,
+      CAST(MAX(n) AS INTEGER) AS n_in,
+      64 AS n_out,
+      CAST(SUM(b) AS BIGINT) AS sample_sum,
+      CAST(MAX(CASE WHEN i = 0 THEN b END) AS INTEGER) AS sample_first,
+      CAST(MAX(CASE WHEN i = 63 THEN b END) AS INTEGER) AS sample_last
+    FROM sampled
+    GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: each payload (standing in for a pixel row) is
+    nearest-neighbor resampled to a fixed 64 samples inside the Arrow
+    batch — the downsample/upsample kernel a real build replaces with
+    PIL.Image.resize. Emits exact integer stats of the resampled
+    vector so the kernel execution is value-checkable cross-engine.
+
+    Scale shape: map-only over partitions (mapInPandas, no shuffle);
+    output size is fixed per row regardless of payload size — the
+    property that makes resize the bandwidth-reducing first stage of
+    an image pipeline."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    schema = (
+        "doc_id long, n_in int, n_out int, sample_sum long, "
+        "sample_first int, sample_last int"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out_len = 64
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_in": [],
+                "n_out": [],
+                "sample_sum": [],
+                "sample_first": [],
+                "sample_last": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue  # real decoder would have rejected it
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                sel = (np.arange(out_len) * n) // out_len
+                resized = arr[sel]
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(n)
+                out["n_out"].append(out_len)
+                out["sample_sum"].append(int(resized.sum()))
+                out["sample_first"].append(int(resized[0]))
+                out["sample_last"].append(int(resized[-1]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(resize, schema=schema)

@@ -92,10 +92,11 @@ DRIVER_WINDOW: list[str] = [
     "quality_gopher_filter",
     # sessionization
     "events_sessionize_batch",
-    # multimodal (oracle-carrying as of this round)
+    # multimodal (oracle-carrying as of this round; resize is new)
     "multimodal_decode",
     "multimodal_audio_features",
     "multimodal_frames",
+    "multimodal_resize",
     # reference bench shape (constant oracle: exact delivery count)
     "stream_passthrough",
     # --- formerly-red keys, oracles fixed this round ---
@@ -114,7 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "similarity_topk",
     "stream_dedup",
     "stream_sliding",
-    "text_langid",
 ]
 
 
