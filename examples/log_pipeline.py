@@ -16,6 +16,13 @@ tests/test_example_pipeline.py.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable directly (`python examples/log_pipeline.py`): python puts
+# examples/ on the path, not the repo root that holds kawa_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,3 +91,59 @@ def start_pipeline(
     return router.start_stream(
         stream, checkpoint=checkpoint, available_now=available_now
     )
+
+
+def _demo() -> None:
+    """Self-contained demo run: synthesize a JSONL log under /tmp,
+    drain the pipeline once (availableNow), and report the routed
+    row counts."""
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    from kawa_spark.session import get_spark
+
+    spark = get_spark(app_name="log_pipeline_demo", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="kawa_log_demo_")
+    log = os.path.join(base, "app.jsonl")
+    levels = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
+    with open(log, "w") as fh:
+        for i in range(200):
+            fh.write(
+                json.dumps(
+                    {
+                        "event": f"evt-{i}",
+                        "level": levels[i % len(levels)],
+                        "user": f"u{i % 7}",
+                        "ts": f"2024-03-05 14:{i % 60:02d}:00",
+                    }
+                )
+                + "\n"
+            )
+    q = start_pipeline(
+        spark,
+        log,
+        os.path.join(base, "archive"),
+        os.path.join(base, "cp"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    def count_rows(pattern: str) -> int:
+        n = 0
+        for f in glob.glob(pattern, recursive=True):
+            with gzip.open(f, "rt") as fh:
+                n += sum(1 for ln in fh if ln.strip())
+        return n
+
+    archived = count_rows(os.path.join(base, "archive", "**", "*.json.gz"))
+    errors = count_rows(os.path.join(base, "archive_errors", "**", "*.json.gz"))
+    print(f"archived={archived} errors={errors} (of 200 total)")
+    shutil.rmtree(base)
+
+
+if __name__ == "__main__":
+    _demo()
