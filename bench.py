@@ -67,6 +67,9 @@ HEADLINE = [
     "similarity_ivf_kmeans",
     "quality_gopher_filter",
     "corpus_pack_sequences",
+    "corpus_decontaminate",
+    "stream_exec_incremental_rollup",
+    "multimodal_resize",
 ]
 
 
