@@ -260,6 +260,9 @@ def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         path=f"{base}/table",
         checkpoint=f"{base}/cp",
         available_now=True,
+        # state = hours × event types (~thousands of rows): 8 stores
+        # ample; 32 would spin 4× the RocksDB instances for no data
+        state_partitions=8,
     )
     if not q.awaitTermination(300):
         q.stop()

@@ -52,9 +52,18 @@ def start_incremental_rollup(
     checkpoint: str,
     trigger: str | None = None,
     available_now: bool = False,
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Maintain ``path`` as the materialized hourly rollup of the
-    events stream."""
+    events stream.
+
+    ``state_partitions`` sizes the stateful shuffle for THIS query
+    (Spark locks shuffle partitions into the checkpoint at first
+    batch). State volume here is hours × event types — thousands of
+    rows, not billions — so a handful of state stores is right at any
+    corpus size; each extra partition is a RocksDB instance spun up
+    per batch for no data. Callers with genuinely huge window×key
+    spaces pass a bigger number. None = session default."""
     # dynamic partition overwrite: only the partitions present in the
     # written frame are replaced
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -89,17 +98,29 @@ def start_incremental_rollup(
             pass  # first batch: table doesn't exist yet
         merged.write.mode("overwrite").partitionBy("dt").parquet(path)
 
-    writer = (
-        hourly_rollup(events)
-        .writeStream.outputMode("update")
-        .foreachBatch(flush)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif trigger:
-        writer = writer.trigger(processingTime=trigger)
-    return writer.start()
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        writer = (
+            hourly_rollup(events)
+            .writeStream.outputMode("update")
+            .foreachBatch(flush)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger:
+            writer = writer.trigger(processingTime=trigger)
+        return writer.start()
+    finally:
+        # NOTE: restored immediately — safe because the conf is
+        # captured into the query's checkpoint on its first batch,
+        # which planning reads from the writer's snapshot, not the
+        # live session conf.
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
