@@ -19,15 +19,38 @@ from kawa_spark.registry import register
 from kawa_spark.streaming.stateful import running_total, session_totals
 
 
-def _drain(df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
+def _drain(
+    df: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Bounded drain through the real streaming runtime.
+
+    ``state_partitions`` sizes the stateful shuffle for the drained
+    query (streaming queries clone the session conf at start(), and
+    the count is locked into the checkpoint at first batch — so the
+    live conf can be restored immediately). The testdata drains carry
+    thousands-to-100k state rows; every extra partition is a state
+    store instance spun up per batch, which dominates wall time at
+    this scale. A production deployment with billions of keys passes
+    None (session default) or a sized value."""
     name = f"q_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # awaitTermination(timeout) returns False on expiry WITHOUT
     # raising — a silent partial drain would feed a wrong (smaller)
     # result to the correctness gate, so fail loudly instead.
