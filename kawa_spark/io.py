@@ -106,12 +106,25 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         name,
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "part-0.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(src, link)
-        except FileExistsError:
-            pass  # concurrent staging of the same table
+    # the table may be a single file (driver testdata) or a Spark
+    # output directory (e.g. the scale probe's synthetic tables) —
+    # stage the actual part files either way, since a nested dir
+    # symlink is invisible to the file-stream source
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    else:
+        parts = None
+    for i, part in enumerate(parts or [None]):
+        link = os.path.join(stage, f"part-{i}.parquet")
+        target = os.path.join(src, part) if part else src
+        if not os.path.exists(link):
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                pass  # concurrent staging of the same table
 
     if name == "events":
         try:

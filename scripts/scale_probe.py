@@ -53,6 +53,12 @@ PROBES = [
     "corpus_tfidf",
     "events_sessionize_batch",
     "stateful_running_total",
+    "dedup_clusters",
+    "similarity_ivf_kmeans",
+    "corpus_decontaminate",
+    "multimodal_resize",
+    "stream_exec_tumbling",
+    "stream_exec_incremental_rollup",
 ]
 
 
