@@ -195,7 +195,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
              ) AS session_idx
       FROM flagged
     )
-    SELECT user_id, session_idx,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            COUNT(*) AS n_events,
            MIN(ts_us) AS start_us,
            MAX(ts_us) AS end_us,

@@ -349,8 +349,8 @@ SEQ_CAPACITY = 2048  # tokens per packed training sequence
       FROM toks
     )
     SELECT doc_id, lang, n_tokens,
-      (cum_tokens - n_tokens) // {SEQ_CAPACITY} AS seq_id,
-      (cum_tokens - n_tokens) % {SEQ_CAPACITY} AS seq_offset
+      CAST((cum_tokens - n_tokens) // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+      CAST((cum_tokens - n_tokens) % {SEQ_CAPACITY} AS BIGINT) AS seq_offset
     FROM packed
     """,
 )
@@ -551,7 +551,7 @@ MIX_TOTAL = 200
              ) AS rn
       FROM documents d
     )
-    SELECT r.doc_id, r.source, r.rn, q.wt, q.q AS quota
+    SELECT r.doc_id, r.source, r.rn, q.wt, CAST(q.q AS BIGINT) AS quota
     FROM ranked r JOIN quota q ON r.source = q.source
     WHERE r.rn <= q.q
     """,

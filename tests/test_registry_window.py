@@ -39,29 +39,68 @@ def test_every_key_is_oracle_backed():
     assert not missing, missing
 
 
-def test_window_covers_all_driver_unseen_keys():
-    """Round-4 rotation contract: every key with no driver evidence in
-    CORRECTNESS_r01-r03 must sit in the window this round."""
+def test_window_covers_unseen_and_driver_red_keys():
+    """Rotation contract (r5 form): every key that is either (a)
+    driver-unseen — no CORRECTNESS_r* evidence at all — or (b)
+    driver-red at its LATEST check must sit in the window this
+    round, so the driver's next artifact can flip it green."""
+    import glob
     import json
-    import os
 
-    seen: set[str] = set()
-    for r in (1, 2, 3):
-        p = f"/root/repo/CORRECTNESS_r{r:02d}.json"
-        if os.path.exists(p):
-            with open(p) as f:
-                seen |= set(json.load(f))
-    if not seen:  # driver artifacts absent (fresh checkout)
+    latest: dict[str, tuple[int, bool]] = {}
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        with open(p) as f:
+            for k, v in json.load(f).items():
+                ok = (
+                    bool(v.get("rows_match"))
+                    and bool(v.get("schema_match"))
+                    and bool(v.get("hash_match", True))
+                    and not v.get("err")
+                )
+                latest[k] = (rnd, ok)
+    if not latest:  # driver artifacts absent (fresh checkout)
         return
-    unseen = set(registry.QUERIES) - seen
-    assert unseen <= set(registry.DRIVER_WINDOW), sorted(
-        unseen - set(registry.DRIVER_WINDOW)
+    must_cover = {k for k in registry.QUERIES if k not in latest} | {
+        k for k, (_, ok) in latest.items() if not ok and k in registry.QUERIES
+    }
+    assert must_cover <= set(registry.DRIVER_WINDOW), sorted(
+        must_cover - set(registry.DRIVER_WINDOW)
     )
 
 
 def test_every_key_still_registered_once():
     assert len(registry.QUERIES) >= 100
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_oracle_output_types_are_driver_safe():
+    """VERDICT r04 item 2: the driver's typed canonicalizer
+    hash-mismatches when the oracle emits a DuckDB HUGEINT (int128)
+    or unsigned column even when every value is identical — four
+    value-correct queries went driver-red in r4 on exactly this
+    (windowed SUM / SUM(CASE) / integer // over a SUM all widen to
+    HUGEINT in DuckDB). Pin the whole class: DESCRIBE every oracle's
+    result at sf0.001 and reject HUGEINT/UHUGEINT/UBIGINT/… columns.
+    The fix at each site is CAST(expr AS BIGINT) on the final
+    projection."""
+    from tests.oracle_harness import duckdb_con
+
+    banned = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+              "UTINYINT", "INT128", "UINT128"}
+    con = duckdb_con("/root/testdata/sf0.001")
+    offenders = {}
+    for key, sql in sorted(registry.ORACLES.items()):
+        rel = con.sql(sql)
+        bad = [
+            f"{name}:{t}"
+            for name, t in zip(rel.columns, rel.types)
+            if str(t).upper() in banned
+        ]
+        if bad:
+            offenders[key] = bad
+    con.close()
+    assert not offenders, offenders
 
 
 def test_oracle_outputs_are_driver_canonicalizable(spark):
