@@ -117,10 +117,30 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     else:
         parts = None
+    # The stage dir persists across source regenerations (keyed only by
+    # (sf_dir, name)), so links can dangle or point at stale parts after
+    # a table is rebuilt with different part filenames/counts. Reconcile
+    # the link set exactly: drop any entry that isn't a desired link, a
+    # correct target, and resolvable; then (re-)create what's missing.
+    desired = {}
     for i, part in enumerate(parts or [None]):
-        link = os.path.join(stage, f"part-{i}.parquet")
         target = os.path.join(src, part) if part else src
-        if not os.path.exists(link):
+        desired[f"part-{i}.parquet"] = os.path.realpath(target)
+    for entry in os.listdir(stage):
+        link = os.path.join(stage, entry)
+        want = desired.get(entry)
+        if (
+            want is None
+            or os.path.realpath(link) != want
+            or not os.path.exists(link)  # dangling symlink
+        ):
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                pass  # concurrent reconcile of the same table
+    for fname, target in desired.items():
+        link = os.path.join(stage, fname)
+        if not os.path.lexists(link):
             try:
                 os.symlink(target, link)
             except FileExistsError:

@@ -112,21 +112,26 @@ def connected_components(
     # expensive pipeline (e.g. LSH candidate generation), and the
     # star rewrites reference it repeatedly — without this checkpoint
     # the candidate pipeline would re-execute every round
-    cur = (
+    raw = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # every node that appears anywhere (isolated-in-pairs nodes keep
-    # their own label; roots get self-labels at the end). Derived from
-    # the checkpointed edge set — lazy, used once in the final join.
-    first = cur
+    # every node that appears anywhere — taken from the RAW pair set,
+    # BEFORE the self-loop filter below, so a node appearing only as
+    # an (x, x) pair still receives its self-label via the final
+    # coalesce instead of vanishing from the output. Lazy over the
+    # checkpoint; used once in the final join.
     nodes = (
-        first.select(F.col("a").alias("node"))
-        .unionByName(first.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
     )
+    # self-loops carry no connectivity — drop them from the star loop.
+    # A lazy filter over the checkpoint: each loop reference re-scans
+    # the materialized blocks, not the upstream (possibly expensive)
+    # pair pipeline.
+    cur = raw.where(F.col("a") != F.col("b"))
 
     # No checksum of the INPUT set: real pipelines never arrive
     # converged, so the first comparable round is round 2 — saving one

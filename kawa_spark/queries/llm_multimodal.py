@@ -108,8 +108,6 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained copy of _decode_image_stub (see its docstring)
         def decode_stub(payload: bytes) -> dict:
-            if not payload:
-                raise NotImplementedError("empty payload; decoder not available")
             return {
                 "width": 64 + payload[0] % 64,
                 "height": 64 + payload[-1] % 64,
@@ -117,6 +115,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
 
         for pdf in batches:
+            # skip undecodable empty payloads — mirrors the oracle's
+            # strlen(text) > 0 filter and multimodal_resize's behavior
+            pdf = pdf[[len(p) > 0 for p in pdf["payload"]]]
             meta = [decode_stub(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {

@@ -20,6 +20,8 @@ nightly": cost per batch is O(changed windows), not O(history).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -84,7 +86,16 @@ def start_incremental_rollup(
         changed = batch_df.withColumn("dt", F.to_date("window_start"))
         dates = [r[0] for r in changed.select("dt").distinct().collect()]
         merged = changed
-        try:
+        # Merge only when the table demonstrably exists (first batch it
+        # doesn't). An explicit existence probe — NOT a blanket
+        # try/except around the read: swallowing a transient read
+        # failure here would degrade `merged` to the changed rows only
+        # and the partition overwrite would then silently drop every
+        # untouched group in the affected dates. Any read error past
+        # this gate propagates and fails the streaming query loudly.
+        if os.path.isdir(path) and any(
+            e.startswith(("dt=", "part-", "_SUCCESS")) for e in os.listdir(path)
+        ):
             existing = batch_df.sparkSession.read.parquet(path).where(
                 F.col("dt").isin(dates)
             )
@@ -94,8 +105,6 @@ def start_incremental_rollup(
                 "left_anti",
             )
             merged = changed.unionByName(keep)
-        except Exception:
-            pass  # first batch: table doesn't exist yet
         merged.write.mode("overwrite").partitionBy("dt").parquet(path)
 
     prev_parts = None

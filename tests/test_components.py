@@ -106,3 +106,18 @@ def test_components_strict_contract(spark):
     # never exceed the node they label (min-propagation invariant)
     assert set(partial) == set(range(64))
     assert all(0 <= c <= node for node, c in partial.items())
+
+
+def test_components_self_loop_only_node_kept(spark):
+    """ADVICE r04: a node appearing ONLY as an (x, x) self-pair must
+    still be emitted with its own label — the self-loop pre-filter
+    must not drop it from the (node, component) output."""
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (3, 4)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7, 3: 3, 4: 3}

@@ -102,3 +102,45 @@ def test_partitioned_write_prunes(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "dt" in pf, plan
     assert one_day.count() > 0
+
+
+def test_stream_table_survives_source_regeneration(spark, tmp_path):
+    """ADVICE r04: the /tmp stage dir is keyed by (sf_dir, name) and
+    persists across source regenerations. After a table is rebuilt as
+    a Spark directory with different random part filenames (and fewer
+    parts), the staged symlink set must be reconciled — not serve
+    dangling/stale links."""
+    import shutil
+
+    sf_dir = str(tmp_path / "sf")
+    tdir = f"{sf_dir}/items.parquet"
+
+    def drain() -> list[int]:
+        from kawa_spark.io import stream_table
+
+        df = stream_table(spark, sf_dir, "items")
+        qname = "regen_probe"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = sorted(
+            r["v"] for r in spark.sql(f"SELECT v FROM {qname}").collect()
+        )
+        spark.catalog.dropTempView(qname)
+        return rows
+
+    spark.createDataFrame([(i,) for i in range(8)], "v long").repartition(
+        4
+    ).write.parquet(tdir)
+    assert drain() == list(range(8))
+
+    # regenerate: new random part names, fewer parts, different rows
+    shutil.rmtree(tdir)
+    spark.createDataFrame([(i,) for i in range(100, 103)], "v long").repartition(
+        2
+    ).write.parquet(tdir)
+    assert drain() == [100, 101, 102]
