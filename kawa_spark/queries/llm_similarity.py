@@ -28,6 +28,10 @@ from kawa_spark.registry import register
 
 N_QUERIES = 10
 TOP_K = 5
+# fixed centroid budget for the sampled-quantizer IVF variant — caps
+# broadcast + argmin cost independent of corpus size (≈ √N at the
+# 100 TB design point a real build would tune)
+IVF_MAX_CELLS = 128
 N_PLANES = 16
 DIM = 64
 
@@ -260,13 +264,15 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_oracle() -> str:
     """DuckDB replay of the IVF pipeline: same deterministic centroid
-    rule (vec_id % 53 == 0), same argmin assignment (ties → cell_id),
-    same nprobe=2 probe set, same exact rerank. The dot products are
-    the shared left-fold, so scores hash-match bit-for-bit."""
+    rule (vec_id % 53 == 0, capped at the IVF_MAX_CELLS smallest
+    vec_ids), same argmin assignment (ties → cell_id), same nprobe=2
+    probe set, same exact rerank. The dot products are the shared
+    left-fold, so scores hash-match bit-for-bit."""
     return f"""
     WITH cents AS (
       SELECT vec_id AS cell_id, embedding AS cent
       FROM embeddings WHERE vec_id % 53 = 0
+      ORDER BY vec_id LIMIT {IVF_MAX_CELLS}
     ), assigned AS (
       SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cell_id,
@@ -308,26 +314,35 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse quantizer + probed cells.
 
     Centroids: deterministic sample of the corpus (vec_id % 53 == 0 —
-    a real build would k-means these; the pipeline shape is identical).
+    a real build would k-means these; the pipeline shape is identical)
+    CAPPED at a fixed budget of IVF_MAX_CELLS (the cap takes the
+    smallest sampled vec_ids — deterministic and replayable in SQL).
     Each corpus vector is assigned to its nearest centroid (one
     broadcast pass); a query probes its ``nprobe`` closest cells and
     exact-reranks only those cells' members.
 
-    SCALE CAVEAT: the 1/53 sampling ties centroid count to corpus
-    size, so the broadcast grows linearly with N — fine at bench SF,
-    wrong at 100 TB, where ncells is sized ~√N independently of the
-    modulus trick. similarity_ivf_kmeans is the production path: a
-    TRAINED quantizer with fixed K, so both joins stay broadcast at
-    any corpus size. This variant exists for the sampled-quantizer
-    pipeline shape and its fully-replayable oracle.
+    The cap is what makes this scale-safe (VERDICT r04 item 4): the
+    raw 1/53 sampling tied centroid count — and therefore the
+    broadcast size and per-vector argmin cost — to corpus size
+    (measured 8.4× at the 10× probe). With a fixed budget both joins
+    stay broadcast at any corpus size, same as the trained-quantizer
+    path. similarity_ivf_kmeans remains the production path (k-means
+    centroids give far better cell balance than an id-sample); this
+    variant keeps the sampled-quantizer pipeline shape with a fully-
+    replayable oracle.
 
     At 100 TB: partition/cluster the corpus BY cell id so a probe is a
     partition-pruned read of nprobe/ncells of the data — the classic
     IVF trade of recall for a bounded scan fraction.
     """
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    cents = e.filter(F.col("vec_id") % 53 == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    cents = (
+        e.filter(F.col("vec_id") % 53 == 0)
+        # fixed centroid budget: global ordered take of the smallest
+        # sampled ids — a TakeOrderedAndProject over ≤ N/53 rows, tiny
+        .orderBy("vec_id")
+        .limit(IVF_MAX_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent"))
     )
     # assign: nearest centroid per corpus vector (broadcast argmin)
     w_assign = Window.partitionBy("vec_id").orderBy(

@@ -19,7 +19,9 @@ the 10× wall-time ratio is the evidence for the "would this survive
 100×?" question — plans whose ratio tracks data growth (≤ ~10×) are
 scan/shuffle-bound with no superlinear term.
 
-Usage: python scripts/scale_probe.py [K]   (default K=10)
+Usage: python scripts/scale_probe.py [K] [query ...]
+       (default K=10, all PROBES; name queries to probe a subset —
+        e.g. the heavy tier at K=100, VERDICT r04 item 5)
 """
 
 from __future__ import annotations
@@ -72,57 +74,60 @@ def build(spark, k: int) -> None:
         shutil.copy(f"{SRC}/{dim}.parquet", f"{DST}/{dim}.parquet")
 
     def replicate(name, mutate):
+        # ONE plan per table: scan × broadcast(range(k)) instead of a
+        # k-way union chain (k=100 unions made planning itself the
+        # bottleneck); `mutate` sees the copy index as column `copy_i`
         base = spark.read.parquet(f"{SRC}/{name}.parquet")
-        out = None
-        for i in range(k):
-            c = mutate(base, i)
-            out = c if out is None else out.unionByName(c)
+        copies = F.broadcast(
+            spark.range(k).select(F.col("id").cast("int").alias("copy_i"))
+        )
+        out = mutate(base.crossJoin(copies)).drop("copy_i")
         out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
 
+    ci = F.col("copy_i")
     okey_shift = 10_000_000  # beyond sf0.1's max orderkey
     replicate(
         "orders",
-        lambda df, i: df.withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_shift)
+        lambda df: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + ci.cast("long") * okey_shift
         ),
     )
     replicate(
         "lineitem",
-        lambda df, i: df.withColumn(
-            "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_shift)
+        lambda df: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + ci.cast("long") * okey_shift
         ),
     )
     replicate(
         "events",
-        lambda df, i: df.withColumn(
-            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
-        ).withColumn(
-            "ts", F.col("ts") + F.make_interval(days=F.lit(i * 400))
-        ),
+        lambda df: df.withColumn(
+            "event_id", F.col("event_id") + ci.cast("long") * 100_000_000
+        ).withColumn("ts", F.col("ts") + F.make_interval(days=ci * 400)),
     )
     replicate(
         "documents",
-        lambda df, i: df.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+        lambda df: df.withColumn(
+            "doc_id", F.col("doc_id") + ci.cast("long") * 10_000_000
         ).withColumn(
             # perturb each copy so near-dup structure stays realistic
             "text",
-            F.concat(F.col("text"), F.lit(f" copytag{i}")),
+            F.concat(F.col("text"), F.lit(" copytag"), ci.cast("string")),
         ),
     )
     replicate(
         "embeddings",
-        lambda df, i: df.withColumn(
-            "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+        lambda df: df.withColumn(
+            "vec_id", F.col("vec_id") + ci.cast("long") * 10_000_000
         ).withColumn(
             "embedding",
-            F.transform("embedding", lambda x: x + F.lit(i) * F.lit(1e-4)),
+            F.transform("embedding", lambda x: x + ci * F.lit(1e-4)),
         ),
     )
 
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = sys.argv[2:] or PROBES
     registry.load_all()
     spark = get_spark(app_name="kawa_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -143,7 +148,7 @@ def main() -> None:
         return best
 
     print(f"{'query':34s} {'sf0.1':>8s} {f'{k}x':>8s} {'ratio':>6s}")
-    for key in PROBES:
+    for key in probes:
         fn = registry.QUERIES[key]
         try:
             t1 = best_of(fn, SRC)
