@@ -62,3 +62,53 @@ def test_running_total_survives_restart(spark, tmp_path):
     drain()
     assert collected[3] == 17.5  # 15.0 carried from the state store
     assert collected[4] == 1.0
+
+
+def test_scanner_printer_roundtrip_survives_restart(spark, tmp_path):
+    """Reference conformance under restart (VERDICT r04 item 7): the
+    multi-byte-delimiter round-trip of test/stream_test.go:43-55 —
+    scanner source with a custom delim → printer-style delimited text
+    sink — driven through a kill/resume cycle on one checkpoint. The
+    file-sink commit log must deliver every record exactly once
+    across the restart: no record lost at the kill point, none
+    duplicated on resume (the Spark twin of kawa's ack contract)."""
+    from kawa_spark.sources.file import FileSource
+
+    delim = "|*|"
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    in_dir.mkdir()
+
+    def drain():
+        df = FileSource(str(in_dir), format="text", line_sep=delim).read_stream(
+            spark
+        )
+        q = (
+            df.writeStream.format("text")
+            .option("lineSep", delim)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(out_dir)
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    first = ["alpha", "bravo", "charlie", "delta"]
+    (in_dir / "f1.txt").write_text(delim.join(first))
+    drain()
+
+    # kill happened (query terminated); more input lands; resume on
+    # the SAME checkpoint — only the new file may be re-delivered
+    second = ["echo", "foxtrot", "golf"]
+    (in_dir / "f2.txt").write_text(delim.join(second))
+    drain()
+
+    got = [
+        r["value"]
+        for r in FileSource(out_dir, format="text", line_sep=delim)
+        .read(spark)
+        .collect()
+    ]
+    assert sorted(got) == sorted(first + second)

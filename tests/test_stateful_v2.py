@@ -85,3 +85,66 @@ def test_v2_streaming_end_to_end(spark):
     assert q.awaitTermination(300)
     got = spark.table("v2_totals")
     assert got.count() > 0
+
+
+def test_v2_oracle_parity_simulated():
+    """VERDICT r04 item 6: the container lacks protobuf, so the live
+    transformWithStateInPandas path can't start here — fold the
+    processor's full semantics into the non-gated tier instead of
+    leaving a silent skip. Drives UserTotalsProcessor per-key over
+    the real sf0.001 events (split into multiple microbatches, state
+    carried across them) and checks the final per-user totals against
+    DuckDB's exact integer-cents aggregate — the same arithmetic the
+    driver-verified v1 twin (stream_exec_running_total) pins."""
+    import duckdb
+
+    con = duckdb.connect()
+    expected = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+                   COUNT(*)
+            FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+            GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    con.close()
+
+    events = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "value"]
+    )
+    got = {}
+    for user_id, pdf in events.groupby("user_id"):
+        proc = UserTotalsProcessor()
+        proc.init(_FakeHandle())
+        # split each key's rows into 3 microbatches to exercise the
+        # state carry, and feed multiple chunks within one batch to
+        # exercise the iterator contract
+        chunks = [pdf.iloc[i::3].reset_index(drop=True) for i in range(3)]
+        out = None
+        for chunk in chunks:
+            halves = [chunk.iloc[: len(chunk) // 2], chunk.iloc[len(chunk) // 2 :]]
+            out = list(proc.handleInputRows((user_id,), halves, None))[-1]
+        proc.close()
+        row = out.iloc[0]
+        got[user_id] = (int(row["total_cents"]), int(row["n_events"]))
+
+    assert got == expected
+
+
+def test_v2_env_gate_is_documented():
+    """The protobuf skip above must never be silent: COVERAGE.md has
+    to carry the gate (and this test fails if protobuf appears in the
+    container, at which point the e2e test runs and the gate note
+    should be retired)."""
+    with open("/root/repo/docs/COVERAGE.md") as f:
+        cov = f.read()
+    if HAVE_PROTOBUF:
+        pytest.fail(
+            "protobuf is now present: test_v2_streaming_end_to_end runs; "
+            "update docs/COVERAGE.md to drop the env-gate note"
+        )
+    assert "env-gated on protobuf" in cov
