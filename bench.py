@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -100,12 +101,16 @@ def main() -> None:
 
     # noop sink: full distributed execution without billing the
     # driver-side row serialization of collect() to the query.
-    # Per-query time = min over REPS runs: shared-host noise (CPU
-    # steal, cache eviction) only ever ADDS time, so the minimum is
-    # the query's achievable cost — single runs varied up to ±60%
+    # Headline per-query time = min over REPS runs: shared-host noise
+    # (CPU steal, cache eviction) only ever ADDS time, so the minimum
+    # is the query's achievable cost — single runs varied up to ±60%
     # on this box while per-query minima stayed within a few percent.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    timings: dict[str, float] = {}
+    # The MEDIAN per query is also recorded (queries_median) so a
+    # cross-round delta can be classified as noise (min stable,
+    # median moved) vs regression (min itself moved) without having
+    # to re-run the bench forensically.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for r in range(reps):
         for key in HEADLINE:
@@ -119,21 +124,31 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
-                timings.pop(key, None)
+                samples.pop(key, None)
                 errors[key] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
             dt = round(time.perf_counter() - t0, 3)
-            if key not in timings or dt < timings[key]:
-                timings[key] = dt
+            samples.setdefault(key, []).append(dt)
 
+    timings = {k: min(v) for k, v in samples.items()}
+    medians = {k: round(statistics.median(v), 3) for k, v in samples.items()}
+    # host-load stamp: 1/5/15-min loadavg at end of run, plus CPU
+    # count — a loadavg far above SPARK_GRAFT_CPUS means the numbers
+    # were taken on a contended box and cross-round deltas are suspect
+    load1, load5, load15 = os.getloadavg()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
+        "host": {
+            "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+            "cpus": os.cpu_count(),
+        },
     }
     if errors:
         out["errors"] = errors

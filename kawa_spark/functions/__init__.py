@@ -1,3 +1,4 @@
 from kawa_spark.functions.exact import dec, dsum, davg
+from kawa_spark.functions.hof import bind
 
-__all__ = ["dec", "dsum", "davg"]
+__all__ = ["dec", "dsum", "davg", "bind"]

@@ -91,23 +91,72 @@ def _edge_checksum(edges: DataFrame) -> tuple:
     return tuple(row)
 
 
+# Below this many distinct edges the component structure is solved
+# on the driver with union-find instead of the distributed star loop.
+# Rationale (the same adaptivity AQE applies to join strategy): the
+# star loop's cost at small edge counts is ~all fixed per-round
+# scheduling — 3-5 rounds × (2 aggregates + 2 joins + a checksum job)
+# for a graph that fits in one network packet. The cap bounds driver
+# transfer at ~2 MB (CAP × two 8-byte ids + row overhead); above it
+# the distributed path runs exactly as before, so the operator's
+# 100 TB story is unchanged — near-dup PAIR sets are orders smaller
+# than the corpus, but when they aren't, nothing ever collects them.
+LOCAL_SOLVE_CAP = 100_000
+
+
+def _local_components(rows: list) -> list:
+    """Driver-side union-find over a bounded edge list → [(node,
+    component=min reachable id)]. Same contract as the distributed
+    path, bit-for-bit."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller id becomes the root, so roots
+            # are already the component minimum when the loop ends
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(node, find(node)) for node in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
     strict: bool = True,
+    local_solve_cap: int = LOCAL_SOLVE_CAP,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node
     id reachable. Deterministic.
 
-    Convergence contract: a round whose edge-set checksum matches the
-    previous round is verified by an EXACT multiset comparison before
-    being accepted as the fixpoint. If ``max_iterations`` rounds pass
-    without a verified fixpoint, ``strict=True`` (default) raises
-    rather than silently returning split components; ``strict=False``
-    returns the partial labels (every label is still a valid member
-    of its true component, just possibly not the global min)."""
+    Adaptive execution: the distinct edge set is materialized first
+    (it feeds every round); if it holds ≤ LOCAL_SOLVE_CAP edges the
+    components are solved on the driver with union-find (one bounded
+    collect — candidate-pair graphs after LSH/blocking are tiny
+    relative to the corpus), otherwise the distributed alternating
+    large-star/small-star loop runs.
+
+    Convergence contract (distributed path): a round whose edge-set
+    checksum matches the previous round is verified by an EXACT
+    multiset comparison before being accepted as the fixpoint. If
+    ``max_iterations`` rounds pass without a verified fixpoint,
+    ``strict=True`` (default) raises rather than silently returning
+    split components; ``strict=False`` returns the partial labels
+    (every label is still a valid member of its true component, just
+    possibly not the global min)."""
     # materialize the edge set FIRST: `edges` may itself be an
     # expensive pipeline (e.g. LSH candidate generation), and the
     # star rewrites reference it repeatedly — without this checkpoint
@@ -117,6 +166,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # count over the materialized checkpoint is a metadata-cheap job;
+    # limit() first so a huge edge set never pays a full count here
+    probe = raw.limit(local_solve_cap + 1).count()
+    if probe <= local_solve_cap:
+        spark = edges.sparkSession
+        labels = _local_components([(r[0], r[1]) for r in raw.collect()])
+        # node type = the a/b common supertype (plan-derived, no job)
+        out_schema = (
+            raw.select(F.col("a").alias("node"))
+            .unionByName(raw.select(F.col("b").alias("node")))
+            .select("node", F.col("node").alias("component"))
+            .schema
+        )
+        if not labels:
+            return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(labels, out_schema)
     # every node that appears anywhere — taken from the RAW pair set,
     # BEFORE the self-loop filter below, so a node appearing only as
     # an (x, x) pair still receives its self-label via the final

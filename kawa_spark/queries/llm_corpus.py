@@ -102,11 +102,17 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file local input arrives as ONE partition; the explode +
     # map-side partial agg are CPU-bound, so spread across cores first
     # (a no-op cost at real scale where file splits provide this)
+    from kawa_spark.functions.hof import bind
+
     d = spread(table(spark, sf_dir, "documents"))
-    words = F.split(F.lower(F.col("text")), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    # let-bind the word array (functions/hof.py): an unbound split()
+    # inside the per-position lambda re-splits the doc per bigram
+    bigrams = bind(
+        F.split(F.lower(F.col("text")), " "),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))

@@ -183,23 +183,32 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     training/RAG corpora. Pure array expressions: one scan, 1→N rows,
     no UDF. At 100 TB the output is written partitioned by a hash of
     doc_id so downstream shuffles are balanced."""
+    from kawa_spark.functions.hof import bind
+
     d = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.greatest(
-        F.ceil((F.size(words) - F.lit(8)) / F.lit(24.0)).cast("long"), F.lit(1)
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.struct(
-            (i - 1).cast("int").alias("chunk_no"),
-            F.concat_ws(" ", F.slice(words, (i - 1) * 24 + 1, 32)).alias(
-                "chunk_text"
+
+    # let-bind the word array: an unbound split() reference inside the
+    # per-chunk lambda re-splits the document at every chunk position
+    # (functions/hof.py)
+    def chunks_of(ws: F.Column) -> F.Column:
+        n_chunks = F.greatest(
+            F.ceil((F.size(ws) - F.lit(8)) / F.lit(24.0)).cast("long"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("chunk_no"),
+                F.concat_ws(" ", F.slice(ws, (i - 1) * 24 + 1, 32)).alias(
+                    "chunk_text"
+                ),
+                F.least(
+                    F.size(ws) - ((i - 1) * 24), F.lit(32)
+                ).cast("int").alias("chunk_tokens"),
             ),
-            F.least(
-                F.size(words) - ((i - 1) * 24), F.lit(32)
-            ).cast("int").alias("chunk_tokens"),
-        ),
-    )
+        )
+
+    chunks = bind(F.split(F.col("text"), " "), chunks_of)
     return (
         d.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_no", "c.chunk_text", "c.chunk_tokens")
@@ -277,18 +286,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: (a) md5 of whitespace-normalized text;
     (b) min-hash over 5-word shingles (the rolling-hash fingerprint
     used as a near-dup prefilter). Arrays + HOFs only, no UDF."""
+    from kawa_spark.functions.hof import bind
+
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - 4),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))),
-    )
+
+    # let-bind the word array (functions/hof.py): an unbound split()
+    # inside the per-position lambda re-splits the doc per shingle
+    def min_shingle(ws: F.Column) -> F.Column:
+        n = F.size(ws)
+        return F.when(
+            n >= 5,
+            F.array_min(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, 5))),
+                )
+            ),
+        ).otherwise(F.md5(F.col("text")))
+
     return d.select(
         "doc_id",
         F.md5(norm).alias("norm_fingerprint"),
-        F.when(n >= 5, F.array_min(shingles))
-        .otherwise(F.md5(F.col("text")))
-        .alias("shingle_min_hash"),
+        bind(F.split(F.col("text"), " "), min_shingle).alias(
+            "shingle_min_hash"
+        ),
     )

@@ -85,6 +85,13 @@ def start_incremental_rollup(
         # standard continuous-aggregate compaction pattern.)
         changed = batch_df.withColumn("dt", F.to_date("window_start"))
         dates = [r[0] for r in changed.select("dt").distinct().collect()]
+        # availableNow appends a no-data microbatch for watermark
+        # bookkeeping; in update mode it emits no group changes —
+        # zero touched dates means the read-back + anti-join +
+        # partition rewrite would be a ~1 s no-op per trigger. The
+        # dates collect above is the emptiness probe (already paid).
+        if not dates:
+            return
         merged = changed
         # Merge only when the table demonstrably exists (first batch it
         # doesn't). An explicit existence probe — NOT a blanket

@@ -73,15 +73,36 @@ def test_dedup_clusters_keepers(spark):
 def test_components_long_chain_converges_in_log_rounds(spark):
     """A 200-node path graph is the worst case for label propagation
     (diameter 199) but the star alternation must finish in O(log n)
-    rounds — well inside the default max_iterations=20."""
+    rounds — well inside the default max_iterations=20.
+    local_solve_cap=0 forces the distributed path this test is about."""
     n = 200
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     got = {
-        r["node"]: r["component"] for r in connected_components(edges).collect()
+        r["node"]: r["component"]
+        for r in connected_components(edges, local_solve_cap=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_components_local_and_distributed_paths_agree(spark):
+    """The driver-side union-find fast path (edge count ≤
+    local_solve_cap) must be bit-identical to the distributed star
+    loop — same labels, same schema — on a graph with multiple
+    components, self-loop-only nodes, and reversed/duplicate edges."""
+    edges = spark.createDataFrame(
+        [(5, 7), (7, 9), (9, 5), (100, 101), (42, 42), (7, 5), (3, 2)],
+        "src long, dst long",
+    )
+    local = connected_components(edges)  # 7 edges → local path
+    dist = connected_components(edges, local_solve_cap=0)
+    assert local.schema == dist.schema
+    to_map = lambda df: {r["node"]: r["component"] for r in df.collect()}
+    assert to_map(local) == to_map(dist)
+    assert to_map(local) == {
+        5: 5, 7: 5, 9: 5, 100: 100, 101: 100, 42: 42, 2: 2, 3: 2
+    }
 
 
 def test_components_strict_contract(spark):
@@ -94,12 +115,14 @@ def test_components_strict_contract(spark):
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=1, strict=True)
+        connected_components(
+            edges, max_iterations=1, strict=True, local_solve_cap=0
+        )
 
     partial = {
         r["node"]: r["component"]
         for r in connected_components(
-            edges, max_iterations=1, strict=False
+            edges, max_iterations=1, strict=False, local_solve_cap=0
         ).collect()
     }
     # every label is a real node of the (single) component, and labels
