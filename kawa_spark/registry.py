@@ -42,78 +42,81 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # of registration order). Rounds therefore ROTATE which keys occupy
 # the window: r1 verified the relational/join/window/stream/dedup/
 # similarity/text tier; r2 the tpch(6)/udf/stats/extras/corpus tier;
-# r4 the 35 then-unseen keys (full tpch_full, kmeans/IVF-trained,
-# quality/corpus-prep, embeddings, sessionization, multimodal,
-# passthrough). After r4, all 132 keys have driver evidence;
-# latest-driver-status is green for 122/132. Round 5's window
-# (below) leads with the 10 driver-red keys — 4 value-correct keys
-# whose oracles emitted DuckDB HUGEINT columns (cast to BIGINT this
-# round; judge verified values match at sf0.01) and 6 r3 NTZ-
-# regression victims fixed in r4 (judge re-verified green locally,
-# awaiting driver confirmation) — then the 3 keys whose
-# implementations change this round (similarity_ivf centroid bound,
-# dedup_clusters posting-table persist + self-loop contract,
-# corpus_decontaminate hash swap), then the 34 keys whose only
-# driver evidence is r1, then 3 r3-era TPC-H keys, totalling 50.
-# tests/test_registry_window.py pins this list against accidental
-# registration-order drift.
+# r4 the 35 then-unseen keys; r5 led with the 10 driver-red keys
+# (HUGEINT oracle casts + NTZ victims — all flipped green, making
+# latest-driver-status 132/132 green) plus that round's changed
+# implementations (similarity_ivf centroid cap, dedup_clusters
+# self-loop contract; the decontaminate hash swap and posting-table
+# persist had landed earlier, in r2) and the 34 r1-only keys.
+#
+# Round 6's window (below): first the 12 keys whose implementations
+# changed this round — the shingle let-binding rewrite (functions/
+# hof.py) flows into dedup_minhash/ngram_jaccard/clusters,
+# corpus_decontaminate and similarity_containment; text_chunking,
+# text_fingerprint and corpus_bigrams got the same fix; kmeans_lloyd
+# and similarity_ivf_kmeans now share one cached Lloyd training
+# round; stream_exec_incremental_rollup skips the empty watermark
+# microbatch's merge; multimodal_audio_features grew a REAL WAV
+# codec path (new sample_rate/bits output columns — schema changed,
+# driver must re-verify). Then the 34 remaining keys whose latest
+# driver evidence is r3, then 4 r4-latest fills (the other
+# multimodal kernels neighboring the audio change + the embedding
+# near-dup tier). tests/test_registry_window.py pins this list
+# against accidental registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 10 driver-red keys (VERDICT r04 item 3) ---
-    # 4 oracle HUGEINT-typing fails, value-correct, oracles fixed r5:
-    "tpch_q12_late_lines",
-    "corpus_pack_sequences",
-    "corpus_mixture_sample",
-    "events_sessionize_batch",
-    # 6 r3 NTZ victims, loader-fixed r4, judge-green, driver-unconfirmed:
-    "stream_exec_tumbling",
-    "stream_exec_dedup_watermark",
-    "stream_exec_stream_stream_join",
-    "stream_exec_stream_static_join",
-    "stream_exec_incremental_rollup",
-    "window_range_time",
-    # --- 3 keys whose implementation changes this round ---
-    "similarity_ivf",
+    # --- 12 keys whose implementation changed this round ---
+    "multimodal_audio_features",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
     "dedup_clusters",
     "corpus_decontaminate",
-    # --- 34 keys whose only driver evidence is r1 ---
-    "scan_project",
-    "filter_predicate",
-    "flatmap_explode",
-    "deser_json",
-    "map_ops_extra",
-    "flatmap_posexplode",
-    "union_all",
-    "union_distinct",
-    "intersect",
-    "except_distinct",
-    "agg_distinct",
-    "grouping_rollup",
-    "sort_limit_topk",
-    "scalar_string_date_math",
-    "join_outer_left",
-    "join_outer_right",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    "window_rank_extra",
-    "window_analytic",
-    "stream_tumbling_count",
-    "stream_session",
-    "stateful_running_total",
-    "dedup_exact",
-    "dedup_exact_norm",
-    "dedup_ngram_jaccard",
-    "similarity_lsh_multiprobe",
-    "text_stats",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
+    "similarity_containment",
     "text_chunking",
-    # --- r3-era TPC-H re-confirmations (fills to 50) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
+    "text_fingerprint",
+    "corpus_bigrams",
+    "kmeans_lloyd",
+    "similarity_ivf_kmeans",
+    "stream_exec_incremental_rollup",
+    # --- 34 keys whose latest driver evidence is r3 ---
+    "agg_argminmax",
+    "agg_bitwise_bool",
+    "agg_stats_moments",
+    "agg_string_collect",
+    "array_map_ops",
+    "corpus_dedup_report",
+    "corpus_split",
+    "corpus_stratified_sample",
+    "corpus_tfidf",
+    "data_profile",
+    "dedup_keeper_corpus",
+    "dedup_simhash",
+    "histogram_width_bucket",
+    "interval_arithmetic",
+    "join_asof",
+    "json_roundtrip",
+    "multimodal_meta",
+    "null_handling",
+    "percentile_cont",
+    "percentile_disc",
+    "pipeline_dedup_corpus",
+    "pivot_wide",
+    "rollup_multires",
+    "sample_hash",
+    "scalar_string_extra",
+    "sql_surface",
+    "stream_exec_running_total",
+    "stream_exec_session_totals",
+    "subquery_correlated",
+    "text_edit_distance",
+    "text_normalize",
+    "text_redact_pii",
+    "udf_python",
+    "udtf_lateral",
+    # --- r4-latest fills (to 50) ---
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "dedup_embedding_cosine",
 ]
 
 

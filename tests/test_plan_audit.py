@@ -226,3 +226,19 @@ def test_ivf_kmeans_search_is_broadcast_only(spark):
     # cid-keyed exchange allowed is the training mean's K×DIM-row agg)
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_ivf_sampled_centroid_budget_pinned(spark):
+    """The sampled-quantizer IVF path must keep its FIXED centroid
+    budget: without the ``.limit(IVF_MAX_CELLS)`` after the 1/53 id
+    sample, centroid count — and with it the broadcast size and the
+    per-vector argmin cost — grows with the corpus (measured 8.4× at
+    the 10× probe before the cap, 1.2× after). Pin the physical plan:
+    the centroid side compiles to TakeOrderedAndProject with exactly
+    the budget as its limit."""
+    from kawa_spark.queries.llm_similarity import IVF_MAX_CELLS
+
+    df = registry.QUERIES["similarity_ivf"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert f"limit={IVF_MAX_CELLS}" in plan, plan
