@@ -1,15 +1,24 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/video codec libraries, so the IMAGE decode
-kernels are deterministic STUBS (clearly marked). The AUDIO path is
-REAL: multimodal_audio_features builds genuine RIFF/WAVE containers
-(the bytes a real audio corpus would hold) and decodes them with a
-from-scratch pure-Python WAV parser — chunk walk, fmt parse, 8/16-bit
-PCM extraction (see _wav_encode/_wav_decode). Everything Spark-side is
-real and load-bearing for every modality: binary columns, metadata
-structs, Arrow-batched ``mapInPandas`` with explicit output schemas,
-1→N frame expansion, and partition sizing. Swapping the remaining
-image stub for PIL changes only the inner function body.
+The container ships no codec libraries, so both decode paths are
+from-scratch pure-Python codecs (round 6; no stub kernels remain):
+
+* IMAGE — multimodal_decode renders payloads as genuine 8-bit palette
+  BMPs and parses them back (_bmp_encode/_bmp_decode: header
+  validation, palette mapping, stride + bottom-up/top-down rows,
+  8/24-bit).
+* AUDIO — multimodal_audio_features builds genuine RIFF/WAVE
+  containers and parses them (_wav_encode/_wav_decode: chunk walk,
+  fmt parse, 8/16-bit PCM extraction).
+
+multimodal_meta stays a column-expression byte-math pass by design
+(the metadata-only scan path that never touches a decoder); frames/
+resize operate on raw payload bytes (no container format involved).
+Everything Spark-side is real and load-bearing for every modality:
+binary columns, metadata structs, Arrow-batched ``mapInPandas`` with
+explicit output schemas, 1→N frame expansion, and partition sizing.
+A production build swaps the codecs for PIL/ffmpeg bindings without
+touching the plan shapes.
 
 At 100 TB the rules encoded here: binaries ride in their own column
 (columnar parquet keeps them out of metadata-only scans); decode is
@@ -30,21 +39,86 @@ from kawa_spark.io import table
 from kawa_spark.registry import register
 
 
-def _decode_image_stub(payload: bytes) -> dict:
-    """STUB decode: a real build would call PIL.Image.open here.
-    Deterministic fake: dimensions derived from the payload bytes.
+def _bmp_encode(payload: bytes, width: int = 64) -> bytes:
+    """Minimal canonical BMP writer: 8-bit indexed pixels with a
+    256-entry grayscale palette, rows bottom-up and 4-byte aligned —
+    the container any image viewer opens. Payload bytes become pixel
+    values row-major; the last row is zero-padded to full width.
+    Pure stdlib; ships to workers via shipping.ensure_shipped."""
+    import struct
 
-    NOTE: worker closures must NOT reference this module-level symbol
-    (cloudpickle would pickle it by reference and workers can't import
-    kawa_spark unless shipped) — the mapInPandas bodies below inline
-    their own copy. Kept here as the documented decode contract."""
-    if not payload:
-        raise NotImplementedError("empty payload; real decoder not available")
-    return {
-        "width": 64 + payload[0] % 64,
-        "height": 64 + payload[-1] % 64,
-        "mode": "RGB",
-    }
+    n = len(payload)
+    height = max((n + width - 1) // width, 1)
+    stride = (width + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = [
+        payload[r * width : (r + 1) * width].ljust(stride, b"\x00")
+        for r in range(height)
+    ]
+    pixels = b"".join(reversed(rows))  # positive height ⇒ bottom-up
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))  # BGRA
+    offset = 14 + 40 + len(palette)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(pixels),
+            2835, 2835, 256, 0,
+        )
+    )
+    return header + palette + pixels
+
+
+def _bmp_decode(buf: bytes) -> dict:
+    """From-scratch BMP parser: validates the BITMAPFILEHEADER, reads
+    the 40-byte BITMAPINFOHEADER, handles 8-bit palette-indexed and
+    24-bit BGR pixels, 4-byte row alignment, and both bottom-up
+    (positive height) and top-down (negative height) row order — the
+    contract any real uncompressed BMP satisfies, not just ones this
+    module wrote. Returns {width, height, mode, pixels} with pixels a
+    top-down (height, width) uint8 grayscale array (24-bit decodes to
+    integer-mean gray). Unit-tested in tests/test_bmp_codec.py."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 54 or buf[0:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (offset,) = struct.unpack("<I", buf[10:14])
+    hdr_size, width, height_raw, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", buf[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported header size {hdr_size}")
+    if compression != 0:
+        raise ValueError(f"unsupported compression {compression}")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    if bpp == 8:
+        # palette: BGRA entries between the header and the pixel data
+        pal_raw = np.frombuffer(
+            buf[14 + hdr_size : offset], dtype=np.uint8
+        ).reshape(-1, 4)
+        # grayscale value per index = integer mean of B,G,R
+        pal_gray = (
+            pal_raw[:, :3].astype(np.uint32).sum(axis=1) // 3
+        ).astype(np.uint8)
+        stride = (width + 3) & ~3
+        raw = np.frombuffer(
+            buf[offset : offset + stride * height], dtype=np.uint8
+        ).reshape(height, stride)[:, :width]
+        pixels = pal_gray[raw]
+    elif bpp == 24:
+        stride = (width * 3 + 3) & ~3
+        raw = np.frombuffer(
+            buf[offset : offset + stride * height], dtype=np.uint8
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        pixels = (raw.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported bit depth {bpp}")
+    if not top_down:
+        pixels = pixels[::-1]
+    mode = "L" if bpp == 8 else "RGB"
+    return {"width": width, "height": height, "mode": mode, "pixels": pixels}
 
 
 @register(
@@ -82,59 +156,82 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    # The stub decoder is deterministic byte math over ASCII payloads
-    # (byte n == codepoint n, like multimodal_meta), so the full decode
-    # output — including the mean-byte "pixel statistic" — has an exact
-    # SQL twin: integer byte sums are exact in float64, so the single
-    # final division lands on the identical IEEE double in both engines.
+    # Exact SQL twin of the REAL BMP pipeline: pixel bytes are the
+    # document's bytes laid out 64-wide with the last row zero-padded,
+    # so width = 64, height = ceil(n/64), and mean_pixel = byte sum
+    # over the full (padded) raster. Integer byte sums are exact in
+    # float64; the single final division lands on the identical IEEE
+    # double in both engines.
     oracle="""
     SELECT
       doc_id,
-      CAST(64 + unicode(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
-      CAST(64 + unicode(text[-1]) % 64 AS INTEGER) AS height,
-      'RGB' AS mode,
+      CAST(64 AS INTEGER) AS width,
+      CAST((strlen(text) + 63) // 64 AS INTEGER) AS height,
+      'L' AS mode,
       list_sum([unicode(c) for c in string_split(text, '')])::DOUBLE
-        / strlen(text) AS mean_byte
+        / (64 * ((strlen(text) + 63) // 64)) AS mean_pixel
     FROM documents
     WHERE strlen(text) > 0
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode via mapInPandas: binary in → feature
-    struct out. The batch shape (iterator of pandas DataFrames) and
-    the explicit output schema are the production contract."""
+    """REAL image decode path (not a stub since round 6): stage 1
+    renders each document's bytes as a genuine 8-bit palette BMP
+    (64-wide grayscale raster — the bytes an actual image corpus
+    would hold); stage 2 runs the from-scratch BMP parser
+    (_bmp_decode: file/info header validation, palette mapping,
+    bottom-up row unflip, stride handling) and emits the parsed
+    dimensions plus the mean pixel value over the decoded raster.
+    Both stages are Arrow-batched mapInPandas with explicit schemas —
+    the production contract; codec functions ship to workers via
+    shipping.ensure_shipped."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
-    schema = "doc_id long, width int, height int, mode string, mean_byte double"
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained copy of _decode_image_stub (see its docstring)
-        def decode_stub(payload: bytes) -> dict:
-            return {
-                "width": 64 + payload[0] % 64,
-                "height": 64 + payload[-1] % 64,
-                "mode": "RGB",
-            }
+    def encode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kawa_spark.queries.llm_multimodal import _bmp_encode
 
         for pdf in batches:
-            # skip undecodable empty payloads — mirrors the oracle's
+            # empty payloads carry no raster — mirrors the oracle's
             # strlen(text) > 0 filter and multimodal_resize's behavior
             pdf = pdf[[len(p) > 0 for p in pdf["payload"]]]
-            meta = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bmp": [_bmp_encode(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    bmps = d.mapInPandas(encode_bmp, schema="doc_id long, bmp binary")
+
+    schema = (
+        "doc_id long, width int, height int, mode string, mean_pixel double"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kawa_spark.queries.llm_multimodal import _bmp_decode
+
+        for pdf in batches:
+            meta = [_bmp_decode(bytes(b)) for b in pdf["bmp"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": [m["width"] for m in meta],
                     "height": [m["height"] for m in meta],
                     "mode": [m["mode"] for m in meta],
-                    # stand-in for a pixel statistic
-                    "mean_byte": [sum(p) / len(p) for p in pdf["payload"]],
+                    "mean_pixel": [
+                        float(m["pixels"].astype("int64").sum())
+                        / m["pixels"].size
+                        for m in meta
+                    ],
                 }
             )
 
-    return d.mapInPandas(decode, schema=schema)
+    return bmps.mapInPandas(decode, schema=schema)
 
 
 def _wav_encode(pcm: bytes, sample_rate: int = 8000, bits: int = 8) -> bytes:

@@ -49,23 +49,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 6's window (below): first the 12 keys whose implementations
+# Round 6's window (below): first the 13 keys whose implementations
 # changed this round — the shingle let-binding rewrite (functions/
 # hof.py) flows into dedup_minhash/ngram_jaccard/clusters,
 # corpus_decontaminate and similarity_containment; text_chunking,
 # text_fingerprint and corpus_bigrams got the same fix; kmeans_lloyd
 # and similarity_ivf_kmeans now share one cached Lloyd training
 # round; stream_exec_incremental_rollup skips the empty watermark
-# microbatch's merge; multimodal_audio_features grew a REAL WAV
-# codec path (new sample_rate/bits output columns — schema changed,
-# driver must re-verify). Then the 34 remaining keys whose latest
-# driver evidence is r3, then 4 r4-latest fills (the other
-# multimodal kernels neighboring the audio change + the embedding
-# near-dup tier). tests/test_registry_window.py pins this list
-# against accidental registration-order drift.
+# microbatch's merge; multimodal_audio_features and multimodal_decode
+# replaced their stub kernels with REAL WAV/BMP codec paths (both
+# with changed output schemas — driver must re-verify). Then the 34
+# remaining keys whose latest driver evidence is r3, then 3 r4-latest
+# fills (the multimodal kernels neighboring the codec changes + the
+# embedding near-dup tier). tests/test_registry_window.py pins this
+# list against accidental registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 12 keys whose implementation changed this round ---
+    # --- 13 keys whose implementation changed this round ---
     "multimodal_audio_features",
+    "multimodal_decode",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -113,7 +114,6 @@ DRIVER_WINDOW: list[str] = [
     "udf_python",
     "udtf_lateral",
     # --- r4-latest fills (to 50) ---
-    "multimodal_decode",
     "multimodal_frames",
     "multimodal_resize",
     "dedup_embedding_cosine",
