@@ -37,7 +37,18 @@ DIM = 64
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as a left fold in double precision."""
+    """Σ aᵢ·bᵢ as a left fold in double precision.
+
+    Deliberately the HOF fold, NOT a DIM-unrolled `+` chain: the r6
+    experiment that unrolled this into 64 inline get/cast/mul terms
+    was a measured LOSS on both axes — per-evaluation the fold's
+    tight loop beats 64 boxed array gets (0.87 s vs 1.40 s for 200k
+    dots), and the ~260-node unrolled trees ballooned Catalyst
+    planning by several seconds per invocation. The real levers for
+    mass pair-dots are upstream: evaluate FEWER dots (precompute
+    norms once per vector — see similarity_ivf) and never shuffle a
+    pair cross-product (struct-min argmin, not a row_number
+    window)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -336,57 +347,87 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF trade of recall for a bounded scan fraction.
     """
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    # norms are computed ONCE per vector BEFORE any join: cosine()
+    # inline would re-derive both operands' norms at every pair, so
+    # the K-way broadcast join would evaluate norm(embedding) K times
+    # per vector (2/3 of the assign stage's arithmetic for nothing).
+    # Same IEEE values — the per-pair math is now one dot + a divide
+    # against the precomputed factors.
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("n_e"),
+    )
     cents = (
-        e.filter(F.col("vec_id") % 53 == 0)
+        en.filter(F.col("vec_id") % 53 == 0)
         # fixed centroid budget: global ordered take of the smallest
         # sampled ids — a TakeOrderedAndProject over ≤ N/53 rows, tiny
         .orderBy("vec_id")
         .limit(IVF_MAX_CELLS)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent"))
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+            F.col("n_e").alias("n_c"),
+        )
     )
-    # assign: nearest centroid per corpus vector (broadcast argmin)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cell_id")
+    # assign: nearest centroid per corpus vector — struct-min ARGMIN
+    # aggregate, NOT a row_number window: the window shape shuffles
+    # the full N×K cross product (embedding arrays riding along) on
+    # vec_id before discarding all but one row per vector — measured
+    # 448× wall at the 100× probe. The groupBy's map-side combine
+    # collapses each vector's K candidate rows to one inside the
+    # broadcast-join stage, so the exchange carries N rows, not N×K.
+    # min(struct(dist, cell_id, …)) compares lexicographically —
+    # identical (dist asc, cell_id asc) tie-break as the window had.
+    # Same pattern as _lloyd_assign, whose 100× ratio is ~14×.
+    pair_cos = dot(F.col("embedding"), F.col("cent")) / (
+        F.col("n_e") * F.col("n_c")
     )
     assigned = (
-        e.join(F.broadcast(cents))
+        en.join(F.broadcast(cents))
         .select(
             "vec_id",
-            "embedding",
-            "cell_id",
-            (-cosine(F.col("embedding"), F.col("cent"))).alias("dist"),
+            F.struct(
+                (-pair_cos).alias("dist"), "cell_id", "embedding", "n_e"
+            ).alias("c"),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist")
+        .groupBy("vec_id")
+        .agg(F.min("c").alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.n_e").alias("n_e"),
+            F.col("b.cell_id").alias("cell_id"),
+        )
     )
     # queries probe their 2 nearest cells
     nprobe = 2
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n_e").alias("n_q"),
     )
+    q_cos = dot(F.col("q_emb"), F.col("cent")) / (F.col("n_q") * F.col("n_c"))
     w_probe = Window.partitionBy("q_id").orderBy(F.col("qdist").asc(), F.col("cell_id"))
     probes = (
         q.join(F.broadcast(cents))
-        .select(
-            "q_id",
-            "q_emb",
-            "cell_id",
-            (-cosine(F.col("q_emb"), F.col("cent"))).alias("qdist"),
-        )
+        .select("q_id", "q_emb", "n_q", "cell_id", (-q_cos).alias("qdist"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", "cell_id")
+        .select("q_id", "q_emb", "n_q", "cell_id")
     )
     cand = probes.join(assigned, "cell_id").filter(
         F.col("vec_id") != F.col("q_id")
+    )
+    rerank_cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("n_q") * F.col("n_e")
     )
     w_rank = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (
         cand.select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+            rerank_cos.alias("score"),
         )
         .select("q_id", "n_id", "score", F.row_number().over(w_rank).alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
@@ -533,7 +574,8 @@ def _kmeans_oracle() -> str:
 
 
 def _d2_col(a: Column, c: Column) -> Column:
-    """Squared L2 distance — the Column twin of ``_d2_sql``."""
+    """Squared L2 distance — the Column twin of ``_d2_sql``.
+    HOF fold, not an unrolled chain — see ``dot`` for why."""
     return F.aggregate(
         F.zip_with(
             a,

@@ -283,9 +283,11 @@ def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         path=f"{base}/table",
         checkpoint=f"{base}/cp",
         available_now=True,
-        # state = hours × event types (~thousands of rows): 8 stores
-        # ample; 32 would spin 4× the RocksDB instances for no data
-        state_partitions=8,
+        # state = hours × event types (~thousands of rows): 4 stores
+        # ample (32 would spin 8× the RocksDB instances for no data;
+        # measured r6: 8→4 stores cut the bounded drain 3.9→2.5 s —
+        # per-batch RocksDB open/commit is the fixed cost here)
+        state_partitions=4,
     )
     if not q.awaitTermination(300):
         q.stop()
