@@ -242,3 +242,25 @@ def test_ivf_sampled_centroid_budget_pinned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert f"limit={IVF_MAX_CELLS}" in plan, plan
+
+
+def test_ivf_sampled_assign_is_aggregate_not_window(spark):
+    """The sampled-IVF cell assignment must stay a struct-min ARGMIN
+    aggregate: a row_number window there shuffles the full N×K
+    broadcast-join output (embedding arrays riding along) — measured
+    448× wall at the 100× probe before the r6 fix. The plan may
+    contain exactly the two query-side windows (probe selection and
+    final rank, both partitioned by q_id — |Q| is fixed); a third
+    window means the assignment argmin regressed."""
+    import re
+
+    df = registry.QUERIES["similarity_ivf"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly two Window operators (WindowGroupLimit pushdown nodes
+    # for the same two windows are fine — they BOUND the sorts)
+    assert len(re.findall(r"\bWindow \[", plan)) == 2, plan
+    # every window is q_id-partitioned; none on the corpus vector id
+    for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert spec.startswith("q_id"), spec
+    # and the argmin aggregate is present
+    assert "partial_min" in plan, plan
