@@ -76,6 +76,13 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE (r6 negative result): do NOT centrally spread() fact scans
+    # here. The local testdata is one row group per file (single-core
+    # scans), and an experiment repartitioning every fact table at
+    # table() made the bench WORSE (35→50 s): join pipelines paid a
+    # full round-robin exchange before the hash exchanges/broadcast
+    # streams they already had. spread() stays a per-operator decision
+    # at the CPU-bound call sites that profiling justified.
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
