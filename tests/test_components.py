@@ -50,13 +50,22 @@ def test_components_random_vs_union_find(spark):
         touched = {a for a, _ in edges} | {b for _, b in edges}
         want = {n: find(n) for n in touched}
 
-        got = {
+        df = spark.createDataFrame(edges, "src long, dst long")
+        # BOTH execution paths must match the reference labeling:
+        # default (≤ cap ⇒ driver union-find) AND the distributed
+        # star loop forced via local_solve_cap=0 — otherwise this
+        # property test would circularly compare union-find against
+        # itself now that small graphs solve locally.
+        got_local = {
             r["node"]: r["component"]
-            for r in connected_components(
-                spark.createDataFrame(edges, "src long, dst long")
-            ).collect()
+            for r in connected_components(df).collect()
         }
-        assert got == want
+        got_dist = {
+            r["node"]: r["component"]
+            for r in connected_components(df, local_solve_cap=0).collect()
+        }
+        assert got_local == want
+        assert got_dist == want
 
 
 def test_dedup_clusters_keepers(spark):
