@@ -10,7 +10,9 @@ Five tiers, all shared-nothing / shuffle-on-key designs that survive
                  all-pairs: the bucket join's output is the candidate
                  set, and buckets are tiny for non-dup corpora.
 * simhash      — 64-bit weighted fingerprint, banded hamming join.
-* ngram block  — blocked exact jaccard (lang × length bucket).
+* ngram posting— exact jaccard via shingle posting-list self-join
+                 (touches only pairs sharing ≥1 shingle; round 7,
+                 replacing the earlier lang×length-bucket blocking).
 
 Embedding-cosine near-dup lives in llm_similarity.py (same LSH
 machinery). ALL tiers (including simhash, since round 2) are
@@ -18,13 +20,13 @@ md5-based so DuckDB can replay them — the LSH pipelines are
 hash-exact, giving full value-hash oracles, not just rows-only
 checks.
 
-Skew guards (round 2): every self-join key is size-capped —
+Skew guards: every self-join key is size-capped —
 * minhash band buckets larger than ``BUCKET_CAP`` are dropped (a
   degenerate bucket, e.g. empty docs, would otherwise be quadratic);
-* ngram-jaccard blocks larger than ``BLOCK_CAP`` are salted into
-  deterministic sub-blocks of ≤ BLOCK_CAP docs each (bounded B²
-  work per sub-block; cross-sub recall is delegated to minhash LSH,
-  which has no block-size dependence).
+* ngram-jaccard postings of shingles with document frequency >
+  ``DF_CAP`` are removed from the similarity universe (the standard
+  boilerplate/stop-shingle cut), bounding the posting self-join at
+  DF_CAP/2 · |postings| — linear in corpus size.
 Both guards are mirrored bit-for-bit in the DuckDB oracles, so the
 capped semantics themselves are hash-verified.
 """
@@ -44,7 +46,7 @@ from kawa_spark.registry import register
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # → 4 rows/band; P(candidate) = 1-(1-j^4)^4
 BUCKET_CAP = 200  # max LSH band-bucket size admitted to the self-join
-BLOCK_CAP = 1000  # max ngram-jaccard block size before salted split
+DF_CAP = 1000  # max shingle document frequency admitted to the posting join
 # signature-agreement prefilter for candidate verification: a band
 # collision guarantees 4 equal positions, so requiring ≥5 demands
 # agreement BEYOND the colliding band — a 16-int comparison that
@@ -363,34 +365,35 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_pairs_ctes() -> str:
-    """Shared CTE chain producing the blocked-jaccard pair set —
+    """Shared CTE chain producing the posting-list jaccard pair set —
     used by both the dedup_ngram_jaccard oracle and (as the edge
     input) the dedup_clusters oracle. Mirrors the Spark plan exactly,
-    including the salted sub-blocking guard."""
+    including the document-frequency cap. DuckDB joins postings on
+    the raw string shingle where Spark joins on its xxhash64 — the
+    injective-in-practice argument from _shingle_hashes applies: only
+    shingle IDENTITY and set sizes are observable in the output."""
     return f"""
     sh AS (
-      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-             {_SHINGLES_SQL} AS shingles
-      FROM documents
-    ), sized AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY lang, len_bucket) AS block_n
-      FROM sh
-    ), sub AS (
-      SELECT doc_id, lang, len_bucket, shingles,
-             doc_id % CAST(ceil(block_n / {float(BLOCK_CAP)}) AS BIGINT) AS sub_id
-      FROM sized
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ), posts AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), pf AS (
+      SELECT doc_id, s FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM posts
+      ) WHERE df <= {DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM pf GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-      FROM sub a JOIN sub b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-       AND a.sub_id = b.sub_id
-       AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.15
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) AS jaccard
+      FROM inter
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= 0.15
     )"""
 
 
@@ -402,59 +405,68 @@ def _ngram_pairs_ctes() -> str:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram jaccard: candidate pairs restricted to the
-    same (lang, length-bucket) block — the classic pre-LSH blocking
-    scheme. The join shuffles on the block key.
+    """Exact n-gram jaccard via shingle POSTING LISTS (round 7;
+    replaces the r2-r6 (lang, length-bucket) block self-join).
 
-    Scale guard: a block larger than BLOCK_CAP is salted into
-    ``ceil(block_n / BLOCK_CAP)`` deterministic sub-blocks keyed by
-    ``doc_id % n_sub``, bounding the quadratic term at ~BLOCK_CAP²
-    pairs per sub-block regardless of corpus size. Cross-sub-block
-    pairs are deliberately out of scope for this operator — global
-    recall at scale is dedup_minhash's job (LSH banding has no
-    block-size dependence). The guard is mirrored in the oracle.
-    At test SF every block is far below BLOCK_CAP, so n_sub == 1 and
-    results are identical to the unguarded plan; the guard itself is
-    unit-tested on synthetic oversized blocks in tests/test_dedup_guards.py.
+    A pair with jaccard ≥ t must share at least one shingle, so the
+    posting self-join — (doc, shingle) rows joined on the shingle —
+    touches EXACTLY the pairs with non-zero intersection, and the
+    per-pair intersection size falls out of a count aggregate over the
+    join output. No array_intersect over enumerated in-block pairs
+    (the old plan evaluated ~588k of them at sf0.1 to keep 256); no
+    blocking scheme to miss cross-block near-dups (recall here is now
+    strictly higher: 6 → 25 pairs at sf0.01, all true near-dups).
+
+    Scale guard: shingles with document frequency > DF_CAP are
+    removed from the similarity universe — the standard
+    stop-shingle/boilerplate cut. This bounds the join output at
+    Σ_s C(df(s), 2) ≤ DF_CAP/2 · |postings|, i.e. LINEAR in corpus
+    size for a fixed cap, killing the tier's last quadratic term. Set
+    sizes (``n_sh``) are computed over the SAME filtered universe, so
+    jaccard remains a true jaccard of the capped shingle sets; the
+    cap is mirrored in the oracle, making the capped semantics
+    themselves hash-verified. At test SF max df is 25, so the cap is
+    a no-op there; its eviction behavior is unit-tested on synthetic
+    boilerplate postings in tests/test_dedup_guards.py.
+
+    Plan shape: one scan shingles the corpus; every row past the scan
+    is (doc_id, shingle-hash [, count]) — two longs. The df-cap
+    window shuffles postings on the shingle key, the SAME key the
+    self-join uses; the pair aggregate shuffles (doc_a, doc_b, 1)
+    with map-side combine; the two size joins key on doc_id against a
+    |docs|-row table. Nothing wider than 24 bytes ever shuffles.
     """
-    d = (
-        spread(table(spark, sf_dir, "documents"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
-            _shingle_hashes(F.col("text")).alias("shingles"),
-        )
-        # persist BEFORE _salt_blocks: its block-size aggregate is a
-        # second consumer of this chain, and unpersisted it would
-        # rebuild scan+shingles for the broadcast side (measured ~2s
-        # of the operator's wall at sf0.1). The salted result then
-        # feeds both self-join sides from the same cache.
-        .persist()
+    posts = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
     )
-    d = _salt_blocks(d)
-    a = d.alias("a")
-    b = d.alias("b")
-    # |A∪B| = |A| + |B| − |A∩B| (shingle arrays are distinct), so the
-    # per-pair cost is ONE hash-set intersect, not intersect + an even
-    # larger distinct-union build — measured ~2× on the pair stage,
-    # which is this operator's entire bill at scale.
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    union = F.size("a.shingles") + F.size("b.shingles") - inter
-    jaccard = (inter.cast("double") / union).alias("jaccard")
-    return (
+    # persist: the filtered postings feed three consumers (per-doc
+    # sizes + both sides of the self-join); unpersisted, each would
+    # re-run the shingle scan.
+    pf = _cap_postings(posts).persist()
+    sizes = pf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = pf.alias("a"), pf.alias("b")
+    shared = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.sub_id") == F.col("b.sub_id"))
+            (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jaccard,
         )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = (
+        F.col("shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    ).alias("jaccard")
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jaccard)
         .filter(F.col("jaccard") >= 0.15)
     )
 
@@ -476,24 +488,23 @@ def _cap_buckets(
     )
 
 
-def _salt_blocks(d: DataFrame, cap: int = BLOCK_CAP) -> DataFrame:
-    """Add a deterministic ``sub_id`` splitting each (lang, len_bucket)
-    block into sub-blocks of ≤ cap docs: sub_id = doc_id % ceil(n/cap).
-    Content-deterministic (no rand/monotonic id), so retries and the
-    oracle agree.
+def _cap_postings(posts: DataFrame, cap: int = DF_CAP, key: str = "s") -> DataFrame:
+    """Drop postings of shingles whose document frequency exceeds
+    ``cap`` before the posting self-join — a boilerplate shingle
+    (page headers, license blurbs, empty-doc artifacts) otherwise
+    contributes C(df, 2) candidate pairs, the classic quadratic blowup
+    of posting-list similarity joins. With the cap, join output is
+    ≤ cap/2 · |postings| — linear in corpus size.
 
-    Block sizes come from a partial-aggregated groupBy broadcast back
-    onto the rows — NOT a window over the data: a window would
-    shuffle every (possibly wide) row on the block key, while the
-    groupBy's map-side combine shuffles one count per (block ×
-    partition) and the block table (|langs| × |length buckets|) is
-    trivially broadcastable at any corpus size."""
-    sizes = d.groupBy("lang", "len_bucket").agg(F.count(F.lit(1)).alias("block_n"))
-    n_sub = F.ceil(F.col("block_n") / F.lit(float(cap))).cast("long")
+    Same shape as _cap_buckets: the window count shuffles postings on
+    the exact key the self-join uses, so the guard adds no extra
+    repartitioning. Deterministic (df is a property of the data), so
+    retries and the DuckDB oracle agree."""
+    w = Window.partitionBy(key)
     return (
-        d.join(F.broadcast(sizes), ["lang", "len_bucket"])
-        .withColumn("sub_id", F.col("doc_id") % n_sub)
-        .drop("block_n")
+        posts.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= cap)
+        .drop("df")
     )
 
 

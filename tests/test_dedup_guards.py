@@ -1,49 +1,55 @@
-"""Skew guards for the dedup self-joins (VERDICT r01 task 3).
+"""Skew guards for the dedup self-joins (VERDICT r01 task 3; posting
+guard rewritten round 7 with the posting-list jaccard).
 
-At test SF no real block/bucket exceeds its cap, so the oracle
+At test SF no real bucket/shingle exceeds its cap, so the oracle
 parity tests exercise the guards only in their no-op regime. These
-tests drive the guard helpers directly on synthetic oversized
-blocks, pinning the 100 TB behavior: bounded sub-block sizes,
-deterministic salting, degenerate-bucket eviction.
+tests drive the guard helpers directly on synthetic degenerate
+inputs, pinning the 100 TB behavior: boilerplate-posting eviction,
+degenerate-bucket eviction, determinism.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kawa_spark.queries.llm_dedup import _cap_buckets, _salt_blocks
+from kawa_spark.queries.llm_dedup import _cap_buckets, _cap_postings
 
 
-def _block_df(spark, n_rows: int, lang: str = "en"):
-    return spark.range(n_rows).select(
-        F.col("id").alias("doc_id"),
-        F.lit(lang).alias("lang"),
-        F.lit(0).cast("long").alias("len_bucket"),
+def _postings_df(spark):
+    """300 docs sharing a boilerplate shingle (df=300) plus 4 docs
+    sharing a rare shingle (df=4)."""
+    boiler = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit(111).cast("long").alias("s")
     )
-
-
-def test_salt_blocks_bounds_subblock_size(spark):
-    d = _salt_blocks(_block_df(spark, 2500), cap=1000)
-    sizes = (
-        d.groupBy("lang", "len_bucket", "sub_id")
-        .count()
-        .select("count")
-        .collect()
+    rare = spark.range(4).select(
+        F.col("id").alias("doc_id"), F.lit(222).cast("long").alias("s")
     )
-    # 2500 rows / cap 1000 → 3 sub-blocks of ≤ ceil(2500/3) each
-    assert len(sizes) == 3
-    assert all(r["count"] <= 1000 for r in sizes)
+    return boiler.unionAll(rare)
 
 
-def test_salt_blocks_noop_below_cap(spark):
-    d = _salt_blocks(_block_df(spark, 50), cap=1000)
-    assert d.select("sub_id").distinct().collect() == [(0,)]
+def test_cap_postings_drops_boilerplate_shingle(spark):
+    out = _cap_postings(_postings_df(spark), cap=200)
+    rows = out.groupBy("s").count().collect()
+    assert {r["s"]: r["count"] for r in rows} == {222: 4}
 
 
-def test_salt_blocks_deterministic(spark):
-    a = {(r["doc_id"], r["sub_id"]) for r in _salt_blocks(_block_df(spark, 2500)).collect()}
-    b = {(r["doc_id"], r["sub_id"]) for r in _salt_blocks(_block_df(spark, 2500)).collect()}
-    assert a == b  # content hash, not rand()/monotonic id
+def test_cap_postings_noop_below_cap(spark):
+    df = _postings_df(spark)
+    out = _cap_postings(df, cap=1000)
+    assert out.count() == df.count()
+
+
+def test_cap_postings_bounds_join_output(spark):
+    # with the boilerplate shingle evicted, the posting self-join
+    # yields only the C(4,2)=6 rare-shingle pairs — not 300·299/2
+    pf = _cap_postings(_postings_df(spark), cap=200)
+    a, b = pf.alias("a"), pf.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert pairs.count() == 6
 
 
 def test_cap_buckets_drops_degenerate_bucket(spark):
