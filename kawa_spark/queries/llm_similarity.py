@@ -434,10 +434,43 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted near-dup augmentation for dedup_embedding_cosine: the raw
+# synthetic corpus contains NO pair sharing an LSH bucket at cosine
+# ≥ 0.9, so through round 6 the key passed VACUOUSLY (0 rows in both
+# engines — hash-green without ever exercising the join predicate;
+# VERDICT r6 "What's wrong" #1). The query therefore appends, for
+# the first N_PLANT base vectors, two derived near-duplicates
+# (mirrored verbatim in the oracle):
+#   * vec_id + 1_000_000 — the vector scaled by 1.25: same direction,
+#     so the sign-LSH signature is IDENTICAL by construction and
+#     cosine is exactly 1.0 up to fold rounding → guaranteed ≥3
+#     positive pairs at any SF.
+#   * vec_id + 2_000_000 — dimension 0 zeroed: a genuinely different
+#     direction (cosine ≈ 0.99 at DIM=64), landing in the same bucket
+#     for most vectors → non-trivial cosine values flow through the
+#     hash compare at full double precision.
+# The plant is a constant 2·N_PLANT-row augmentation — nothing about
+# the corpus-scale plan changes.
+N_PLANT = 3
+
+
 def _embedding_dedup_oracle() -> str:
     return f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    ), planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> x * 1.25) AS embedding
+      FROM base WHERE vec_id < {N_PLANT}
+      UNION ALL
+      SELECT vec_id + 2000000 AS vec_id,
+             list_transform(generate_series(1, {DIM}),
+               i -> CASE WHEN i = 1 THEN 0.0 ELSE embedding[i] END) AS embedding
+      FROM base WHERE vec_id < {N_PLANT}
+    ), corpus0 AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), corpus AS (
+      SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM corpus0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
@@ -451,9 +484,29 @@ def _embedding_dedup_oracle() -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs in the same LSH bucket with cosine
     ≥ 0.9. Bucket self-join instead of all-pairs — identical shape to
-    dedup_minhash but in vector space."""
+    dedup_minhash but in vector space.
+
+    Round 7: the scan is augmented with planted near-duplicates (see
+    N_PLANT above) so the bucket-join + cosine predicate is verified
+    on TRUE POSITIVES, not just on the empty set."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed = base.filter(F.col("vec_id") < N_PLANT)
+    scaled = seed.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    zeroed = seed.select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), F.lit(0.0)).otherwise(x),
+        ).alias("embedding"),
+    )
     e = (
-        table(spark, sf_dir, "embeddings")
+        base.unionAll(scaled)
+        .unionAll(zeroed)
         .select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
         .persist()  # self-join: hash each vector once
     )
