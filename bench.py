@@ -112,10 +112,23 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # keys that share the process-wide trained-centroid cache: their
+    # rep-0 run pays Lloyd training (cold), later reps replay the
+    # cached model (warm). The headline min therefore measures WARM
+    # execution; rep-0 is reported separately as queries_cold so the
+    # training cost stays visible and cross-round comparisons are
+    # like-for-like (ADVICE r6). The cache is cleared before each
+    # such key's rep-0 so BOTH keys get a true cold number (they
+    # would otherwise share one training run).
+    lloyd_keys = {"kmeans_lloyd", "similarity_ivf_kmeans"}
+    from kawa_spark.queries.llm_similarity import _CENT1_CACHE
+
     for r in range(reps):
         for key in HEADLINE:
             if key in errors:
                 continue  # failed on an earlier rep; don't retry
+            if r == 0 and key in lloyd_keys:
+                _CENT1_CACHE.clear()
             fn = registry.QUERIES[key]
             t0 = time.perf_counter()
             # One broken query must cost its own number, never the whole
@@ -132,6 +145,9 @@ def main() -> None:
 
     timings = {k: min(v) for k, v in samples.items()}
     medians = {k: round(statistics.median(v), 3) for k, v in samples.items()}
+    cold = {
+        k: samples[k][0] for k in sorted(lloyd_keys) if samples.get(k)
+    }
     # host-load stamp: 1/5/15-min loadavg at end of run, plus CPU
     # count — a loadavg far above SPARK_GRAFT_CPUS means the numbers
     # were taken on a contended box and cross-round deltas are suspect
@@ -143,6 +159,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "host": {

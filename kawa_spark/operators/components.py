@@ -161,17 +161,26 @@ def connected_components(
     # expensive pipeline (e.g. LSH candidate generation), and the
     # star rewrites reference it repeatedly — without this checkpoint
     # the candidate pipeline would re-execute every round
+    # null ids are dropped HERE, in the projection both paths share:
+    # without the filter the driver union-find raised TypeError
+    # comparing None roots while the distributed loop silently emitted
+    # a (null, null) row — same input, different behavior depending on
+    # edge count (ADVICE r6). An edge with an unknown endpoint carries
+    # no usable connectivity; both paths now ignore it identically.
     raw = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # count over the materialized checkpoint is a metadata-cheap job;
-    # limit() first so a huge edge set never pays a full count here
-    probe = raw.limit(local_solve_cap + 1).count()
-    if probe <= local_solve_cap:
+    # ONE driver round-trip sizes the graph AND fetches it when small:
+    # take(cap+1) returns every row iff the set holds ≤ cap edges, so
+    # the fast path no longer pays a limit().count() probe followed by
+    # a second full collect() over the same checkpoint (ADVICE r6).
+    head = raw.take(local_solve_cap + 1)
+    if len(head) <= local_solve_cap:
         spark = edges.sparkSession
-        labels = _local_components([(r[0], r[1]) for r in raw.collect()])
+        labels = _local_components([(r[0], r[1]) for r in head])
         # node type = the a/b common supertype (plan-derived, no job)
         out_schema = (
             raw.select(F.col("a").alias("node"))

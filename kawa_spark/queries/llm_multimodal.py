@@ -245,13 +245,17 @@ def _wav_encode(pcm: bytes, sample_rate: int = 8000, bits: int = 8) -> bytes:
 
     n = len(pcm)
     block_align = bits // 8
+    # RIFF chunks are word-aligned: an odd-length data chunk carries a
+    # trailing pad byte NOT counted in the chunk's declared size (the
+    # decoder walks `sz + (sz & 1)`); the RIFF size counts it.
+    pad = b"\x00" if n & 1 else b""
     return (
-        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 36 + n + len(pad)) + b"WAVE"
         + b"fmt " + struct.pack(
             "<IHHIIHH", 16, 1, 1, sample_rate,
             sample_rate * block_align, block_align, bits,
         )
-        + b"data" + struct.pack("<I", n) + pcm
+        + b"data" + struct.pack("<I", n) + pcm + pad
     )
 
 

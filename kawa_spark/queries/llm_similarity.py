@@ -721,20 +721,50 @@ def _lloyd_cent1(e: DataFrame) -> DataFrame:
 # model artifact, not data — so collecting and replaying it is the
 # same move as broadcasting trained weights. Values are exact across
 # the round-trip (IEEE doubles collect/rebuild bit-identically), so
-# oracle hashes are unchanged. Keyed by sf_dir only: the testdata
-# inputs are immutable within a process lifetime.
-_CENT1_CACHE: dict[str, tuple[list, object]] = {}
+# oracle hashes are unchanged. Keyed by (sf_dir, input fingerprint):
+# the fingerprint (file path/mtime/size walk of the embeddings
+# parquet) invalidates the entry if the data under sf_dir is
+# rewritten within a process lifetime — a bare sf_dir key silently
+# replayed a stale model in that case (ADVICE r6).
+_CENT1_CACHE: dict[tuple, tuple[list, object]] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """(relpath, mtime_ns, size) for every file under the embeddings
+    input — a local-fs stat walk, no Spark job. Parquet writers
+    replace files rather than appending in place, so any rewrite
+    moves at least one (mtime, size)."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return ((root, st.st_mtime_ns, st.st_size),)
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, root), st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 def _lloyd_cent1_cached(e: DataFrame, sf_dir: str) -> DataFrame:
     spark = e.sparkSession
-    hit = _CENT1_CACHE.get(sf_dir)
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    hit = _CENT1_CACHE.get(key)
     if hit is None:
         trained = _lloyd_cent1(e)
         hit = (trained.collect(), trained.schema)
-        _CENT1_CACHE[sf_dir] = hit
+        _CENT1_CACHE[key] = hit
     rows, schema = hit
     return spark.createDataFrame(rows, schema)
+
+
+def _cache_evict(sf_dir: str) -> None:
+    """Drop every cached model for ``sf_dir`` (tests / bench cold runs)."""
+    for k in [k for k in _CENT1_CACHE if k[0] == sf_dir]:
+        del _CENT1_CACHE[k]
 
 
 @register("kmeans_lloyd", oracle=_kmeans_oracle())

@@ -153,3 +153,22 @@ def test_components_self_loop_only_node_kept(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 7: 7, 3: 3, 4: 3}
+
+
+def test_components_null_edges_ignored_on_both_paths(spark):
+    """Edges with a null endpoint are dropped in the shared raw
+    projection, so the driver fast path and the distributed star loop
+    agree (ADVICE r6: the fast path raised TypeError comparing None
+    roots while the distributed loop emitted a (null, null) row)."""
+    from pyspark.sql import functions as F
+    from kawa_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 3), (None, None), (4, 5)],
+        "src long, dst long",
+    )
+    expect = {(1, 1), (2, 1), (4, 4), (5, 4)}
+    fast = connected_components(edges, "src", "dst")
+    dist = connected_components(edges, "src", "dst", local_solve_cap=0)
+    assert {(r["node"], r["component"]) for r in fast.collect()} == expect
+    assert {(r["node"], r["component"]) for r in dist.collect()} == expect

@@ -73,3 +73,24 @@ def test_decoder_rejects_garbage():
         data = b"data" + struct.pack("<I", 0)
         body = fmt + data
         _wav_decode(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_encoder_pads_odd_data_chunk():
+    """RIFF requires word-aligned chunks: an odd-length data chunk
+    gets a trailing pad byte NOT counted in its declared size, and
+    the RIFF size counts it (ADVICE r6). The container must stay
+    stdlib-readable and total length even."""
+    pcm = bytes([1, 2, 3])  # odd length
+    buf = _wav_encode(pcm)
+    assert len(buf) % 2 == 0
+    declared_riff = struct.unpack("<I", buf[4:8])[0]
+    assert declared_riff == len(buf) - 8  # pad inside the RIFF size
+    # data chunk declares n=3 but carries 4 bytes (3 + pad)
+    i = buf.index(b"data")
+    assert struct.unpack("<I", buf[i + 4:i + 8])[0] == 3
+    assert buf[i + 8:] == pcm + b"\x00"
+    with wave.open(io.BytesIO(buf)) as w:
+        assert w.readframes(w.getnframes()) == pcm
+    # the repo's own parser walks it too
+    dec = _wav_decode(buf)
+    assert dec["samples"].size == 3
