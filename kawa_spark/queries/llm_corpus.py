@@ -598,3 +598,127 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= F.col("quota")).select(
         "doc_id", "source", "rn", "wt", "quota"
     )
+
+
+@register(
+    "corpus_shuffle_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuffle#42#' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hk,
+             CAST(('0x' || substring(hk, 1, 2))::BIGINT AS INTEGER) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (ORDER BY shard, hk, doc_id) - 1 AS global_pos
+    FROM s
+    """,
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    stable global position in a pseudo-random order — the reproducible
+    epoch-ordering step of a training run (same position for the same
+    doc on every engine, retry, and partitioning; rand(seed) has none
+    of those properties).
+
+    The order is (shard, md5 key, doc_id) where shard = first byte of
+    the key: equivalent to one global ORDER BY the oracle can state
+    directly, but computed WITHOUT a global sort window (a
+    single-partition row_number over 100 TB is the classic scale
+    killer). Instead: a row_number window per shard (256-way
+    parallel, each ~1/256 of the corpus), plus shard offsets from a
+    256-row cumulative sum broadcast back — global_pos = shard offset
+    + within-shard rank. The only full-corpus shuffle is the one the
+    window needs, keyed on the uniformly-distributed hash shard, so
+    there is no skew and no driver bottleneck at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("shuffle#42#"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", hk.alias("hk")).withColumn(
+        "shard", F.conv(F.substring(F.col("hk"), 1, 2), 16, 10).cast("int")
+    )
+    w_local = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(w_local))
+    w_cum = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("n").over(w_cum), F.lit(0).cast("long"))
+        )
+        .select("shard", "offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("offset") + F.col("rk") - 1).alias("global_pos"),
+        )
+    )
+
+
+@register(
+    "corpus_domain_stats",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, lang, n_chars,
+             'https://' || source || '.example.com/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+             regexp_extract(url, 'https?://[^/]+/([^/]+)/', 1) AS path_head
+      FROM urls
+    )
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT path_head) AS n_path_heads,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM parsed
+    GROUP BY domain
+    """,
+)
+def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus statistics — the provenance-accounting step
+    of a web-scale training build (docs, path diversity, volume per
+    registered domain, the input to per-domain caps and mixtures).
+
+    The synthetic corpus carries no URLs, so the query SYNTHESIZES a
+    deterministic URL per document from (source, lang, doc_id) —
+    mirrored verbatim in the oracle, the same planted-input pattern
+    as dedup_embedding_cosine — and then runs the REAL parsing +
+    aggregation machinery on it: regexp host/path extraction (all
+    codegen'd JVM expressions, no UDF) and a per-domain aggregate.
+    Scale: URL parse is map-only; the aggregate shuffles one narrow
+    row per doc on the domain key; the distinct-path count
+    partial-aggregates map-side. Domain skew (one giant domain) is
+    the standard two-level agg AQE already handles."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(url, r"https?://([^/]+)/", 1).alias("domain"),
+        F.regexp_extract(url, r"https?://[^/]+/([^/]+)/", 1).alias("path_head"),
+    )
+    return parsed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("path_head").alias("n_path_heads"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

@@ -42,81 +42,83 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # of registration order). Rounds therefore ROTATE which keys occupy
 # the window: r1 verified the relational/join/window/stream/dedup/
 # similarity/text tier; r2 the tpch(6)/udf/stats/extras/corpus tier;
-# r4 the 35 then-unseen keys; r5 led with the 10 driver-red keys
+# r4 the 35 then-unseen keys (whose latest driver evidence is
+# therefore r4, not r3 — fixed per VERDICT r6); r5 led with the 10 driver-red keys
 # (HUGEINT oracle casts + NTZ victims — all flipped green, making
 # latest-driver-status 132/132 green) plus that round's changed
 # implementations (similarity_ivf centroid cap, dedup_clusters
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 6's window (below): first the 13 keys whose implementations
-# changed this round — the shingle let-binding rewrite (functions/
-# hof.py) flows into dedup_minhash/ngram_jaccard/clusters,
-# corpus_decontaminate and similarity_containment; text_chunking,
-# text_fingerprint and corpus_bigrams got the same fix; kmeans_lloyd
-# and similarity_ivf_kmeans now share one cached Lloyd training
-# round; stream_exec_incremental_rollup skips the empty watermark
-# microbatch's merge; multimodal_audio_features and multimodal_decode
-# replaced their stub kernels with REAL WAV/BMP codec paths (both
-# with changed output schemas — driver must re-verify). Then the 34
-# remaining keys whose latest driver evidence is r3, then 3 r4-latest
-# fills (the multimodal kernels neighboring the codec changes + the
-# embedding near-dup tier). tests/test_registry_window.py pins this
-# list against accidental registration-order drift.
+# Round 7's window (below): first the 2 NEW keys (never
+# driver-checked — must lead), then the 6 keys whose implementations
+# changed this round — dedup_ngram_jaccard rewritten as a
+# posting-list self-join with a df cap (dedup_clusters inherits the
+# new edge set), dedup_embedding_cosine augmented with planted
+# near-dup pairs (non-vacuous for the first time), kmeans_lloyd /
+# similarity_ivf_kmeans's shared trained-centroid cache re-keyed on
+# an input fingerprint, multimodal_audio_features' WAV writer now
+# word-aligns odd data chunks. Then the 37 keys whose latest driver
+# evidence is r4 (the full tpch_full suite, the quality tier,
+# similarity baselines, stream_passthrough et al.), then 5 r5-latest
+# fills. Max evidence age after this round: ≤ 2 rounds.
+# tests/test_registry_window.py pins this list against accidental
+# registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 13 keys whose implementation changed this round ---
-    "multimodal_audio_features",
-    "multimodal_decode",
-    "dedup_minhash",
+    # --- 2 new keys (never driver-checked) ---
+    "corpus_shuffle_deterministic",
+    "corpus_domain_stats",
+    # --- 6 keys whose implementation changed this round ---
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "corpus_decontaminate",
-    "similarity_containment",
-    "text_chunking",
-    "text_fingerprint",
-    "corpus_bigrams",
+    "dedup_embedding_cosine",
     "kmeans_lloyd",
     "similarity_ivf_kmeans",
-    "stream_exec_incremental_rollup",
-    # --- 34 keys whose latest driver evidence is r3 ---
-    "agg_argminmax",
-    "agg_bitwise_bool",
-    "agg_stats_moments",
-    "agg_string_collect",
-    "array_map_ops",
-    "corpus_dedup_report",
-    "corpus_split",
-    "corpus_stratified_sample",
-    "corpus_tfidf",
-    "data_profile",
-    "dedup_keeper_corpus",
-    "dedup_simhash",
-    "histogram_width_bucket",
-    "interval_arithmetic",
-    "join_asof",
-    "json_roundtrip",
-    "multimodal_meta",
-    "null_handling",
-    "percentile_cont",
-    "percentile_disc",
-    "pipeline_dedup_corpus",
-    "pivot_wide",
-    "rollup_multires",
-    "sample_hash",
-    "scalar_string_extra",
-    "sql_surface",
-    "stream_exec_running_total",
-    "stream_exec_session_totals",
-    "subquery_correlated",
-    "text_edit_distance",
-    "text_normalize",
-    "text_redact_pii",
-    "udf_python",
-    "udtf_lateral",
-    # --- r4-latest fills (to 50) ---
-    "multimodal_frames",
-    "multimodal_resize",
-    "dedup_embedding_cosine",
+    "multimodal_audio_features",
+    # --- 37 keys whose latest driver evidence is r4 ---
+    "agg_approx_distinct",
+    "agg_hash_groupby",
+    "corpus_length_filter",
+    "corpus_vocab_coverage",
+    "deser_csv",
+    "embedding_centroids",
+    "embedding_quantize",
+    "grouping_cube",
+    "join_inner_hash",
+    "percentile_approx",
+    "quality_gopher_filter",
+    "quality_repetition",
+    "similarity_lsh_ann",
+    "similarity_topk",
+    "stream_dedup",
+    "stream_passthrough",
+    "stream_sliding",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_best_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
+    "udf_grouped_agg",
+    "window_rank",
+    # --- r5-latest fills (to 50) ---
+    "scan_project",
+    "filter_predicate",
+    "union_all",
+    "join_semi",
+    "window_analytic",
 ]
 
 
