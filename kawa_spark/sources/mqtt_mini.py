@@ -8,7 +8,9 @@ suite_test.go:16-104 and stream_test.go:57-75). This module supplies
 just enough real MQTT — actual 3.1.1 frames over actual TCP sockets —
 to run the same conformance shape in-process: CONNECT/CONNACK,
 SUBSCRIBE/SUBACK (exact, '+' and '#' filters), PUBLISH QoS 0/1 with
-PUBACK, PINGREQ/PINGRESP, DISCONNECT.
+PUBACK and QoS 2 with the full exactly-once handshake
+(PUBREC/PUBREL/PUBCOMP, inbound pids deduplicated until released),
+PINGREQ/PINGRESP, DISCONNECT.
 
 The client mirrors the paho surface kawa_spark.sources.mqtt uses
 (connect / subscribe / on_message / loop_start / publish →
@@ -17,8 +19,8 @@ unmodified against either implementation; paho is preferred when
 installed (see mqtt._client_factory).
 
 NOT a production broker: no retained messages, no persistent
-sessions, no QoS 2, no auth/TLS — deliberately, this is test
-infrastructure with a real wire format, not a server.
+sessions, no auth/TLS — deliberately, this is test infrastructure
+with a real wire format, not a server.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import threading
 
 # packet types
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+PUBREC, PUBREL, PUBCOMP = 5, 6, 7
 SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
 PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
 
@@ -109,6 +112,11 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
         sock = self.request
         send = broker.send  # serialized: handler + router share sockets
         subs: list[str] = []
+        # QoS 2 inbound exactly-once state: pids PUBRECed but not yet
+        # PUBRELed. A redelivered PUBLISH with a stored pid is acked
+        # again but NOT re-routed — the broker-side half of the
+        # exactly-once contract.
+        inflight2: set[int] = set()
         try:
             while True:
                 ptype, flags, body = _read_packet(sock)
@@ -121,9 +129,9 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
                         filt, at = _parse_str(body, at)
                         qos = body[at]
                         at += 1
-                        broker.add_subscriber(filt, sock, min(qos, 1))
+                        broker.add_subscriber(filt, sock, min(qos, 2))
                         subs.append(filt)
-                        granted.append(min(qos, 1))
+                        granted.append(min(qos, 2))
                     send(
                         sock,
                         _packet(SUBACK, 0, struct.pack(">H", pid) + bytes(granted)),
@@ -131,12 +139,30 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
                 elif ptype == PUBLISH:
                     qos = (flags >> 1) & 0x03
                     topic, at = _parse_str(body, 0)
-                    if qos:
+                    if qos == 2:
+                        (pid,) = struct.unpack_from(">H", body, at)
+                        at += 2
+                        if pid not in inflight2:
+                            inflight2.add(pid)
+                            broker.route(topic, body[at:], 2)
+                        send(sock, _packet(PUBREC, 0, struct.pack(">H", pid)))
+                    elif qos == 1:
                         (pid,) = struct.unpack_from(">H", body, at)
                         at += 2
                         send(sock, _packet(PUBACK, 0, struct.pack(">H", pid)))
-                    broker.route(topic, body[at:])
-                elif ptype == PUBACK:
+                        broker.route(topic, body[at:], 1)
+                    else:
+                        broker.route(topic, body[at:], 0)
+                elif ptype == PUBREL:
+                    (pid,) = struct.unpack_from(">H", body, 0)
+                    inflight2.discard(pid)
+                    send(sock, _packet(PUBCOMP, 0, struct.pack(">H", pid)))
+                elif ptype == PUBREC:
+                    # subscriber PUBRECed an outbound QoS 2 delivery:
+                    # release it (PUBREL carries flags 0x02 per 3.1.1)
+                    (pid,) = struct.unpack_from(">H", body, 0)
+                    send(sock, _packet(PUBREL, 0x02, struct.pack(">H", pid)))
+                elif ptype in (PUBACK, PUBCOMP):
                     pass  # subscriber acks; no broker-side redelivery here
                 elif ptype == PINGREQ:
                     send(sock, _packet(PINGRESP, 0, b""))
@@ -203,7 +229,11 @@ class MiniBroker:
                 if not self._subs[filt]:
                     del self._subs[filt]
 
-    def route(self, topic: str, payload: bytes) -> None:
+    def route(self, topic: str, payload: bytes, pub_qos: int = 1) -> None:
+        """Deliver at effective QoS = min(subscription QoS, publish
+        QoS), per 3.1.1 §3.8.4. QoS 2 deliveries run the outbound
+        exactly-once handshake with the subscriber (its PUBREC is
+        answered with PUBREL by the handler thread)."""
         with self._lock:
             targets = [
                 (s, q)
@@ -214,11 +244,12 @@ class MiniBroker:
             self._next_mid += 1
             mid = self._next_mid % 65535 or 1
         for sock, qos in targets:
+            eff = min(qos, pub_qos)
             head = _mqtt_str(topic)
-            if qos:
+            if eff:
                 head += struct.pack(">H", mid)
             try:
-                self.send(sock, _packet(PUBLISH, qos << 1, head + payload))
+                self.send(sock, _packet(PUBLISH, eff << 1, head + payload))
             except OSError:
                 pass  # dead subscriber; dropped on its handler exit
 
@@ -326,10 +357,21 @@ class MiniClient:
             info._done()
         self._send(_packet(PUBLISH, qos << 1, head + bytes(payload)))
         if qos and self._thread is None:
-            # synchronous mode: wait for PUBACK inline
-            ptype, _, body = _read_packet(self._sock)
-            if ptype != PUBACK:
-                raise ConnectionError(f"expected PUBACK, got {ptype}")
+            if qos == 2:
+                # synchronous exactly-once: PUBREC → PUBREL → PUBCOMP
+                ptype, _, body = _read_packet(self._sock)
+                if ptype != PUBREC:
+                    raise ConnectionError(f"expected PUBREC, got {ptype}")
+                (amid,) = struct.unpack_from(">H", body, 0)
+                self._send(_packet(PUBREL, 0x02, struct.pack(">H", amid)))
+                ptype, _, body = _read_packet(self._sock)
+                if ptype != PUBCOMP:
+                    raise ConnectionError(f"expected PUBCOMP, got {ptype}")
+            else:
+                # synchronous mode: wait for PUBACK inline
+                ptype, _, body = _read_packet(self._sock)
+                if ptype != PUBACK:
+                    raise ConnectionError(f"expected PUBACK, got {ptype}")
             (amid,) = struct.unpack_from(">H", body, 0)
             with self._lock:
                 pend = self._pending.pop(amid, None)
@@ -349,6 +391,12 @@ class MiniClient:
             return self._mid
 
     def _loop(self) -> None:
+        # inbound QoS 2 exactly-once state (3.1.1 "method B"): the
+        # message is held on PUBLISH/PUBREC and delivered to the
+        # callback only when the sender releases it with PUBREL — a
+        # redelivered PUBLISH with the same pid just overwrites the
+        # held copy, so the callback can never fire twice for one pid.
+        held2: dict[int, MiniMessage] = {}
         try:
             while not self._stop.is_set():
                 ptype, flags, body = _read_packet(self._sock)
@@ -356,6 +404,12 @@ class MiniClient:
                     qos = (flags >> 1) & 0x03
                     topic, at = _parse_str(body, 0)
                     mid = 0
+                    if qos == 2:
+                        (mid,) = struct.unpack_from(">H", body, at)
+                        at += 2
+                        held2[mid] = MiniMessage(mid, body[at:], topic)
+                        self._send(_packet(PUBREC, 0, struct.pack(">H", mid)))
+                        continue
                     if qos:
                         (mid,) = struct.unpack_from(">H", body, at)
                         at += 2
@@ -363,7 +417,18 @@ class MiniClient:
                     cb = self.on_message
                     if cb:
                         cb(self, None, MiniMessage(mid, body[at:], topic))
-                elif ptype == PUBACK:
+                elif ptype == PUBREL:
+                    (mid,) = struct.unpack_from(">H", body, 0)
+                    self._send(_packet(PUBCOMP, 0, struct.pack(">H", mid)))
+                    msg = held2.pop(mid, None)
+                    cb = self.on_message
+                    if msg is not None and cb:
+                        cb(self, None, msg)
+                elif ptype == PUBREC:
+                    # outbound QoS 2 step 2: release; PUBCOMP completes
+                    (mid,) = struct.unpack_from(">H", body, 0)
+                    self._send(_packet(PUBREL, 0x02, struct.pack(">H", mid)))
+                elif ptype in (PUBACK, PUBCOMP):
                     (mid,) = struct.unpack_from(">H", body, 0)
                     with self._lock:
                         info = self._pending.pop(mid, None)

@@ -172,3 +172,110 @@ def test_mqtt_publisher_acks_batch(spark):
             time.sleep(0.05)
         assert sorted(got) == sorted(payloads)
         sub.disconnect()
+
+
+def test_roundtrip_qos2_exactly_once():
+    """The reference client exposes QoS 2 (x/mqtt/mqtt.go options);
+    round 7 closes the mini-broker's last QoS asterisk: the same
+    suite conformance shape at QoS 2 — N payloads through the full
+    PUBLISH/PUBREC/PUBREL/PUBCOMP handshake on BOTH legs (publisher →
+    broker, broker → subscriber), each delivered exactly once."""
+    n = 50
+    with MiniBroker() as broker:
+        got: list[bytes] = []
+        done = threading.Event()
+        sub = MiniClient()
+        sub.on_message = lambda c, u, m: (
+            got.append(m.payload),
+            done.set() if len(got) >= n else None,
+        )
+        sub.connect("127.0.0.1", broker.port)
+        sub.subscribe("t/q2", qos=2)
+        sub.loop_start()
+
+        payloads = _rand_payloads(n)
+        pub = MiniClient()
+        pub.connect("127.0.0.1", broker.port)
+        pub.loop_start()  # async: PUBREC/PUBCOMP consumed by the loop
+        infos = [pub.publish("t/q2", p, qos=2) for p in payloads]
+        for i in infos:
+            i.wait_for_publish()  # completes only on PUBCOMP
+
+        assert done.wait(30), f"only {len(got)}/{n} delivered"
+        time.sleep(0.2)  # would catch late duplicates
+        assert sorted(got) == sorted(payloads)
+        pub.disconnect()
+        sub.disconnect()
+
+
+def test_qos2_sync_publish_and_downgrade():
+    """Synchronous (no reader loop) QoS 2 publish walks the inline
+    PUBREC→PUBREL→PUBCOMP path; a QoS-1 subscriber receives the
+    message downgraded to min(sub, pub) = 1 per 3.1.1 §3.8.4."""
+    with MiniBroker() as broker:
+        got: list[bytes] = []
+        done = threading.Event()
+        sub = MiniClient()
+        sub.on_message = lambda c, u, m: (got.append(m.payload), done.set())
+        sub.connect("127.0.0.1", broker.port)
+        sub.subscribe("t/dg", qos=1)
+        sub.loop_start()
+
+        pub = MiniClient()
+        pub.connect("127.0.0.1", broker.port)
+        pub.publish("t/dg", b"exactly-once", qos=2).wait_for_publish()
+        assert done.wait(10)
+        assert got == [b"exactly-once"]
+        pub.disconnect()
+        sub.disconnect()
+
+
+def test_qos2_redelivered_publish_not_rerouted():
+    """Broker half of exactly-once: a duplicate PUBLISH with the same
+    pid (a retry before PUBREL) is PUBRECed again but routed only
+    once."""
+    import socket
+    import struct as _struct
+
+    from kawa_spark.sources.mqtt_mini import (
+        CONNACK,
+        CONNECT,
+        PUBCOMP,
+        PUBLISH,
+        PUBREC,
+        PUBREL,
+        _mqtt_str,
+        _packet,
+        _read_packet,
+    )
+
+    with MiniBroker() as broker:
+        got: list[bytes] = []
+        sub = MiniClient()
+        sub.on_message = lambda c, u, m: got.append(m.payload)
+        sub.connect("127.0.0.1", broker.port)
+        sub.subscribe("t/dup", qos=0)
+        sub.loop_start()
+
+        # raw publisher socket so we control the duplicate frames
+        s = socket.create_connection(("127.0.0.1", broker.port), timeout=10)
+        s.sendall(
+            _packet(
+                CONNECT,
+                0,
+                _mqtt_str("MQTT") + bytes([4, 2]) + _struct.pack(">H", 60)
+                + _mqtt_str("raw-dup"),
+            )
+        )
+        assert _read_packet(s)[0] == CONNACK
+        frame = _mqtt_str("t/dup") + _struct.pack(">H", 7) + b"payload-7"
+        s.sendall(_packet(PUBLISH, 2 << 1, frame))
+        assert _read_packet(s)[0] == PUBREC
+        s.sendall(_packet(PUBLISH, (2 << 1) | 0x08, frame))  # DUP retry
+        assert _read_packet(s)[0] == PUBREC  # acked again...
+        s.sendall(_packet(PUBREL, 0x02, _struct.pack(">H", 7)))
+        assert _read_packet(s)[0] == PUBCOMP
+        time.sleep(0.3)
+        assert got == [b"payload-7"]  # ...but routed exactly once
+        s.close()
+        sub.disconnect()

@@ -264,3 +264,24 @@ def test_ivf_sampled_assign_is_aggregate_not_window(spark):
         assert spec.startswith("q_id"), spec
     # and the argmin aggregate is present
     assert "partial_min" in plan, plan
+
+
+def test_passthrough_observe_count_single_materialization(spark):
+    """stream_passthrough's delivered-count must come from the
+    in-plan Observation of the ONE noop materialization (VERDICT r6
+    item 8): a second action (.count()/collect over the pipeline)
+    would re-execute the whole 1M-row flow and double the bench-gate
+    query's cost. Pinned two ways: exactly one Spark job runs during
+    the call, and the returned DataFrame is a literal projection over
+    range(1) — no rescan of the source."""
+    sc = spark.sparkContext
+    sc.setJobGroup("pt_pin", "passthrough single-materialization pin")
+    try:
+        df = registry.QUERIES["stream_passthrough"](spark, SF)
+    finally:
+        sc.setJobGroup("pt_pin_done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("pt_pin")
+    assert len(jobs) == 1, f"expected 1 job (the noop write), got {jobs}"
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "1000000 AS delivered" in plan  # literal from the Observation
+    assert "Range (0, 1," in plan  # 1-row carrier, not the pipeline
