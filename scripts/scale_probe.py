@@ -55,6 +55,7 @@ PROBES = [
     "corpus_tfidf",
     "events_sessionize_batch",
     "stateful_running_total",
+    "dedup_ngram_jaccard",
     "dedup_clusters",
     "similarity_ivf_kmeans",
     "corpus_decontaminate",
