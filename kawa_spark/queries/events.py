@@ -236,3 +236,79 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), v AS (
+      SELECT user_id, MIN(us) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.us) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.us > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.us) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                AS INTEGER) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click → purchase): per
+    user, the first view, the first click strictly AFTER that view,
+    and the first purchase strictly after that click — the ordered
+    multi-step pattern a plain groupBy can't express (a click before
+    any view must not count). Stage = how far the user got.
+
+    Epoch-micros integer comparisons throughout (the sessionize
+    idiom), so every boundary is exact in both engines. Scale: each
+    funnel step is a groupBy/join keyed on user_id — Catalyst reuses
+    one hash-partitioning across the chain; per-step state is one
+    timestamp per user, never the event list. Step K's input is
+    filtered to one event_type BEFORE its join, so the joins move
+    |users|-sized tables, not the event log."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage"))
+    )
