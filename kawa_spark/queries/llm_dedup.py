@@ -430,42 +430,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate postings in tests/test_dedup_guards.py.
 
     Plan shape: one scan shingles the corpus; every row past the scan
-    is (doc_id, shingle-hash [, count]) — two longs. The df-cap
-    window shuffles postings on the shingle key, the SAME key the
-    self-join uses; the pair aggregate shuffles (doc_a, doc_b, 1)
-    with map-side combine; the two size joins key on doc_id against a
-    |docs|-row table. Nothing wider than 24 bytes ever shuffles.
+    is (doc_id, shingle-hash, set-size) — three longs. The df-cap
+    window shuffles postings on the shingle key; each doc's filtered
+    set size (``n_sh``) is then computed by a doc_id window and
+    CARRIED ON THE POSTING ROWS through the self-join, so the pair
+    stage is ONE shuffle (the groupBy with map-side combine) — not a
+    pair-table aggregate plus two joins against a |docs|-row size
+    table. The pair table is the big one here (up to DF_CAP/2 ·
+    |postings| rows); shuffling it once instead of three times is
+    the scale call, bought with one extra 8-byte column on the
+    narrow postings (measured equal-or-faster at sf0.1 too).
     """
     posts = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
     )
-    # persist: the filtered postings feed three consumers (per-doc
-    # sizes + both sides of the self-join); unpersisted, each would
-    # re-run the shingle scan.
-    pf = _cap_postings(posts).persist()
-    sizes = pf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = pf.alias("a"), pf.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # persist: the size-annotated postings feed both self-join sides;
+    # unpersisted, each would re-run the shingle scan.
+    pf = (
+        _cap_postings(posts)
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .persist()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a, b = pf.alias("a"), pf.alias("b")
     jaccard = (
         F.col("shared").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     ).alias("jaccard")
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # n_a/n_b are functionally dependent on doc_a/doc_b — putting
+        # them in the grouping key (instead of joining them back on)
+        # is what keeps this a single pair-table shuffle
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
         .select("doc_a", "doc_b", jaccard)
         .filter(F.col("jaccard") >= 0.15)
     )
