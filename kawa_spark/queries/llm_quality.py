@@ -227,3 +227,91 @@ def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.alias("len_pct"),
         pr.between(0.05, 0.95).alias("keep"),
     )
+
+
+@register(
+    "quality_lm_commonness",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), posts AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ), counts AS (
+      SELECT bg, COUNT(*) AS n_bg FROM posts GROUP BY bg
+    ), corpus AS (
+      SELECT CAST(SUM(CAST(n_bg AS HUGEINT) * n_bg) AS DOUBLE)
+               / CAST(SUM(n_bg) AS DOUBLE) AS corpus_avg
+      FROM counts
+    ), scored AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(c.n_bg) AS BIGINT) AS sum_commonness
+      FROM posts p JOIN counts c ON p.bg = c.bg
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_commonness,
+           CAST(sum_commonness AS DOUBLE) / n_bigrams AS avg_commonness,
+           CAST(sum_commonness AS DOUBLE) / n_bigrams / corpus_avg
+             AS commonness_ratio,
+           CAST(sum_commonness AS DOUBLE) / n_bigrams / corpus_avg >= 0.5
+             AS keep
+    FROM scored, corpus
+    """,
+)
+def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-lite rarity filter — the n-gram stand-in for CCNet-style
+    perplexity filtering: a document whose bigrams are systematically
+    rarer than the corpus norm is likely garbled/off-distribution.
+    Score = mean corpus frequency of the doc's bigram occurrences,
+    normalized by the corpus-wide mean (Σn²/Σn over the count table)
+    so the keep threshold is scale-free — a fixed absolute cutoff
+    would flip with corpus size.
+
+    Exactness: counts are integers end-to-end (the Σn² sum in
+    DECIMAL/HUGEINT so it can't overflow at corpus scale); the only
+    float ops are two divisions of identical exact operands, so even
+    the boolean keep flag hash-matches the oracle.
+
+    Scale: explode → (bigram-keyed count + postings⋈counts join, both
+    shuffling on the bigram; the count table is partial-aggregated
+    map-side) → one doc_id aggregate. The corpus norm is a 1-row
+    broadcast. Nothing driver-side, no UDF; bigram skew (stopword
+    pairs) rides the same two-level agg AQE handles for any hot key."""
+    from kawa_spark.functions.hof import bind
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    bigrams = bind(
+        F.split(F.lower(F.col("text")), " "),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    )
+    posts = d.select("doc_id", F.explode(bigrams).alias("bg")).persist()
+    counts = posts.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    corpus = counts.agg(
+        (
+            F.sum(F.col("n_bg").cast("decimal(19,0)") * F.col("n_bg"))
+            .cast("double")
+            / F.sum("n_bg").cast("double")
+        ).alias("corpus_avg")
+    )
+    scored = (
+        posts.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_bg").alias("sum_commonness"),
+        )
+    )
+    avg = F.col("sum_commonness").cast("double") / F.col("n_bigrams")
+    ratio = avg / F.col("corpus_avg")
+    return scored.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_commonness",
+        avg.alias("avg_commonness"),
+        ratio.alias("commonness_ratio"),
+        (ratio >= 0.5).alias("keep"),
+    )
