@@ -413,7 +413,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches EXACTLY the pairs with non-zero intersection, and the
     per-pair intersection size falls out of a count aggregate over the
     join output. No array_intersect over enumerated in-block pairs
-    (the old plan evaluated ~588k of them at sf0.1 to keep 256); no
+    (the old plan evaluated ~588k of them at sf0.1 to keep a few
+    hundred); no
     blocking scheme to miss cross-block near-dups (recall here is now
     strictly higher: 6 → 25 pairs at sf0.01, all true near-dups).
 
