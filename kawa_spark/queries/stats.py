@@ -285,3 +285,104 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.filter(F.substring(h, 1, 1) == "0").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+KMV_K = 64
+# u = first 15 hex chars of md5 → integer < 16^15, normalized to
+# (0, 1]; 16^15 = 2^60 fits a long exactly, and 15 hex chars keep the
+# conv() result positive in both engines
+_KMV_DENOM = float(1 << 60)
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH dv AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  ::BIGINT AS DOUBLE) / {_KMV_DENOM} AS u
+      FROM dv
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY u, user_id) AS rn
+      FROM hashed
+    ), sketch AS (
+      SELECT event_type,
+             COUNT(*) AS k_seen,
+             MAX(u) AS u_k
+      FROM ranked WHERE rn <= {KMV_K}
+      GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, COUNT(*) AS n_exact FROM dv GROUP BY event_type
+    )
+    SELECT s.event_type,
+           e.n_exact,
+           CAST(s.k_seen AS BIGINT) AS k_seen,
+           CASE WHEN s.k_seen < {KMV_K} THEN CAST(s.k_seen AS DOUBLE)
+                ELSE ({KMV_K} - 1) / s.u_k END AS kmv_estimate,
+           abs(CASE WHEN s.k_seen < {KMV_K} THEN CAST(s.k_seen AS DOUBLE)
+                    ELSE ({KMV_K} - 1) / s.u_k END - e.n_exact)
+             / e.n_exact <= 0.5 AS within_tol
+    FROM sketch s JOIN exact e ON s.event_type = e.event_type
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch — the mergeable cardinality
+    sketch family (Bar-Yossef et al. 2002) built from DataFrame ops:
+    keep the K smallest normalized hashes of the distinct values per
+    group; estimate = (K-1)/u_K (the K-th minimum). Unlike
+    approx_count_distinct's HLL (engine-internal, only testable via
+    tolerance), every number here is a DETERMINISTIC function of the
+    data through md5 — both engines produce bit-identical estimates,
+    so the sketch itself is value-hash-verified, and the within_tol
+    column additionally documents the estimate's accuracy contract
+    against the exact count.
+
+    Scale: one distinct (shuffle on the pair), one group-keyed top-K.
+    The top-K here is a rank window (fine while per-group distinct
+    cardinality sorts in memory per task); the production form at
+    10⁹+ distincts/group prefilters u < c·K/N̂ with a coarse N̂ (e.g.
+    from approx_count_distinct) so only ~c·K rows per group reach the
+    sort — the sketch's answer is unchanged because it only ever
+    reads the K minima. Exact counts ride along for the contract
+    column; a deployment computes them only in audits."""
+    dv = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()  # feeds the sketch AND the exact-count branch
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(_KMV_DENOM)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    sketch = (
+        dv.select("event_type", "user_id", u.alias("u"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("k_seen"), F.max("u").alias("u_k"))
+    )
+    exact = dv.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / F.col("u_k"))
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("k_seen").cast("long").alias("k_seen"),
+            est.alias("kmv_estimate"),
+            (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.5).alias(
+                "within_tol"
+            ),
+        )
+    )
