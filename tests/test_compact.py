@@ -1,0 +1,68 @@
+"""Small-file compaction (sinks/compact.py): selective per-partition
+rewrite, data preserved exactly, already-compact partitions untouched."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kawa_spark.sinks.compact import compact_parquet, plan_compaction
+
+
+def _n_parquet(leaf: str) -> int:
+    return len([f for f in os.listdir(leaf) if f.endswith(".parquet")])
+
+
+def _write_fragmented(spark, path: str) -> None:
+    """Hive-partitioned table: dt=a fragmented into 32 tiny files,
+    dt=b a single file (already compact)."""
+    a = spark.range(10_000).select(
+        F.col("id"), F.lit("a").alias("dt")
+    ).repartition(32)
+    a.write.partitionBy("dt").mode("overwrite").parquet(path)
+    b = spark.range(10_000, 12_000).select(
+        F.col("id"), F.lit("b").alias("dt")
+    ).coalesce(1)
+    b.write.partitionBy("dt").mode("append").parquet(path)
+
+
+def test_compaction_is_selective_and_lossless(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write_fragmented(spark, path)
+    before = {
+        r["dt"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert _n_parquet(os.path.join(path, "dt=a")) == 32
+
+    plan = plan_compaction(path, target_bytes=1 << 30, min_files=4)
+    assert [p[0] for p in plan] == [os.path.join(path, "dt=a")]
+
+    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    assert len(res["compacted"]) == 1
+    leaf, n_before, n_after = res["compacted"][0]
+    assert (n_before, n_after) == (32, 1)
+    assert _n_parquet(os.path.join(path, "dt=b")) == 1  # untouched
+
+    after = {
+        r["dt"]: (r["n"], r["s"])
+        for r in spark.read.parquet(path)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert after["a"] == (10_000, sum(range(10_000)))
+    assert after["b"] == (2_000, sum(range(10_000, 12_000)))
+    assert before.keys() == after.keys()
+
+
+def test_compaction_noop_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(path)
+    res = compact_parquet(spark, path)
+    assert res["compacted"] == []
+    assert res["skipped"] == 1
