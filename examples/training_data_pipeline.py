@@ -1,0 +1,85 @@
+"""End-to-end TRAINING-DATA pipeline — the LLM-corpus counterpart to
+examples/log_pipeline.py, composing the registry's operators into the
+standard corpus build:
+
+  documents
+    → quality gate        (Gopher-style scalar signals, keep flag)
+    → exact dedup         (normalized-hash keepers)
+    → near-dup dedup      (posting-list jaccard → connected
+                           components; only cluster keepers survive)
+    → deterministic order (reproducible epoch shuffle position)
+    → clustered write     (range-clustered parquet so downstream
+                           readers prune by position range)
+
+Every stage is a doc_id-keyed semi/anti join against an operator's
+output — one declarative plan end to end; Catalyst fuses the gates
+and the only shuffles are the operators' own documented ones plus
+the final range partition. Deterministic: the same corpus always
+yields the same training set in the same order, on any cluster.
+
+Run directly (writes under /tmp) or through tests/test_example_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kawa_spark.io import table
+from kawa_spark.queries.llm_dedup import dedup_exact_norm
+from kawa_spark.queries.llm_dedup import dedup_clusters_query
+from kawa_spark.queries.llm_quality import quality_gopher_filter
+from kawa_spark.queries.llm_corpus import corpus_shuffle_deterministic
+from kawa_spark.sinks.layout import write_clustered
+
+
+def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → filtered, deduped, deterministically ordered set."""
+    docs = table(spark, sf_dir, "documents")
+    quality_ok = (
+        quality_gopher_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    exact_keepers = dedup_exact_norm(spark, sf_dir).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    # near-dup clusters: everything that is IN a cluster but not its
+    # keeper is dropped; docs outside any cluster pass untouched
+    near_dup_losers = (
+        dedup_clusters_query(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    order = corpus_shuffle_deterministic(spark, sf_dir).select(
+        "doc_id", "global_pos"
+    )
+    return (
+        docs.join(quality_ok, "doc_id", "left_semi")
+        .join(exact_keepers, "doc_id", "left_semi")
+        .join(near_dup_losers, "doc_id", "left_anti")
+        .join(order, "doc_id")
+        .select("global_pos", "doc_id", "lang", "source", "n_chars", "text")
+    )
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", out: str | None = None) -> dict:
+    from kawa_spark.session import get_spark
+
+    spark = get_spark(app_name="training_data_pipeline")
+    ts = build_training_set(spark, sf_dir)
+    out = out or "/tmp/kawa_training_set"
+    # cluster the files by training position: an epoch reader asking
+    # for positions [a, b) opens only the files whose range overlaps
+    write_clustered(ts, out, ["global_pos"], n_files=8)
+    n = spark.read.parquet(out).count()
+    return {"rows": n, "path": out}
+
+
+if __name__ == "__main__":
+    print(main(*sys.argv[1:]))

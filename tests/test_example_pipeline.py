@@ -67,3 +67,35 @@ def test_log_pipeline_routes_and_archives(spark, tmp_path):
     q2 = start_pipeline(spark, str(log), archive, cp, error_sink=errors)
     q2.awaitTermination(120)
     assert [r["event"] for r in errors.rows] == ["evt-9"]
+
+
+def test_training_data_pipeline_composes(spark, tmp_path):
+    """examples/training_data_pipeline.py: the quality → dedup →
+    order → clustered-write composition produces a deterministic,
+    properly-filtered training set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from training_data_pipeline import build_training_set
+
+    sf = "/root/testdata/sf0.001"
+    ts = build_training_set(spark, sf)
+    rows = ts.collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert 0 < len(rows) < n_docs  # gates actually dropped something
+    # deterministic: same input → identical set and order key
+    again = {(r["doc_id"], r["global_pos"]) for r in build_training_set(spark, sf).collect()}
+    assert {(r["doc_id"], r["global_pos"]) for r in rows} == again
+    # positions are unique (a valid training order)
+    poss = [r["global_pos"] for r in rows]
+    assert len(set(poss)) == len(poss)
+    # near-dup losers really are gone: no doc that a cluster marked
+    # non-keeper survives
+    from kawa_spark.queries.llm_dedup import dedup_clusters_query
+    from pyspark.sql import functions as F
+
+    losers = {
+        r["doc_id"]
+        for r in dedup_clusters_query(spark, sf).filter(~F.col("is_keeper")).collect()
+    }
+    assert losers and not losers & {r["doc_id"] for r in rows}
