@@ -64,3 +64,35 @@ def test_cap_buckets_drops_degenerate_bucket(spark):
     out = _cap_buckets(df, cap=200)
     rows = out.groupBy("band_hash").count().collect()
     assert {r["band_hash"]: r["count"] for r in rows} == {"ok": 5}
+
+
+def test_ngram_jaccard_survives_boilerplate_corpus(spark, tmp_path):
+    """End-to-end DF_CAP behavior on a degenerate corpus: 1500
+    identical boilerplate docs (every shingle df=1500 > DF_CAP=1000,
+    would otherwise enumerate ~1.1M pairs) are evicted wholesale,
+    while a planted near-dup pair built from rare shingles is still
+    found with its exact jaccard."""
+    from pyspark.sql import Row
+
+    from kawa_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    boiler = "the same header text repeated on every page of the crawl"
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        Row(doc_id=i, text=boiler, lang="en", source="src0",
+            n_chars=len(boiler))
+        for i in range(1500)
+    ] + [
+        Row(doc_id=100_000, text=a, lang="en", source="src0", n_chars=len(a)),
+        Row(doc_id=100_001, text=b, lang="en", source="src0", n_chars=len(b)),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    res = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in res}
+    # ONLY the planted pair — zero boilerplate pairs out of ~1.1M
+    assert set(got) == {(100_000, 100_001)}
+    # both docs have 8 distinct 3-shingles, 7 shared → 7/9
+    assert abs(got[(100_000, 100_001)] - 7 / 9) < 1e-12
