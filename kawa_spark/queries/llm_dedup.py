@@ -442,13 +442,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale call, bought with one extra 8-byte column on the
     narrow postings (measured equal-or-faster at sf0.1 too).
     """
-    posts = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+    return ngram_jaccard_pairs(
+        spread(table(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame, cap: int = DF_CAP, threshold: float = 0.15
+) -> DataFrame:
+    """Core posting-list jaccard over any (doc_id, text, ...) frame —
+    dedup_ngram_jaccard binds it to the documents table; tests drive
+    it directly on synthetic corpora (property-based cross-check vs a
+    brute-force Python reference in tests/test_ngram_property.py)."""
+    posts = d.select(
         "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
     )
     # persist: the size-annotated postings feed both self-join sides;
     # unpersisted, each would re-run the shingle scan.
     pf = (
-        _cap_postings(posts)
+        _cap_postings(posts, cap=cap)
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .persist()
     )
@@ -474,7 +486,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .select("doc_a", "doc_b", jaccard)
-        .filter(F.col("jaccard") >= 0.15)
+        .filter(F.col("jaccard") >= F.lit(threshold))
     )
 
 
