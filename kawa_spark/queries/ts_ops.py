@@ -105,3 +105,94 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+HOUR_US = 3_600 * 1_000_000
+
+
+@register(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ), bounds AS (
+      SELECT user_id,
+             MIN(us) // {HOUR_US} AS s0,
+             MAX(us) // {HOUR_US} AS s1
+      FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(s0, s1)) AS slot FROM bounds
+    ), slotted AS (
+      SELECT user_id, us // {HOUR_US} AS slot, us, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, us // {HOUR_US}
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM e
+    ), last_in_slot AS (
+      SELECT user_id, slot, value FROM slotted WHERE rn = 1
+    ), joined AS (
+      SELECT g.user_id, g.slot, l.value AS obs_value
+      FROM grid g LEFT JOIN last_in_slot l
+        ON g.user_id = l.user_id AND g.slot = l.slot
+    )
+    SELECT user_id,
+           CAST(slot * {HOUR_US} AS BIGINT) AS slot_us,
+           last_value(obs_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY slot
+             ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           obs_value IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular event series onto a 1-hour grid per
+    key with forward fill — the resample/gap-fill operator every
+    time-series store exposes (hypertable `time_bucket_gapfill` /
+    `locf` shape). Each user's grid runs from their first to last
+    observed hour; empty hours carry the most recent prior value and
+    an is_gap marker.
+
+    Exactness: slots are integer epoch-micros buckets; the slot
+    representative is the max (us, event_id) struct — identical to
+    the oracle's ROW_NUMBER DESC tie-break — and the fill is
+    last-ignorenulls over slot order, so the carried doubles are
+    byte-identical (never recomputed, only propagated).
+
+    Scale: bounds aggregate + slot dedup + grid join + fill window
+    all partition on user_id — one logical shuffle key end to end.
+    The grid explode is |keys| × spanned-hours; a key spanning years
+    would fan out — production bounds the window (.filter on ts) or
+    chunks the grid, the same guard every gapfill engine ships."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    slot = (F.col("us") / HOUR_US).cast("long")
+    bounds = e.groupBy("user_id").agg(
+        (F.min("us") / HOUR_US).cast("long").alias("s0"),
+        (F.max("us") / HOUR_US).cast("long").alias("s1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("s0", "s1")).alias("slot")
+    )
+    last_in_slot = (
+        e.select("user_id", slot.alias("slot"), F.struct("us", "event_id", "value").alias("o"))
+        .groupBy("user_id", "slot")
+        .agg(F.max("o").alias("o"))
+        .select("user_id", "slot", F.col("o.value").alias("obs_value"))
+    )
+    joined = grid.join(last_in_slot, ["user_id", "slot"], "left")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        (F.col("slot") * HOUR_US).cast("long").alias("slot_us"),
+        F.last("obs_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("obs_value").isNull().alias("is_gap"),
+    )
