@@ -71,6 +71,14 @@ HEADLINE = [
     "corpus_decontaminate",
     "stream_exec_incremental_rollup",
     "multimodal_resize",
+    # r7 additions (new keys + the rewritten posting-list jaccard)
+    "dedup_ngram_jaccard",
+    "corpus_shuffle_deterministic",
+    "corpus_domain_stats",
+    "events_funnel",
+    "quality_lm_commonness",
+    "agg_kmv_distinct",
+    "ts_resample_ffill",
 ]
 
 
