@@ -283,6 +283,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    return funnel_stages(ev)
+
+
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Core funnel over any (user_id, event_type, us) frame —
+    events_funnel binds it to the events table; the property test
+    (tests/test_funnel_property.py) drives it on random synthetic
+    streams against a brute-force Python reference."""
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
