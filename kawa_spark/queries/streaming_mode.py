@@ -283,11 +283,15 @@ def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         path=f"{base}/table",
         checkpoint=f"{base}/cp",
         available_now=True,
-        # state = hours × event types (~thousands of rows): 4 stores
-        # ample (32 would spin 8× the RocksDB instances for no data;
-        # measured r6: 8→4 stores cut the bounded drain 3.9→2.5 s —
-        # per-batch RocksDB open/commit is the fixed cost here)
-        state_partitions=4,
+        # state = hours × event types (~thousands of rows): ONE store
+        # suffices (32 would spin 32 RocksDB instances for no data;
+        # measured r6: 8→4 stores cut the bounded drain 3.9→2.5 s;
+        # r7: 4→1 a further 2.9→2.5 s min-of-3 — per-batch RocksDB
+        # open/commit is the fixed cost and it scales with instance
+        # count, not rows. A production deployment sizes this to
+        # state VOLUME; the point of the parameter is that the
+        # operator exposes the knob at all.)
+        state_partitions=1,
     )
     if not q.awaitTermination(300):
         q.stop()
