@@ -320,3 +320,76 @@ def funnel_stages(ev: DataFrame) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage"))
     )
+
+
+DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_n
+      FROM cohort GROUP BY cohort_day
+    ), activity AS (
+      SELECT DISTINCT c.cohort_day,
+             CAST((e.day - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+             e.user_id
+      FROM e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT a.cohort_day,
+           a.week_offset,
+           COUNT(*) AS n_active,
+           s.cohort_n,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_n AS retention
+    FROM activity a JOIN sizes s ON a.cohort_day = s.cohort_day
+    GROUP BY a.cohort_day, a.week_offset, s.cohort_n
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort table — the other classic sequential-behavior
+    report next to the funnel: users grouped by first-seen day, and
+    for each week offset since that day, how many of the cohort were
+    active (any event). All integer day/week bucket arithmetic in
+    epoch-micros; the single float is the final retention division of
+    identical exact counts.
+
+    Scale: cohort assignment is one user_id aggregate; activity
+    dedups (cohort_day, week_offset, user_id) — shuffle keyed on the
+    user (the join) then the cohort cell (the distinct+count); cohort
+    sizes are a |days|-row table joined back (broadcastable at any
+    corpus — days, not users). Nothing holds per-user event lists."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / DAY_US).cast("long").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            ((F.col("day") - F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "n_active",
+            "cohort_n",
+            (F.col("n_active").cast("double") / F.col("cohort_n")).alias(
+                "retention"
+            ),
+        )
+    )

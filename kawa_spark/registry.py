@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 7's window (below): first the 6 NEW keys (never
+# Round 7's window (below): first the 7 NEW keys (never
 # driver-checked — must lead), then the 6 keys whose implementations
 # changed this round — dedup_ngram_jaccard rewritten as a
 # posting-list self-join with a df cap (dedup_clusters inherits the
@@ -60,18 +60,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # an input fingerprint, multimodal_audio_features' WAV writer now
 # word-aligns odd data chunks. Then the 37 keys whose latest driver
 # evidence is r4 (the full tpch_full suite, the quality tier,
-# similarity baselines, stream_passthrough et al.), then 1 r5-latest
-# fills. Max evidence age after this round: ≤ 2 rounds.
+# similarity baselines, stream_passthrough et al.) — exactly 50. Max evidence age after this round: ≤ 2 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 6 new keys (never driver-checked) ---
+    # --- 7 new keys (never driver-checked) ---
     "corpus_shuffle_deterministic",
     "corpus_domain_stats",
     "events_funnel",
     "quality_lm_commonness",
     "agg_kmv_distinct",
     "ts_resample_ffill",
+    "events_retention_cohorts",
     # --- 6 keys whose implementation changed this round ---
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -117,8 +117,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q22_global_sales",
     "udf_grouped_agg",
     "window_rank",
-    # --- r5-latest fills (to 50) ---
-    "scan_project",
 ]
 
 
