@@ -79,6 +79,7 @@ HEADLINE = [
     "quality_lm_commonness",
     "agg_kmv_distinct",
     "ts_resample_ffill",
+    "events_retention_cohorts",
 ]
 
 
