@@ -23,10 +23,11 @@ checks.
 Skew guards: every self-join key is size-capped —
 * minhash band buckets larger than ``BUCKET_CAP`` are dropped (a
   degenerate bucket, e.g. empty docs, would otherwise be quadratic);
-* ngram-jaccard postings of shingles with document frequency >
-  ``DF_CAP`` are removed from the similarity universe (the standard
-  boilerplate/stop-shingle cut), bounding the posting self-join at
-  DF_CAP/2 · |postings| — linear in corpus size.
+* ngram-jaccard postings of shingles whose document frequency
+  exceeds max(DF_CAP_FLOOR, |docs|/DF_CAP_DIVISOR) — >0.1% of the
+  corpus, floored at 100 — are removed from the similarity universe
+  (the standard boilerplate/stop-shingle cut), bounding the posting
+  self-join at cap/2 · |postings|.
 Both guards are mirrored bit-for-bit in the DuckDB oracles, so the
 capped semantics themselves are hash-verified.
 """
@@ -46,7 +47,16 @@ from kawa_spark.registry import register
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # → 4 rows/band; P(candidate) = 1-(1-j^4)^4
 BUCKET_CAP = 200  # max LSH band-bucket size admitted to the self-join
-DF_CAP = 1000  # max shingle document frequency admitted to the posting join
+# Posting-join boilerplate guard: a shingle is "boilerplate" (evicted
+# from the similarity universe) when its document frequency exceeds
+# max(DF_CAP_FLOOR, corpus_docs / DF_CAP_DIVISOR) — i.e. >0.1% of the
+# corpus, floored at 100 docs. RELATIVE, not absolute (r7.2): a fixed
+# cap either never binds (quadratic candidate growth as df drifts up
+# with corpus size — measured 29× at 10× synthetic data) or evicts
+# everything on small corpora; the relative form binds exactly when a
+# shingle stops being discriminative for THIS corpus.
+DF_CAP_FLOOR = 100
+DF_CAP_DIVISOR = 1000
 # signature-agreement prefilter for candidate verification: a band
 # collision guarantees 4 equal positions, so requiring ≥5 demands
 # agreement BEYOND the colliding band — a 16-int comparison that
@@ -377,10 +387,15 @@ def _ngram_pairs_ctes() -> str:
       SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
     ), posts AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), cap AS (
+      SELECT greatest({DF_CAP_FLOOR},
+                      CAST(ceil(COUNT(*) / {float(DF_CAP_DIVISOR)}) AS BIGINT))
+               AS df_cap
+      FROM documents
     ), pf AS (
       SELECT doc_id, s FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM posts
-      ) WHERE df <= {DF_CAP}
+      ) WHERE df <= (SELECT df_cap FROM cap)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM pf GROUP BY doc_id
     ), inter AS (
@@ -418,17 +433,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking scheme to miss cross-block near-dups (recall here is now
     strictly higher: 6 → 25 pairs at sf0.01, all true near-dups).
 
-    Scale guard: shingles with document frequency > DF_CAP are
-    removed from the similarity universe — the standard
-    stop-shingle/boilerplate cut. This bounds the join output at
-    Σ_s C(df(s), 2) ≤ DF_CAP/2 · |postings|, i.e. LINEAR in corpus
-    size for a fixed cap, killing the tier's last quadratic term. Set
-    sizes (``n_sh``) are computed over the SAME filtered universe, so
-    jaccard remains a true jaccard of the capped shingle sets; the
-    cap is mirrored in the oracle, making the capped semantics
-    themselves hash-verified. At test SF max df is 25, so the cap is
-    a no-op there; its eviction behavior is unit-tested on synthetic
-    boilerplate postings in tests/test_dedup_guards.py.
+    Scale guard: shingles whose document frequency exceeds
+    max(DF_CAP_FLOOR, |docs|/DF_CAP_DIVISOR) — >0.1% of the corpus,
+    floored at 100 docs — are removed from the similarity universe,
+    the standard stop-shingle/boilerplate cut. The RELATIVE cap
+    (r7.2) is the load-bearing choice: it bounds the join output at
+    Σ_s C(df(s), 2) ≤ cap/2 · |postings| while binding exactly when
+    a shingle stops being discriminative for this corpus — a fixed
+    absolute cap measured 29× wall growth at 10× synthetic data
+    because df drifted toward-but-under it (quadratic candidates
+    with zero evictions). Set sizes (``n_sh``) are computed over the
+    SAME filtered universe, so jaccard remains a true jaccard of the
+    capped shingle sets; cap and corpus count are mirrored in the
+    oracle (scalar-subquery twin of the in-plan 1-row broadcast), so
+    the capped semantics themselves are hash-verified. At test SFs
+    max df is 25 < 100, so the cap is a no-op there; eviction is
+    covered end-to-end by the boilerplate-corpus test in
+    tests/test_dedup_guards.py.
 
     Plan shape: one scan shingles the corpus; every row past the scan
     is (doc_id, shingle-hash, set-size) — three longs. The df-cap
@@ -437,7 +458,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     CARRIED ON THE POSTING ROWS through the self-join, so the pair
     stage is ONE shuffle (the groupBy with map-side combine) — not a
     pair-table aggregate plus two joins against a |docs|-row size
-    table. The pair table is the big one here (up to DF_CAP/2 ·
+    table. The pair table is the big one here (up to cap/2 ·
     |postings| rows); shuffling it once instead of three times is
     the scale call, bought with one extra 8-byte column on the
     narrow postings (measured equal-or-faster at sf0.1 too).
@@ -448,19 +469,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    d: DataFrame, cap: int = DF_CAP, threshold: float = 0.15
+    d: DataFrame, cap: int | None = None, threshold: float = 0.15
 ) -> DataFrame:
     """Core posting-list jaccard over any (doc_id, text, ...) frame —
     dedup_ngram_jaccard binds it to the documents table; tests drive
     it directly on synthetic corpora (property-based cross-check vs a
-    brute-force Python reference in tests/test_ngram_property.py)."""
+    brute-force Python reference in tests/test_ngram_property.py).
+
+    ``cap``: explicit df cap for tests; None (default) uses the
+    adaptive max(DF_CAP_FLOOR, |docs|/DF_CAP_DIVISOR) — the corpus
+    size comes from an in-plan 1-row aggregate broadcast onto the
+    postings, no extra driver action."""
     posts = d.select(
         "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
     )
+    if cap is None:
+        cap_df = d.groupBy().agg(
+            F.greatest(
+                F.lit(DF_CAP_FLOOR).cast("long"),
+                F.ceil(F.count(F.lit(1)) / F.lit(float(DF_CAP_DIVISOR))).cast(
+                    "long"
+                ),
+            ).alias("df_cap")
+        )
+        posts = posts.crossJoin(F.broadcast(cap_df))
+        cap_col = F.col("df_cap")
+    else:
+        cap_col = F.lit(cap)
     # persist: the size-annotated postings feed both self-join sides;
     # unpersisted, each would re-run the shingle scan.
     pf = (
-        _cap_postings(posts, cap=cap)
+        posts.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= cap_col)
+        .drop("df", "df_cap")
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .persist()
     )
@@ -507,7 +548,7 @@ def _cap_buckets(
     )
 
 
-def _cap_postings(posts: DataFrame, cap: int = DF_CAP, key: str = "s") -> DataFrame:
+def _cap_postings(posts: DataFrame, cap: int = DF_CAP_FLOOR, key: str = "s") -> DataFrame:
     """Drop postings of shingles whose document frequency exceeds
     ``cap`` before the posting self-join — a boilerplate shingle
     (page headers, license blurbs, empty-doc artifacts) otherwise

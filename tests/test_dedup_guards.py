@@ -67,11 +67,11 @@ def test_cap_buckets_drops_degenerate_bucket(spark):
 
 
 def test_ngram_jaccard_survives_boilerplate_corpus(spark, tmp_path):
-    """End-to-end DF_CAP behavior on a degenerate corpus: 1500
-    identical boilerplate docs (every shingle df=1500 > DF_CAP=1000,
-    would otherwise enumerate ~1.1M pairs) are evicted wholesale,
-    while a planted near-dup pair built from rare shingles is still
-    found with its exact jaccard."""
+    """End-to-end adaptive-df-cap behavior on a degenerate corpus:
+    1500 identical boilerplate docs (shingle df=1500 > the adaptive
+    cap max(100, 1502/1000)=100, would otherwise enumerate ~1.1M
+    pairs) are evicted wholesale, while a planted near-dup pair built
+    from rare shingles is still found with its exact jaccard."""
     from pyspark.sql import Row
 
     from kawa_spark.queries.llm_dedup import dedup_ngram_jaccard
