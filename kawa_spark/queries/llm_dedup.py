@@ -644,8 +644,13 @@ def _simhash_oracle() -> str:
       SELECT doc_id, {bitsums} FROM hashed GROUP BY doc_id
     ), sh AS (
       SELECT doc_id, {weights} AS simhash FROM bitsums
-    ), bands AS (
+    ), bands0 AS (
       {bands}
+    ), bands AS (
+      SELECT doc_id, simhash, band_id, band_val FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bucket_n
+        FROM bands0
+      ) WHERE bucket_n <= {BUCKET_CAP}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -735,6 +740,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    # skew guard (r7): a degenerate band bucket — at 10⁹ docs even an
+    # honest 16-bit band averages N/65536 members — is quadratic in
+    # the self-join; cap it exactly as minhash does, oracle-mirrored.
+    # At test SF every bucket is far below the cap (no result change).
+    banded = _cap_buckets(banded, keys=("band_id", "band_val"))
     banded = banded.persist()  # self-join: materialize simhashes once
     a, b = banded.alias("a"), banded.alias("b")
     return (
