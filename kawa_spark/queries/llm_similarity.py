@@ -452,6 +452,12 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The plant is a constant 2·N_PLANT-row augmentation — nothing about
 # the corpus-scale plan changes.
 N_PLANT = 3
+# Self-join skew guard (r7, same pattern as minhash/simhash): a sig
+# bucket larger than this is degenerate for the SELF-join (at 10⁹
+# vectors even an honest 16-bit bucket averages N/65536 members) and
+# is evicted before the join; mirrored in the oracle. Test-SF buckets
+# hold a handful of vectors (plants add ≤3), so no result change.
+EMB_BUCKET_CAP = 200
 
 
 def _embedding_dedup_oracle() -> str:
@@ -469,8 +475,12 @@ def _embedding_dedup_oracle() -> str:
       FROM base WHERE vec_id < {N_PLANT}
     ), corpus0 AS (
       SELECT * FROM base UNION ALL SELECT * FROM planted
-    ), corpus AS (
+    ), corpus1 AS (
       SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM corpus0
+    ), corpus AS (
+      SELECT vec_id, embedding, sig FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY sig) AS bucket_n FROM corpus1
+      ) WHERE bucket_n <= {EMB_BUCKET_CAP}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
@@ -508,6 +518,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionAll(scaled)
         .unionAll(zeroed)
         .select("vec_id", "embedding", _signature(F.col("embedding")).alias("sig"))
+    )
+    # evict degenerate sig buckets before the self-join (see
+    # EMB_BUCKET_CAP); the window count shuffles on the same key the
+    # join uses, so the guard costs no extra repartitioning
+    w_bucket = Window.partitionBy("sig")
+    e = (
+        e.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+        .drop("bucket_n")
         .persist()  # self-join: hash each vector once
     )
     a, b = e.alias("a"), e.alias("b")
