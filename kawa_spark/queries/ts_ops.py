@@ -168,6 +168,14 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         "value",
     )
+    return resample_ffill(e)
+
+
+def resample_ffill(e: DataFrame) -> DataFrame:
+    """Core gap-fill over any (user_id, event_id, us, value) frame —
+    ts_resample_ffill binds it to the events table; the property test
+    (tests/test_resample_property.py) drives it on random sparse
+    series against a brute-force Python reference."""
     slot = (F.col("us") / HOUR_US).cast("long")
     bounds = e.groupBy("user_id").agg(
         (F.min("us") / HOUR_US).cast("long").alias("s0"),

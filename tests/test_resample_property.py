@@ -1,0 +1,75 @@
+"""Property-based cross-check of the resample/forward-fill core
+(ts_ops.resample_ffill) against a brute-force Python reference on
+random sparse series — grid bounds, slot-representative tie-breaks,
+and fill propagation are each easy to get subtly wrong.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kawa_spark.queries.ts_ops import HOUR_US, resample_ffill
+
+
+def _ref(events: list[tuple[int, int, int, float]]) -> dict:
+    """user → {slot_us: (value_ffill, is_gap)}, pure Python."""
+    by_user: dict[int, list] = {}
+    for u, eid, us, v in events:
+        by_user.setdefault(u, []).append((eid, us, v))
+    out: dict = {}
+    for u, evs in by_user.items():
+        slots = {}
+        for eid, us, v in evs:
+            sl = us // HOUR_US
+            # representative = max (us, event_id) in the slot
+            cur = slots.get(sl)
+            if cur is None or (us, eid) > (cur[0], cur[1]):
+                slots[sl] = (us, eid, v)
+        s0 = min(us // HOUR_US for _, us, _v in evs)
+        s1 = max(us // HOUR_US for _, us, _v in evs)
+        grid = {}
+        last = None
+        for sl in range(s0, s1 + 1):
+            if sl in slots:
+                last = slots[sl][2]
+                grid[sl * HOUR_US] = (last, False)
+            else:
+                grid[sl * HOUR_US] = (last, True)
+        out[u] = grid
+    return out
+
+
+@st.composite
+def sparse_series(draw):
+    n_users = draw(st.integers(1, 3))
+    out = []
+    eid = 0
+    for u in range(n_users):
+        n = draw(st.integers(1, 15))
+        for _ in range(n):
+            # spread across ~40 hours so gaps are common; allow
+            # same-slot collisions so the representative tie-break runs
+            us = draw(st.integers(0, 40 * HOUR_US))
+            out.append((u, eid, us, float(draw(st.integers(-50, 50)))))
+            eid += 1
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=sparse_series())
+def test_resample_matches_bruteforce(spark, events):
+    df = spark.createDataFrame(
+        events, "user_id long, event_id long, us long, value double"
+    )
+    got: dict = {}
+    for r in resample_ffill(df).collect():
+        got.setdefault(r["user_id"], {})[r["slot_us"]] = (
+            r["value_ffill"],
+            r["is_gap"],
+        )
+    assert got == _ref(events), events
