@@ -348,9 +348,23 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — the sketch's answer is unchanged because it only ever
     reads the K minima. Exact counts ride along for the contract
     column; a deployment computes them only in audits."""
+    return kmv_distinct(
+        table(spark, sf_dir, "events").select("event_type", "user_id"),
+        "event_type",
+        "user_id",
+    )
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Core KMV sketch over any (group, value) frame —
+    agg_kmv_distinct binds it to events; the property test
+    (tests/test_kmv_property.py) drives it on random groups against a
+    brute-force Python replica of the estimator."""
     dv = (
-        table(spark, sf_dir, "events")
-        .select("event_type", "user_id")
+        df.select(
+            F.col(group_col).alias("event_type"),
+            F.col(value_col).alias("user_id"),
+        )
         .distinct()
         .persist()  # feeds the sketch AND the exact-count branch
     )
