@@ -224,7 +224,15 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DF_CAP = 100  # max document frequency for an inverted-index shingle
+# Inverted-index boilerplate guard (relative since r7, same reasoning
+# as llm_dedup's posting cap): a shingle is dropped from the INDEX
+# when it appears in more than max(IDX_DF_FLOOR, docs/IDX_DF_DIVISOR)
+# documents — >0.1% of the corpus, floored at 100. An absolute cap is
+# wrong at both ends: on a 10^10-doc corpus a fixed 100 evicts nearly
+# every shingle (recall → 0), while a high fixed cap lets candidate
+# fan-out grow quadratically as df drifts up with corpus size.
+IDX_DF_FLOOR = 100
+IDX_DF_DIVISOR = 1000
 
 
 @register(
@@ -241,10 +249,15 @@ DF_CAP = 100  # max document frequency for an inverted-index shingle
       SELECT doc_id, s AS sh FROM (
         SELECT doc_id, unnest(shingles) AS s FROM sh
       )
+    ), idxcap AS (
+      SELECT greatest({IDX_DF_FLOOR},
+                      CAST(ceil(COUNT(*) / {float(IDX_DF_DIVISOR)}) AS BIGINT))
+               AS df_cap
+      FROM documents
     ), capped AS (
       SELECT doc_id, sh FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY sh) AS df FROM posting
-      ) WHERE df <= {DF_CAP}
+      ) WHERE df <= (SELECT df_cap FROM idxcap)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b
@@ -270,16 +283,18 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded shingle hashes (pairs sharing ≥1 indexed shingle), not a
     lang-blocked all-pairs product — round 1 needed a doc_id < 300
     demo bound; this runs unbounded. Shingles appearing in more than
-    DF_CAP docs are dropped from the *index* (boilerplate shingles
-    would quadratically explode the candidate set) but still count in
-    the exact containment, which is computed on the full shingle
-    arrays of candidate pairs only. A true pair is missed only if ALL
-    its shared shingles are boilerplate — exactly the pairs the
-    operator should not fire on. The candidate rule is mirrored in
-    the oracle, so the capped semantics are hash-verified.
+    max(IDX_DF_FLOOR, 0.1% of the corpus) docs are dropped from the
+    *index* (boilerplate shingles would quadratically explode the
+    candidate set) but still count in the exact containment, which is
+    computed on the full shingle arrays of candidate pairs only. A
+    true pair is missed only if ALL its shared shingles are
+    boilerplate — exactly the pairs the operator should not fire on.
+    The candidate rule — including the in-plan corpus count the
+    relative cap reads — is mirrored in the oracle, so the capped
+    semantics are hash-verified.
 
     Scale: the index join shuffles on the shingle hash; per-shingle
-    fan-out is ≤ DF_CAP², and the exact verify touches candidates
+    fan-out is ≤ cap², and the exact verify touches candidates
     only — no all-pairs term anywhere.
     """
     from kawa_spark.queries.llm_dedup import _shingles
@@ -300,11 +315,18 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document-frequency cap: the window count shuffles on the same
     # key the index self-join uses, so the guard adds no extra
     # repartitioning
+    idxcap = d.groupBy().agg(
+        F.greatest(
+            F.lit(IDX_DF_FLOOR).cast("long"),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(IDX_DF_DIVISOR))).cast("long"),
+        ).alias("df_cap")
+    )
     w_df = Window.partitionBy("sh")
     capped = (
-        posting.withColumn("df", F.count(F.lit(1)).over(w_df))
-        .filter(F.col("df") <= DF_CAP)
-        .drop("df")
+        posting.crossJoin(F.broadcast(idxcap))
+        .withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df") <= F.col("df_cap"))
+        .drop("df", "df_cap")
     )
     cand = (
         capped.alias("pa")
