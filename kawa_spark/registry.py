@@ -60,7 +60,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # an input fingerprint, multimodal_audio_features' WAV writer now
 # word-aligns odd data chunks. Then the 37 keys whose latest driver
 # evidence is r4 (the full tpch_full suite, the quality tier,
-# similarity baselines, stream_passthrough et al.) — exactly 50. Max evidence age after this round: ≤ 2 rounds.
+# similarity baselines, stream_passthrough et al.) — exactly 50.
+# Max evidence age after this round: ≤ 2 rounds.
+# NOTE for r8's rotation: similarity_containment's inverted-index cap
+# went RELATIVE late in r7 (implementation changed, output identical
+# at test SFs — locally hash-verified at sf0.001 AND sf0.01); the
+# window was already full, so lead r8's window with it alongside that
+# round's changes.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
