@@ -323,6 +323,7 @@ def funnel_stages(ev: DataFrame) -> DataFrame:
 
 
 DAY_US = 86_400 * 1_000_000
+HOUR_US = 3_600 * 1_000_000
 
 
 @register(
@@ -392,4 +393,107 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retention"
             ),
         )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) // {HOUR_US}) AS slot,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, slot, n_events,
+             COUNT(*) OVER w AS base_n,
+             SUM(n_events) OVER w AS base_sum,
+             SUM(n_events * n_events) OVER w AS base_sumsq
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY slot
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(slot * {HOUR_US} AS BIGINT) AS hour_us,
+           n_events,
+           CAST(base_n AS BIGINT) AS base_n,
+           CASE WHEN base_n >= 6 AND
+                     CAST(base_sumsq AS DOUBLE)
+                       - CAST(base_sum AS DOUBLE) * base_sum / base_n > 0
+                THEN (n_events - CAST(base_sum AS DOUBLE) / base_n)
+                     / sqrt((CAST(base_sumsq AS DOUBLE)
+                             - CAST(base_sum AS DOUBLE) * base_sum / base_n)
+                            / (base_n - 1))
+                ELSE NULL END AS zscore,
+           COALESCE(abs(
+             CASE WHEN base_n >= 6 AND
+                       CAST(base_sumsq AS DOUBLE)
+                         - CAST(base_sum AS DOUBLE) * base_sum / base_n > 0
+                  THEN (n_events - CAST(base_sum AS DOUBLE) / base_n)
+                       / sqrt((CAST(base_sumsq AS DOUBLE)
+                               - CAST(base_sum AS DOUBLE) * base_sum / base_n)
+                              / (base_n - 1))
+                  ELSE NULL END) > 3.0, FALSE) AS is_anomaly
+    FROM base
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the event stream — the security-log
+    staple of the reference's own domain: each (event_type, hour)'s
+    count is scored against the TRAILING 24 hours' mean/stddev
+    (the current hour excluded from its own baseline), flagged at
+    |z| > 3. Needs ≥6 baseline hours and non-zero variance, else the
+    score is null and the flag false.
+
+    Exactness: hourly counts are integers; the rolling mean/variance
+    come from integer power sums (Σx, Σx² over ≤24 BIGINT counts —
+    exact in both engines), with the z computed in double from
+    identical exact operands — so even the boolean flag hash-matches
+    the oracle, rare for anything involving stddev (engine-native
+    accumulators differ in summation order; see stats.py's same
+    discipline).
+
+    Scale: one hourly aggregate (shuffle on (type, slot) with
+    map-side combine — output rows ∝ types × hours regardless of
+    event volume), then ONE window per type over that aggregated
+    table. The window's partition is |hours| rows per type — years
+    of hourly data is ~10⁴ rows per key, trivially in-task."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / HOUR_US).cast("long").alias("slot"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "slot",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("base_n"),
+        F.sum("n_events").over(w).alias("base_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("base_sumsq"),
+    )
+    var_num = (
+        F.col("base_sumsq").cast("double")
+        - F.col("base_sum").cast("double") * F.col("base_sum") / F.col("base_n")
+    )
+    z = F.when(
+        (F.col("base_n") >= 6) & (var_num > 0),
+        (F.col("n_events") - F.col("base_sum").cast("double") / F.col("base_n"))
+        / F.sqrt(var_num / (F.col("base_n") - 1)),
+    )
+    return base.select(
+        "event_type",
+        (F.col("slot") * HOUR_US).cast("long").alias("hour_us"),
+        "n_events",
+        F.col("base_n").cast("long").alias("base_n"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )

@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 7's window (below): first the 7 NEW keys (never
+# Round 7's window (below): first the 8 NEW keys (never
 # driver-checked — must lead), then the 6 keys whose implementations
 # changed this round — dedup_ngram_jaccard rewritten as a
 # posting-list self-join with a df cap (dedup_clusters inherits the
@@ -58,9 +58,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # near-dup pairs (non-vacuous for the first time), kmeans_lloyd /
 # similarity_ivf_kmeans's shared trained-centroid cache re-keyed on
 # an input fingerprint, multimodal_audio_features' WAV writer now
-# word-aligns odd data chunks. Then the 37 keys whose latest driver
+# word-aligns odd data chunks. Then 36 of the 37 keys whose latest driver
 # evidence is r4 (the full tpch_full suite, the quality tier,
-# similarity baselines, stream_passthrough et al.) — exactly 50.
+# similarity baselines, stream_passthrough et al.; deser_csv was the
+# one displaced when events_anomaly_zscore joined late — it is the
+# most trivially-stable key of that tier and leads r8's rotation
+# with similarity_containment) — exactly 50.
 # Max evidence age after this round: ≤ 2 rounds.
 # NOTE for r8's rotation: similarity_containment's inverted-index cap
 # went RELATIVE late in r7 (implementation changed, output identical
@@ -78,6 +81,7 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_distinct",
     "ts_resample_ffill",
     "events_retention_cohorts",
+    "events_anomaly_zscore",
     # --- 6 keys whose implementation changed this round ---
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -90,7 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_hash_groupby",
     "corpus_length_filter",
     "corpus_vocab_coverage",
-    "deser_csv",
     "embedding_centroids",
     "embedding_quantize",
     "grouping_cube",
