@@ -37,3 +37,17 @@ def davg(col: str | Column, alias: str, typ: str = MONEY) -> Column:
     intermediate types differ."""
     c = F.col(col) if isinstance(col, str) else col
     return (F.sum(dec(c, typ)).cast("double") / F.count(c)).alias(alias)
+
+
+def floordiv(col: str | Column, n: int) -> Column:
+    """Exact FLOOR division of a BIGINT column by a positive integer
+    literal — the time-bucket primitive. Matches DuckDB's ``//`` for
+    negative operands too, unlike ``(col / n).cast('long')`` which
+    truncates toward zero (ADVICE r7: any pre-1970 timestamp silently
+    diverges from the oracle), and unlike ``floor(col / n)`` whose
+    double division can misround near bucket boundaries at extreme
+    magnitudes. ``col - pmod(col, n)`` is exactly divisible by ``n``
+    (pmod is always in [0, n)), so the division is exact integer math
+    surfaced through an error-free double op."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ((c - F.pmod(c, F.lit(n))) / F.lit(n)).cast("long")

@@ -27,3 +27,22 @@ def bind(col: Column, body: Callable[[Column], Column]) -> Column:
     lambda variable safe to reference any number of times (including
     inside nested HOF lambdas) without re-evaluation."""
     return F.get(F.transform(F.array(col), body), 0)
+
+
+def bigrams(words: Column) -> Column:
+    """Adjacent-pair shingles of a word array, safely EMPTY for 0/1-word
+    inputs. The unguarded form — ``sequence(1, size-1)`` — crashes on
+    short docs: Spark's ``sequence(1, 0)`` infers step -1 and yields
+    ``[1, 0]``, so ``slice(ws, 0, 2)`` throws
+    INVALID_PARAMETER_VALUE.START at runtime, while DuckDB's
+    ``generate_series(1, 0)`` is empty. The ``when(size >= 2, ...)``
+    guard matches the oracle's empty-series semantics exactly
+    (``explode`` of ``[]`` produces zero rows, same as an empty
+    UNNEST)."""
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kawa_spark.functions.exact import dec
+from kawa_spark.functions.exact import dec, floordiv
 from kawa_spark.io import table
 from kawa_spark.registry import register
 
@@ -365,7 +365,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes are a |days|-row table joined back (broadcastable at any
     corpus — days, not users). Nothing holds per-user event lists."""
     e = table(spark, sf_dir, "events").select(
-        "user_id", (F.unix_micros("ts") / DAY_US).cast("long").alias("day")
+        "user_id", floordiv(F.unix_micros("ts"), DAY_US).alias("day")
     )
     cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
@@ -373,9 +373,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(cohort, "user_id")
         .select(
             "cohort_day",
-            ((F.col("day") - F.col("cohort_day")) / 7)
-            .cast("long")
-            .alias("week_offset"),
+            floordiv(F.col("day") - F.col("cohort_day"), 7).alias(
+                "week_offset"
+            ),
             "user_id",
         )
         .distinct()
@@ -463,7 +463,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.groupBy(
             "event_type",
-            (F.unix_micros("ts") / HOUR_US).cast("long").alias("slot"),
+            floordiv(F.unix_micros("ts"), HOUR_US).alias("slot"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -102,20 +102,16 @@ def corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file local input arrives as ONE partition; the explode +
     # map-side partial agg are CPU-bound, so spread across cores first
     # (a no-op cost at real scale where file splits provide this)
-    from kawa_spark.functions.hof import bind
+    from kawa_spark.functions.hof import bigrams, bind
 
     d = spread(table(spark, sf_dir, "documents"))
     # let-bind the word array (functions/hof.py): an unbound split()
-    # inside the per-position lambda re-splits the doc per bigram
-    bigrams = bind(
-        F.split(F.lower(F.col("text")), " "),
-        lambda ws: F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
-        ),
-    )
+    # inside the per-position lambda re-splits the doc per bigram.
+    # hof.bigrams also guards 0/1-word docs (empty array, zero rows —
+    # matching the oracle's empty generate_series)
+    bg_col = bind(F.split(F.lower(F.col("text")), " "), bigrams)
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(bg_col).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

@@ -278,17 +278,14 @@ def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side) → one doc_id aggregate. The corpus norm is a 1-row
     broadcast. Nothing driver-side, no UDF; bigram skew (stopword
     pairs) rides the same two-level agg AQE handles for any hot key."""
-    from kawa_spark.functions.hof import bind
+    from kawa_spark.functions.hof import bigrams, bind
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    bigrams = bind(
-        F.split(F.lower(F.col("text")), " "),
-        lambda ws: F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
-        ),
-    )
-    posts = d.select("doc_id", F.explode(bigrams).alias("bg")).persist()
+    # short-doc guard lives in hof.bigrams: a 0/1-word doc yields an
+    # empty array (zero posting rows), matching the oracle's empty
+    # generate_series — the unguarded sequence(1, 0) form crashes
+    bg_col = bind(F.split(F.lower(F.col("text")), " "), bigrams)
+    posts = d.select("doc_id", F.explode(bg_col).alias("bg")).persist()
     counts = posts.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
     corpus = counts.agg(
         (

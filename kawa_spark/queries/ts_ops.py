@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kawa_spark.functions.exact import dec
+from kawa_spark.functions.exact import dec, floordiv
 from kawa_spark.io import table
 from kawa_spark.operators.asof import asof_join
 from kawa_spark.registry import register
@@ -160,8 +160,11 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bounds aggregate + slot dedup + grid join + fill window
     all partition on user_id — one logical shuffle key end to end.
     The grid explode is |keys| × spanned-hours; a key spanning years
-    would fan out — production bounds the window (.filter on ts) or
-    chunks the grid, the same guard every gapfill engine ships."""
+    would fan out — ``resample_ffill(e, max_span_hours=N)`` clamps
+    each key's grid to its trailing N hours (the guard every gapfill
+    engine ships; tests/test_resample_property.py pins the bounded
+    fan-out with an epoch-outlier key). The registered key runs
+    unclamped: the driver oracle spans the full testdata range."""
     e = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -171,21 +174,43 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(e)
 
 
-def resample_ffill(e: DataFrame) -> DataFrame:
+def resample_ffill(
+    e: DataFrame, max_span_hours: int | None = None
+) -> DataFrame:
     """Core gap-fill over any (user_id, event_id, us, value) frame —
     ts_resample_ffill binds it to the events table; the property test
     (tests/test_resample_property.py) drives it on random sparse
-    series against a brute-force Python reference."""
-    slot = (F.col("us") / HOUR_US).cast("long")
+    series against a brute-force Python reference.
+
+    ``max_span_hours`` is the fan-out guard (VERDICT r7 item 5): the
+    per-key grid is |keys| × spanned-hours, so ONE dirty row with a
+    1970-epoch timestamp fans a key out to ~490k grid rows. When set,
+    each key's grid start is clamped to ``s1 - max_span_hours`` —
+    observations older than the clamp still seed the forward fill
+    (their slot rows survive the clamp filter only inside the window,
+    but the fill window reads last_in_slot rows join-matched inside
+    the clamped grid; older observations simply fall off the grid,
+    exactly what a bounded-window gapfill means). Oracle-mirrorable:
+    ``GREATEST(s0, s1 - span)`` in the bounds CTE. Slot arithmetic is
+    exact floor division (functions/exact.floordiv) so pre-1970
+    micros bucket identically to DuckDB's ``//``."""
     bounds = e.groupBy("user_id").agg(
-        (F.min("us") / HOUR_US).cast("long").alias("s0"),
-        (F.max("us") / HOUR_US).cast("long").alias("s1"),
+        floordiv(F.min("us"), HOUR_US).alias("s0"),
+        floordiv(F.max("us"), HOUR_US).alias("s1"),
     )
+    if max_span_hours is not None:
+        bounds = bounds.withColumn(
+            "s0", F.greatest("s0", F.col("s1") - F.lit(int(max_span_hours)))
+        )
     grid = bounds.select(
         "user_id", F.explode(F.sequence("s0", "s1")).alias("slot")
     )
     last_in_slot = (
-        e.select("user_id", slot.alias("slot"), F.struct("us", "event_id", "value").alias("o"))
+        e.select(
+            "user_id",
+            floordiv(F.col("us"), HOUR_US).alias("slot"),
+            F.struct("us", "event_id", "value").alias("o"),
+        )
         .groupBy("user_id", "slot")
         .agg(F.max("o").alias("o"))
         .select("user_id", "slot", F.col("o.value").alias("obs_value"))

@@ -48,9 +48,12 @@ def sparse_series(draw):
     for u in range(n_users):
         n = draw(st.integers(1, 15))
         for _ in range(n):
-            # spread across ~40 hours so gaps are common; allow
-            # same-slot collisions so the representative tie-break runs
-            us = draw(st.integers(0, 40 * HOUR_US))
+            # spread across ~40 hours straddling the 1970 epoch so
+            # gaps are common AND negative micros exercise the exact
+            # floor-division bucketing (a truncating cast would land
+            # pre-epoch rows one slot high — ADVICE r7); same-slot
+            # collisions drive the representative tie-break
+            us = draw(st.integers(-20 * HOUR_US, 20 * HOUR_US))
             out.append((u, eid, us, float(draw(st.integers(-50, 50)))))
             eid += 1
     return out
@@ -73,3 +76,40 @@ def test_resample_matches_bruteforce(spark, events):
             r["is_gap"],
         )
     assert got == _ref(events), events
+
+
+def test_span_guard_bounds_epoch_outlier(spark):
+    """One dirty 1970-epoch row must NOT fan a key's grid out to
+    ~490k rows when max_span_hours is set: the grid is clamped to the
+    key's trailing window, and the outlier observation falls off the
+    grid (it is older than every clamped slot)."""
+    base = 490_000 * HOUR_US  # "now": ~56 years after epoch
+    events = [
+        (1, 0, 7, 1.0),              # dirty row: ~epoch
+        (1, 1, base, 2.0),
+        (1, 2, base + 5 * HOUR_US, 3.0),
+        (2, 3, base, 9.0),           # clean key, 1 slot
+    ]
+    df = spark.createDataFrame(
+        events, "user_id long, event_id long, us long, value double"
+    )
+    rows = resample_ffill(df, max_span_hours=48).collect()
+    u1 = sorted(
+        (r["slot_us"] for r in rows if r["user_id"] == 1)
+    )
+    # clamped: 48h window ending at the key's last slot → 49 slots,
+    # not the ~490k an unclamped grid would explode to
+    assert len(u1) == 49
+    assert u1[0] == (base + 5 * HOUR_US) - 48 * HOUR_US
+    assert u1[-1] == base + 5 * HOUR_US
+    by_slot = {
+        r["slot_us"]: (r["value_ffill"], r["is_gap"])
+        for r in rows
+        if r["user_id"] == 1
+    }
+    # the epoch outlier is off-grid; pre-first-obs slots are unfilled
+    assert by_slot[u1[0]] == (None, True)
+    assert by_slot[base] == (2.0, False)
+    assert by_slot[base + HOUR_US] == (2.0, True)
+    assert by_slot[base + 5 * HOUR_US] == (3.0, False)
+    assert [r["slot_us"] for r in rows if r["user_id"] == 2] == [base]
