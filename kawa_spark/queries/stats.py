@@ -343,11 +343,13 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one distinct (shuffle on the pair), one group-keyed top-K.
     The top-K here is a rank window (fine while per-group distinct
     cardinality sorts in memory per task); the production form at
-    10⁹+ distincts/group prefilters u < c·K/N̂ with a coarse N̂ (e.g.
-    from approx_count_distinct) so only ~c·K rows per group reach the
-    sort — the sketch's answer is unchanged because it only ever
-    reads the K minima. Exact counts ride along for the contract
-    column; a deployment computes them only in audits."""
+    10⁹+ distincts/group is ``kmv_distinct(..., prefilter=True)``,
+    which keeps only u < c·K/N̂ (coarse N̂ from approx_count_distinct)
+    so ~c·K rows per group reach the sort — estimate-invariant, see
+    kmv_distinct's docstring and tests/test_kmv_property.py. The
+    registered key runs the unfiltered form (its plan is the one the
+    oracle mirrors). Exact counts ride along for the contract column;
+    a deployment computes them only in audits."""
     return kmv_distinct(
         table(spark, sf_dir, "events").select("event_type", "user_id"),
         "event_type",
@@ -355,11 +357,30 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmv_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    prefilter: bool = False,
+    prefilter_c: float = 4.0,
+) -> DataFrame:
     """Core KMV sketch over any (group, value) frame —
     agg_kmv_distinct binds it to events; the property test
     (tests/test_kmv_property.py) drives it on random groups against a
-    brute-force Python replica of the estimator."""
+    brute-force Python replica of the estimator.
+
+    ``prefilter=True`` is the big-group production path (VERDICT r7
+    item 7): the rank window sorts each group's full distinct set in
+    one task, which breaks down around 10⁹ distincts/group. The
+    prefilter keeps only hashes u < c·K/N̂ (N̂ a coarse per-group
+    approx_count_distinct, broadcast back), so ~c·K rows per group
+    reach the sort. The sketch's answer is UNCHANGED: the estimate
+    reads only the K minima, and P(u_K > c·K/N) ≤ exp(-K(c-1-ln c))
+    — at K=64, c=4 that is e^-103, zero for any physical dataset,
+    and HLL's ±2% N̂ error only perturbs the exponent. Groups with
+    N̂ ≤ c·K get threshold ≥ 1 (no filtering), so small groups are
+    exactly untouched. tests/test_kmv_property.py proves
+    estimate-invariance on random frames."""
     dv = (
         df.select(
             F.col(group_col).alias("event_type"),
@@ -376,10 +397,22 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    hashed = dv.select("event_type", "user_id", u.alias("u"))
+    if prefilter:
+        coarse = dv.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id").alias("n_hat")
+        )
+        hashed = (
+            hashed.join(F.broadcast(coarse), "event_type")
+            .filter(
+                F.col("u")
+                < F.lit(float(prefilter_c) * KMV_K) / F.col("n_hat")
+            )
+            .drop("n_hat")
+        )
     w = Window.partitionBy("event_type").orderBy("u", "user_id")
     sketch = (
-        dv.select("event_type", "user_id", u.alias("u"))
-        .withColumn("rn", F.row_number().over(w))
+        hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("k_seen"), F.max("u").alias("u_k"))

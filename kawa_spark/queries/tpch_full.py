@@ -904,7 +904,8 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pool, thresh
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
       )
     GROUP BY cntrycode
     ORDER BY cntrycode
@@ -913,11 +914,19 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape (scalar-average threshold + anti join on orders).
     ADAPTED: no c_phone, so country code = c_nationkey over a
-    7-nation pool. Plan: the pool filter pushes to the customer
-    scan; the average is a 1-row broadcast non-equi join (exact
-    sum → one double division, identical in both engines); the
-    NOT EXISTS is a left-anti join shuffled on custkey — the only
-    exchange."""
+    7-nation pool; and because this testdata gives EVERY customer at
+    least one order (unlike dbgen, where ~1/3 have none), the anti
+    join's right side is the URGENT-priority orders — "above-average
+    customers who never placed an urgent order" — so the threshold
+    broadcast, anti join, and grouping are exercised on real
+    surviving rows at every SF (2 rows at sf0.001, 7 cntrycodes at
+    sf0.01+; the all-orders form matched the oracle on 0 rows for
+    five rounds — VERDICT r7 item 2). Plan: the pool filter pushes
+    to the customer scan; the average is a 1-row broadcast non-equi
+    join (exact sum → one double division, identical in both
+    engines); the NOT EXISTS is a left-anti join shuffled on custkey
+    — the only exchange — with the priority filter pushed to the
+    orders scan."""
     pool = table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 5, 9, 13, 17, 21, 24)
     )
@@ -927,7 +936,11 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_bal")
     )
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
         pool.join(F.broadcast(thresh), F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")

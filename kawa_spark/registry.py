@@ -73,7 +73,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 7 new keys (never driver-checked) ---
+    # --- 8 new keys (never driver-checked) ---
     "corpus_shuffle_deterministic",
     "corpus_domain_stats",
     "events_funnel",

@@ -15,16 +15,24 @@ Design:
   mean file size below ``target_bytes`` are rewritten — an
   already-compact partition costs one listdir.
 * Each selected partition is rewritten by its own bounded Spark job:
-  read leaf → repartition(ceil(bytes/target)) → write temp → atomic
-  directory swap. Failure mid-rewrite leaves the original partition
-  intact (the temp dir is adjacent, swapped only after success).
+  read leaf → coalesce(ceil(bytes/target)) → write temp → directory
+  swap. Failure during the REWRITE leaves the original partition
+  intact (the temp dir is adjacent and only swapped in after a
+  successful write). The swap itself is two renames and is NOT
+  crash-atomic: a process kill between them leaves the partition
+  parked at its ``.__old_*`` name. That window is recoverable, not
+  destructive — no data is deleted until both renames succeed — and
+  ``_recover_orphans`` (run at the start of every ``compact_parquet``)
+  rolls a parked partition back and clears stale temp dirs, so the
+  next compaction run self-heals a crashed one. A filesystem with an
+  atomic exchange (renameat2 RENAME_EXCHANGE, HDFS rename-overwrite)
+  or a table format with a commit log (Delta/Iceberg — not in this
+  container) closes the window completely; see docs/STATUS.md.
+* ``_leaf_dirs`` ignores in-flight ``.__compact_*`` / ``.__old_*``
+  dirs, so a concurrent or crashed run's temp files are never
+  mistaken for real partitions.
 * Hive-partition columns live in the directory names, not the files,
   so per-leaf rewrites preserve the table's partitioning exactly.
-
-The atomic-swap step assumes rename is atomic (true on POSIX and
-HDFS; on S3-style object stores the swap becomes copy+delete and a
-table format with a commit log — Delta/Iceberg — is the right tool
-instead; neither ships in this container, see docs/STATUS.md).
 """
 
 from __future__ import annotations
@@ -38,14 +46,63 @@ from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 << 20
 
+_COMPACT_TAG = ".__compact_"
+_OLD_TAG = ".__old_"
+
+
+def _is_scratch(path: str) -> bool:
+    """True for compaction temp/backup dirs (and anything inside one)."""
+    return _COMPACT_TAG in path or _OLD_TAG in path
+
 
 def _leaf_dirs(root: str) -> list[str]:
-    """Directories under root that directly contain parquet files."""
+    """Directories under root that directly contain parquet files.
+    Compaction scratch dirs (``.__compact_*`` temp output, ``.__old_*``
+    backups from a crashed run) hold parquet files too and MUST NOT be
+    treated as real partitions (ADVICE r7)."""
     out = []
     for dirpath, _dirs, files in os.walk(root):
+        if _is_scratch(dirpath):
+            continue
         if any(f.endswith(".parquet") for f in files):
             out.append(dirpath)
     return out
+
+
+def _recover_orphans(root: str) -> list[str]:
+    """Self-heal scratch left by a run that crashed mid-swap.
+
+    Cases (leaf = scratch path with its tag suffix stripped):
+    * ``.__old_*`` present, leaf MISSING → crashed between the two
+      renames: roll the backup back to the leaf (original data wins).
+    * ``.__old_*`` present, leaf present → crashed after rename-in but
+      before cleanup: the leaf is already the compacted data; drop the
+      backup.
+    * ``.__compact_*`` → incomplete or unswapped rewrite output: drop.
+
+    Returns the scratch paths handled (for the caller's report)."""
+    handled = []
+    # walk bottom-up not needed: scratch dirs are siblings of leaves,
+    # never nested inside other scratch
+    for dirpath, dirs, _files in os.walk(root):
+        if _is_scratch(dirpath):
+            dirs[:] = []
+            continue
+        for d in list(dirs):
+            p = os.path.join(dirpath, d)
+            if _OLD_TAG in d:
+                leaf = p[: p.index(_OLD_TAG)]
+                if not os.path.exists(leaf):
+                    os.rename(p, leaf)
+                else:
+                    shutil.rmtree(p)
+                handled.append(p)
+                dirs.remove(d)
+            elif _COMPACT_TAG in d:
+                shutil.rmtree(p)
+                handled.append(p)
+                dirs.remove(d)
+    return handled
 
 
 def _parquet_stats(leaf: str) -> tuple[int, int]:
@@ -84,14 +141,18 @@ def compact_parquet(
 ) -> dict:
     """Compact fragmented leaf partitions under ``root``.
 
+    Starts by recovering any scratch a previous crashed run left
+    behind (see ``_recover_orphans``).
+
     Returns {"compacted": [(leaf, files_before, files_after)],
-    "skipped": n_leaves_left_alone}.
+    "skipped": n_leaves_left_alone, "recovered": [scratch paths]}.
     """
+    recovered = _recover_orphans(root)
     plan = plan_compaction(root, target_bytes, min_files)
     n_leaves = len(_leaf_dirs(root))
     done = []
     for leaf, n, _tot, n_out in plan:
-        tmp = f"{leaf}.__compact_{uuid.uuid4().hex[:8]}"
+        tmp = f"{leaf}{_COMPACT_TAG}{uuid.uuid4().hex[:8]}"
         # coalesce, not repartition: narrowing file count needs no
         # shuffle — each output task reads a slice of input files
         (
@@ -100,7 +161,7 @@ def compact_parquet(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        old = f"{leaf}.__old_{uuid.uuid4().hex[:8]}"
+        old = f"{leaf}{_OLD_TAG}{uuid.uuid4().hex[:8]}"
         os.rename(leaf, old)
         try:
             os.rename(tmp, leaf)
@@ -110,4 +171,8 @@ def compact_parquet(
         shutil.rmtree(old)
         after, _ = _parquet_stats(leaf)
         done.append((leaf, n, after))
-    return {"compacted": done, "skipped": n_leaves - len(done)}
+    return {
+        "compacted": done,
+        "skipped": n_leaves - len(done),
+        "recovered": recovered,
+    }

@@ -66,3 +66,48 @@ def test_compaction_noop_when_already_compact(spark, tmp_path):
     res = compact_parquet(spark, path)
     assert res["compacted"] == []
     assert res["skipped"] == 1
+
+
+def test_scratch_dirs_are_not_partitions(spark, tmp_path):
+    """ADVICE r7: leftover .__compact_*/.__old_* dirs contain parquet
+    files and must NOT be seen as real leaves by plan/compact."""
+    path = str(tmp_path / "tbl3")
+    _write_fragmented(spark, path)
+    # simulate a crashed run: unswapped temp output next to the leaf
+    leaf = os.path.join(path, "dt=a")
+    tmp = leaf + ".__compact_deadbeef"
+    spark.read.parquet(leaf).coalesce(1).write.parquet(tmp)
+    plan = plan_compaction(path, target_bytes=1 << 30, min_files=4)
+    assert [p[0] for p in plan] == [leaf]  # scratch not planned
+
+    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    assert res["recovered"] == [tmp]
+    assert not os.path.exists(tmp)  # orphan temp cleaned up
+    n = spark.read.parquet(path).count()
+    assert n == 12_000  # no duplicate rows from scratch data
+
+
+def test_crash_between_renames_recovers(spark, tmp_path):
+    """Worst-case crash window: leaf renamed away, temp not yet
+    renamed in. The next run must roll the .__old_* backup back."""
+    path = str(tmp_path / "tbl4")
+    _write_fragmented(spark, path)
+    leaf = os.path.join(path, "dt=a")
+    old = leaf + ".__old_cafebabe"
+    os.rename(leaf, old)  # the mid-swap crash state
+    assert not os.path.exists(leaf)
+
+    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    assert old in res["recovered"]
+    assert os.path.exists(leaf) and not os.path.exists(old)
+    # recovery restored the partition, then this run compacted it
+    assert len(res["compacted"]) == 1
+    after = {
+        r["dt"]: (r["n"], r["s"])
+        for r in spark.read.parquet(path)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert after["a"] == (10_000, sum(range(10_000)))
+    assert after["b"] == (2_000, sum(range(10_000, 12_000)))

@@ -71,3 +71,36 @@ def test_kmv_matches_bruteforce(spark, pairs):
         assert got[g][0] == ne and got[g][1] == ks
         assert got[g][2] == est, (g, got[g][2], est)  # bit-identical
         assert got[g][3] == tol
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=grouped_values())
+def test_kmv_prefilter_is_estimate_invariant(spark, pairs):
+    """The big-group prefilter (u < c·K/N̂) must not change ANY output
+    bit: the estimate reads only the K minima, which survive the
+    threshold with overwhelming probability (and deterministically on
+    these inputs — md5 is fixed)."""
+    df = spark.createDataFrame(pairs, "g string, v long")
+    plain = {
+        r["event_type"]: tuple(r) for r in kmv_distinct(df, "g", "v").collect()
+    }
+    pre = {
+        r["event_type"]: tuple(r)
+        for r in kmv_distinct(df, "g", "v", prefilter=True).collect()
+    }
+    assert plain == pre
+
+
+def test_kmv_prefilter_invariant_on_large_group(spark):
+    """A >>K group where the prefilter actually cuts (n_hat >> c·K):
+    50k distincts → threshold ~5e-3 keeps ~256 of 50k rows, and the
+    sketch output is still bit-identical."""
+    df = spark.range(50_000).selectExpr("'big' AS g", "id AS v")
+    plain = kmv_distinct(df, "g", "v").collect()
+    pre = kmv_distinct(df, "g", "v", prefilter=True).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in pre]
+    assert plain[0]["k_seen"] == KMV_K
