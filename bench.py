@@ -80,6 +80,11 @@ HEADLINE = [
     "agg_kmv_distinct",
     "ts_resample_ffill",
     "events_retention_cohorts",
+    # r8 additions
+    "events_rate_limit",
+    "events_heavy_hitters",
+    "logs_pattern_templates",
+    "tpch_q22_global_sales",
 ]
 
 

@@ -497,3 +497,122 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+RATE_WINDOW_US = 6 * HOUR_US  # trailing rate-limit window
+RATE_LIMIT = 3  # max events per user per window before flagging
+
+
+@register(
+    "events_rate_limit",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+    )
+    SELECT event_id, user_id, event_type, us,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+           ) AS n_in_window,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+           ) > {RATE_LIMIT} AS is_limited
+    FROM t
+    """,
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting — the security-log primitive of
+    the reference's domain (kawa ships log events; a rate limiter is
+    the canonical per-key detection on top): each event is annotated
+    with how many events its user produced in the trailing window
+    (inclusive), and flagged once that exceeds the limit. The RANGE
+    frame means simultaneous events (ties on us) see each other
+    symmetrically in BOTH engines — no tie-break needed, unlike a
+    ROWS frame.
+
+    Exactness: integer epoch-micros ordering and integer counts; the
+    flag is an integer comparison. Nothing floats.
+
+    Scale: ONE shuffle on user_id; the range window is a single
+    ordered pass per user with state bounded by the window's event
+    count (the frame head pointer advances monotonically — Spark's
+    window exec evicts as it slides, it does not hold the partition's
+    history). The streaming twin is the same predicate over a
+    transformWithState timer loop; batch form shown to the oracle."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RATE_WINDOW_US, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        n.alias("n_in_window"),
+        (n > RATE_LIMIT).alias("is_limited"),
+    )
+
+
+HH_TOP_K = 10  # heavy hitters kept per event_type
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY n_events DESC, user_id) AS rank
+      FROM counts
+    )
+    SELECT event_type, user_id, n_events, total_value,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {HH_TOP_K}
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K heavy hitters per event_type — who is hammering
+    each endpoint. Deterministic tie-break on user_id so both engines
+    rank identically; value totals ride along in exact DECIMAL.
+
+    Scale: the groupBy pre-aggregates with map-side combine, so
+    everything downstream runs over the (type, user) COUNT table —
+    rows ∝ distinct pairs, never event volume. The rank-≤-K filter
+    is recognized by Catalyst as a WindowGroupLimit and pushed to
+    BOTH sides of the window's shuffle (verified in the formatted
+    plan): each map task forwards only its local top-K per type, so
+    the exchange carries ≤ K·partitions rows per type and no task
+    ever sorts a full 10⁹-user partition — the "partial top-K +
+    merge" pattern, already synthesized by the optimizer from the
+    declarative form. An approximate (Misra-Gries / space-saving)
+    sketch is deliberately NOT the registered form: its output
+    depends on encounter order, which no deterministic oracle can
+    mirror — agg_kmv_distinct covers the deterministic-sketch
+    territory."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HH_TOP_K)
+    )

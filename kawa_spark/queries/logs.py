@@ -1,0 +1,117 @@
+"""Log-pattern extraction — drain-style message templating.
+
+kawa's whole reason to exist is shuttling security/observability log
+streams (/root/reference/README.md:7-16); the first analytical thing
+every log platform does with those streams is collapse raw messages
+into TEMPLATES ("user <NUM> logged in from <IP>") so operators see a
+few hundred patterns instead of billions of lines. The classic online
+algorithm is Drain (He et al., ICWS 2017 — a fixed-depth parse tree
+over token prefixes); its batch-equivalent core is deterministic
+masking of variable tokens followed by a group-by on the masked
+string, which is exactly expressible as column regexes + one
+aggregate, so the whole operator stays JVM-side and oracle-checkable.
+
+The masking tiers mirror what log templaters ship: IPv4s, then hex
+runs (ids/digests), then bare integers/decimals. Order matters — an
+IP would otherwise be eaten token-wise by the number rule — and both
+engines apply the same ordered rewrites, so templates hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kawa_spark.io import table
+from kawa_spark.registry import register
+
+# ordered masking rules (applied first to last); POSIX-compatible so
+# the identical pattern strings run in Spark (Java regex) and DuckDB
+# (RE2) with the same semantics
+MASK_RULES: list[tuple[str, str]] = [
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b0x[0-9a-fA-F]+\b|\b[0-9a-f]{8,}\b", "<HEX>"),
+    (r"\b\d+(\.\d+)?\b", "<NUM>"),
+]
+
+
+def mask_template(col: F.Column) -> F.Column:
+    """Apply the ordered masking rules to a message column."""
+    out = col
+    for pat, repl in MASK_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _mask_sql(expr: str) -> str:
+    """The identical rewrite chain in DuckDB SQL ('g' = replace all,
+    Spark's regexp_replace default)."""
+    out = expr
+    for pat, repl in MASK_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+_RAW_MSG_SQL = (
+    "event_type || ' uid=' || CAST(user_id AS VARCHAR) || ' ' || props"
+)
+
+
+@register(
+    "logs_pattern_templates",
+    oracle=f"""
+    WITH msgs AS (
+      SELECT user_id,
+             {_RAW_MSG_SQL} AS msg,
+             {_mask_sql(_RAW_MSG_SQL)} AS template
+      FROM events
+    )
+    SELECT template,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(msg) AS sample_msg
+    FROM msgs
+    GROUP BY template
+    ORDER BY n_lines DESC, template
+    """,
+)
+def logs_pattern_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse raw log lines into templates with per-template volume,
+    distinct-actor count, and a deterministic sample line (the MIN raw
+    message, so both engines pick the same exemplar).
+
+    The raw line is synthesized from the event row (type + uid +
+    props JSON) — the shape kawa's deserialized envelopes carry
+    (/root/reference/types.go:163-195 turns raw bytes into exactly
+    such typed-field + payload records).
+
+    Scale: masking is per-row JVM regex (whole-stage codegen — no
+    UDF); the aggregate shuffles on the TEMPLATE, whose cardinality
+    is the pattern count (~10²-10³ in real deployments, per the Drain
+    paper), not line volume, with map-side combine doing the heavy
+    lifting. COUNT(DISTINCT user_id) expands to the standard
+    two-level aggregate; a deployment wanting it cheaper at 10⁹
+    users/template swaps in approx_count_distinct or the KMV sketch
+    (stats.kmv_distinct) — same plan shape."""
+    e = table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    return (
+        e.select(
+            "user_id",
+            msg.alias("msg"),
+            mask_template(msg).alias("template"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("msg").alias("sample_msg"),
+        )
+        .orderBy(F.col("n_lines").desc(), "template")
+    )

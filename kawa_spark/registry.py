@@ -50,82 +50,86 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 7's window (below): first the 8 NEW keys (never
-# driver-checked — must lead), then the 6 keys whose implementations
-# changed this round — dedup_ngram_jaccard rewritten as a
-# posting-list self-join with a df cap (dedup_clusters inherits the
-# new edge set), dedup_embedding_cosine augmented with planted
-# near-dup pairs (non-vacuous for the first time), kmeans_lloyd /
-# similarity_ivf_kmeans's shared trained-centroid cache re-keyed on
-# an input fingerprint, multimodal_audio_features' WAV writer now
-# word-aligns odd data chunks. Then 36 of the 37 keys whose latest driver
-# evidence is r4 (the full tpch_full suite, the quality tier,
-# similarity baselines, stream_passthrough et al.; deser_csv was the
-# one displaced when events_anomaly_zscore joined late — it is the
-# most trivially-stable key of that tier and leads r8's rotation
-# with similarity_containment) — exactly 50.
-# Max evidence age after this round: ≤ 2 rounds.
-# NOTE for r8's rotation: similarity_containment's inverted-index cap
-# went RELATIVE late in r7 (implementation changed, output identical
-# at test SFs — locally hash-verified at sf0.001 AND sf0.01); the
-# window was already full, so lead r8's window with it alongside that
-# round's changes.
+# Round 8's window (below): first the 3 NEW keys (never
+# driver-checked — must lead): events_rate_limit / events_heavy_hitters
+# / logs_pattern_templates. Then the 8 keys whose implementations
+# changed this round — similarity_containment (its inverted-index cap
+# went RELATIVE late r7, after r7's window was frozen — the one key
+# VERDICT r7 flagged to lead), tpch_q22_global_sales (anti join
+# retargeted to URGENT orders so it finally returns rows — was the
+# suite's last vacuous 0-row match), quality_lm_commonness +
+# corpus_bigrams (short-doc shingle guard via hof.bigrams),
+# events_retention_cohorts + events_anomaly_zscore + ts_resample_ffill
+# (exact floor-division bucketing via exact.floordiv — output
+# identical on the all-post-1970 testdata, verified locally, but the
+# expression tree changed), agg_kmv_distinct (hashed-stage reshaped to
+# host the optional prefilter; registered path semantically
+# unchanged). Then deser_csv (the r4 straggler displaced in r7).
+# Then 38 of the 45 keys whose latest driver evidence is r5 — all but
+# the seven most trivially-stable single-op relational keys
+# (scan_project, filter_predicate, union_all, union_distinct,
+# intersect, except_distinct, sort_limit_topk), which nothing has
+# touched since r1 and which MUST lead r9's window together with the
+# r6-evidence tier. Exactly 50.
+# Max evidence age after this round: r6 tier = 2 rounds, the seven
+# deferred r5 keys = 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 8 new keys (never driver-checked) ---
-    "corpus_shuffle_deterministic",
-    "corpus_domain_stats",
-    "events_funnel",
+    # --- 3 new keys (never driver-checked) ---
+    "events_rate_limit",
+    "events_heavy_hitters",
+    "logs_pattern_templates",
+    # --- 8 keys whose implementation changed this round ---
+    "similarity_containment",
+    "tpch_q22_global_sales",
     "quality_lm_commonness",
-    "agg_kmv_distinct",
-    "ts_resample_ffill",
+    "corpus_bigrams",
     "events_retention_cohorts",
     "events_anomaly_zscore",
-    # --- 6 keys whose implementation changed this round ---
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "kmeans_lloyd",
-    "similarity_ivf_kmeans",
-    "multimodal_audio_features",
-    # --- 37 keys whose latest driver evidence is r4 ---
-    "agg_approx_distinct",
-    "agg_hash_groupby",
-    "corpus_length_filter",
-    "corpus_vocab_coverage",
-    "embedding_centroids",
-    "embedding_quantize",
-    "grouping_cube",
-    "join_inner_hash",
-    "percentile_approx",
-    "quality_gopher_filter",
-    "quality_repetition",
-    "similarity_lsh_ann",
-    "similarity_topk",
-    "stream_dedup",
-    "stream_passthrough",
-    "stream_sliding",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_best_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_relationship",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales",
-    "udf_grouped_agg",
-    "window_rank",
+    "ts_resample_ffill",
+    "agg_kmv_distinct",
+    # --- the r4-evidence straggler ---
+    "deser_csv",
+    # --- 38 of the 45 keys whose latest driver evidence is r5 ---
+    "agg_distinct",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "dedup_exact",
+    "dedup_exact_norm",
+    "deser_json",
+    "events_sessionize_batch",
+    "flatmap_explode",
+    "flatmap_posexplode",
+    "grouping_rollup",
+    "join_anti",
+    "join_full_outer",
+    "join_outer_left",
+    "join_outer_right",
+    "join_range_theta",
+    "join_semi",
+    "map_ops_extra",
+    "scalar_string_date_math",
+    "similarity_ivf",
+    "similarity_lsh_multiprobe",
+    "stateful_running_total",
+    "stream_exec_dedup_watermark",
+    "stream_exec_stream_static_join",
+    "stream_exec_stream_stream_join",
+    "stream_exec_tumbling",
+    "stream_session",
+    "stream_tumbling_count",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "text_tokens",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines",
+    "window_analytic",
+    "window_range_time",
+    "window_rank_extra",
 ]
 
 
@@ -150,6 +154,7 @@ def load_all() -> None:
         extras,
         llm_corpus,
         llm_quality,
+        logs,
     )
 
     missing = [k for k in DRIVER_WINDOW if k not in QUERIES]
