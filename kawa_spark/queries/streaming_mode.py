@@ -284,25 +284,47 @@ def stream_exec_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     from kawa_spark.streaming.rollup import read_rollup, start_incremental_rollup
 
     base = tempfile.mkdtemp(prefix="kawa_rollup_")
-    q = start_incremental_rollup(
-        spark,
-        stream_table(spark, sf_dir, "events"),
-        path=f"{base}/table",
-        checkpoint=f"{base}/cp",
-        available_now=True,
-        # state = hours × event types (~thousands of rows): ONE store
-        # suffices (32 would spin 32 RocksDB instances for no data;
-        # measured r6: 8→4 stores cut the bounded drain 3.9→2.5 s;
-        # r7: 4→1 a further 2.9→2.5 s min-of-3 — per-batch RocksDB
-        # open/commit is the fixed cost and it scales with instance
-        # count, not rows. A production deployment sizes this to
-        # state VOLUME; the point of the parameter is that the
-        # operator exposes the knob at all.)
-        state_partitions=1,
+    # State here is hours × event types (~thousands of rows), so TWO
+    # store knobs pay off (r8 conf sweep, docs/STATUS.md):
+    # * ONE state partition (r6: 8→4 cut the drain 3.9→2.5 s; r7:
+    #   4→1 a further 2.9→2.5 — per-batch store lifecycle scales with
+    #   instance count, not rows);
+    # * the in-memory HDFSBackedStateStoreProvider instead of RocksDB
+    #   (2.12 → 1.90 s min-of-3 on top of changelog checkpointing —
+    #   session.py's default): RocksDB's native-instance open/commit
+    #   is pure overhead for KB-scale state. This is NOT a small-SF
+    #   cheat: the rollup's state is ∝ windows × types at ANY input
+    #   volume, so the in-memory provider remains correct at 100 TB —
+    #   the provider choice keys on STATE size, never input size.
+    #   Each call uses a fresh checkpoint, so flipping the provider
+    #   per-query is safe (it's locked into a checkpoint at first
+    #   batch; the streaming query captures a cloned conf at start).
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    saved_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("incremental rollup drain did not finish within 300s")
+    try:
+        q = start_incremental_rollup(
+            spark,
+            stream_table(spark, sf_dir, "events"),
+            path=f"{base}/table",
+            checkpoint=f"{base}/cp",
+            available_now=True,
+            state_partitions=1,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "incremental rollup drain did not finish within 300s"
+            )
+    finally:
+        if saved_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, saved_prov)
     return read_rollup(spark, f"{base}/table")
 
 

@@ -39,6 +39,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # Changelog checkpointing: commit per-batch state DELTAS to the
+    # checkpoint instead of uploading a full RocksDB snapshot every
+    # batch — the per-batch store lifecycle was the measured floor of
+    # the stateful streaming tier (r8 experiment, docs/STATUS.md:
+    # incremental-rollup drain 2.64 → 2.12 s min-of-3 from this flag
+    # alone). At 100 TB state volumes the delta-vs-snapshot gap is the
+    # difference between O(changed keys) and O(state) per commit.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
     # Local mode runs executors inside the driver JVM, whose default
     # heap (1g) starves 32 concurrent tasks long before the host does —
     # measured: a 10x sf0.1 scale probe OOM-killed the JVM. Heap must
