@@ -85,6 +85,9 @@ HEADLINE = [
     "events_heavy_hitters",
     "logs_pattern_templates",
     "tpch_q22_global_sales",
+    "events_dedup_adjacent",
+    "events_markov_transitions",
+    "logs_template_drift",
 ]
 
 

@@ -616,3 +616,125 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= HH_TOP_K)
     )
+
+
+DEBOUNCE_GAP_US = 5 * 60 * 1_000_000  # adjacent-duplicate window
+
+
+@register(
+    "events_dedup_adjacent",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_id, user_id, event_type, us, value
+    FROM t
+    WHERE prev_us IS NULL
+       OR prev_type IS DISTINCT FROM event_type
+       OR us - prev_us > {DEBOUNCE_GAP_US}
+    """,
+)
+def events_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / adjacent-duplicate suppression — the at-least-once
+    ingest cleanup every log shuttle needs downstream (kawa's own
+    delivery guarantee is at-least-once, /root/reference/README.md:
+    33-38, so consumers see occasional duplicate bursts): an event is
+    dropped when the SAME user's immediately-previous event has the
+    same type within the debounce gap. Unlike stream_dedup (global
+    key dedup), this keeps later re-occurrences — only back-to-back
+    repeats collapse.
+
+    Exactness: one lag window on integer epoch-micros with a
+    deterministic (us, event_id) order; the survival predicate is
+    pure integer/equality logic (IS DISTINCT FROM handles a null
+    prev_type identically in both engines).
+
+    Scale: ONE shuffle on user_id, then a per-row predicate — the
+    window state is a single previous row per user. The streaming
+    twin is dropDuplicatesWithinWatermark keyed on (user, type) —
+    batch form shown to the oracle."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = e.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("us"), "value",
+    ).select(
+        "*",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("us").over(w).alias("prev_us"),
+    )
+    keep = (
+        F.col("prev_us").isNull()
+        | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+        | (F.col("us") - F.col("prev_us") > DEBOUNCE_GAP_US)
+    )
+    return t.filter(keep).select(
+        "event_id", "user_id", "event_type", "us", "value"
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM t WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(t.n_from AS BIGINT) AS n_from,
+           CAST(p.n AS DOUBLE) / t.n_from AS p_transition
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: counts and conditional
+    probabilities of consecutive event-type transitions per user —
+    the model behind "this session's behavior is improbable" security
+    scoring and next-action prediction alike.
+
+    Exactness: transition pairs come from a deterministic
+    (us, event_id)-ordered lead; counts are integers and the
+    probability is one double division of exact integers — both
+    engines land identical bits.
+
+    Scale: the lead window shuffles on user_id (bounded state: one
+    row lookahead); the pair count shuffles on (from, to) — |types|²
+    rows with map-side combine; the totals join is a |types|-row
+    broadcast. Nothing scales with event volume past the first
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
+    )

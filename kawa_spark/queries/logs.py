@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kawa_spark.io import table
 from kawa_spark.registry import register
@@ -114,4 +115,96 @@ def logs_pattern_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("msg").alias("sample_msg"),
         )
         .orderBy(F.col("n_lines").desc(), "template")
+    )
+
+
+DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "logs_template_drift",
+    oracle=f"""
+    WITH msgs AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day,
+             {_mask_sql(_RAW_MSG_SQL)} AS template
+      FROM events
+    ), daily AS (
+      SELECT template, day, COUNT(*) AS n_lines
+      FROM msgs GROUP BY template, day
+    ), enriched AS (
+      SELECT template, day, n_lines,
+             CAST(SUM(n_lines) OVER (PARTITION BY day) AS BIGINT)
+               AS day_total,
+             LAG(n_lines) OVER (PARTITION BY template ORDER BY day)
+               AS prev_n
+      FROM daily
+    )
+    SELECT template, day, n_lines, day_total,
+           CAST(n_lines AS DOUBLE) / day_total AS day_share,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           CASE WHEN prev_n IS NOT NULL
+                THEN CAST(n_lines AS DOUBLE) / prev_n END AS growth,
+           prev_n IS NULL AS is_new_template
+    FROM enriched
+    """,
+)
+def logs_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template drift report — the operational layer on top of
+    logs_pattern_templates: per (template, day) volume, its share of
+    that day's traffic, growth vs the template's previous OBSERVED
+    day, and a new-template flag (the signal log platforms alert on:
+    a pattern that didn't exist yesterday, or one growing 10×).
+
+    Exactness: day buckets are exact floor division of epoch-micros
+    (functions/exact.floordiv ≡ DuckDB ``//`` — including pre-1970);
+    counts are integers; share/growth are single double divisions of
+    exact integers.
+
+    Scale: masking is map-side regex; the daily aggregate shuffles on
+    (template, day) with map-side combine — rows ∝ patterns × days.
+    Both windows and the lag run over that aggregated table
+    (|patterns|·|days| rows — thousands), so the heavy stage is the
+    one aggregate, exactly like events_anomaly_zscore's hourly
+    pre-aggregation."""
+    from kawa_spark.functions.exact import floordiv
+
+    e = table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    daily = (
+        e.select(
+            floordiv(F.unix_micros("ts"), DAY_US).alias("day"),
+            mask_template(msg).alias("template"),
+        )
+        .groupBy("template", "day")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    w_day = Window.partitionBy("day")
+    w_tpl = Window.partitionBy("template").orderBy("day")
+    enriched = daily.select(
+        "template",
+        "day",
+        "n_lines",
+        F.sum("n_lines").over(w_day).cast("long").alias("day_total"),
+        F.lag("n_lines").over(w_tpl).cast("long").alias("prev_n"),
+    )
+    return enriched.select(
+        "template",
+        "day",
+        "n_lines",
+        "day_total",
+        (F.col("n_lines").cast("double") / F.col("day_total")).alias(
+            "day_share"
+        ),
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNotNull(),
+            F.col("n_lines").cast("double") / F.col("prev_n"),
+        ).alias("growth"),
+        F.col("prev_n").isNull().alias("is_new_template"),
     )

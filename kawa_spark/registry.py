@@ -50,9 +50,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 8's window (below): first the 3 NEW keys (never
+# Round 8's window (below): first the 6 NEW keys (never
 # driver-checked — must lead): events_rate_limit / events_heavy_hitters
-# / logs_pattern_templates. Then the 8 keys whose implementations
+# / logs_pattern_templates / events_dedup_adjacent /
+# events_markov_transitions / logs_template_drift. Then the 8 keys whose implementations
 # changed this round — similarity_containment (its inverted-index cap
 # went RELATIVE late r7, after r7's window was frozen — the one key
 # VERDICT r7 flagged to lead), tpch_q22_global_sales (anti join
@@ -65,21 +66,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # expression tree changed), agg_kmv_distinct (hashed-stage reshaped to
 # host the optional prefilter; registered path semantically
 # unchanged). Then deser_csv (the r4 straggler displaced in r7).
-# Then 38 of the 45 keys whose latest driver evidence is r5 — all but
-# the seven most trivially-stable single-op relational keys
+# Then 35 of the 45 keys whose latest driver evidence is r5 — all but
+# (a) the seven most trivially-stable single-op relational keys
 # (scan_project, filter_predicate, union_all, union_distinct,
-# intersect, except_distinct, sort_limit_topk), which nothing has
-# touched since r1 and which MUST lead r9's window together with the
-# r6-evidence tier. Exactly 50.
-# Max evidence age after this round: r6 tier = 2 rounds, the seven
+# intersect, except_distinct, sort_limit_topk), untouched since r1,
+# and (b) three "extra-variant" keys whose primary twins carry fresh
+# evidence (flatmap_posexplode ↔ flatmap_explode in this window,
+# window_rank_extra ↔ window_rank r7, map_ops_extra ↔ array_map_ops
+# r6) — displaced when the second batch of new keys landed. ALL TEN
+# deferred keys MUST lead r9's window together with the r6-evidence
+# tier. Exactly 50.
+# Max evidence age after this round: r6 tier = 2 rounds, the ten
 # deferred r5 keys = 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 3 new keys (never driver-checked) ---
+    # --- 6 new keys (never driver-checked) ---
     "events_rate_limit",
     "events_heavy_hitters",
     "logs_pattern_templates",
+    "events_dedup_adjacent",
+    "events_markov_transitions",
+    "logs_template_drift",
     # --- 8 keys whose implementation changed this round ---
     "similarity_containment",
     "tpch_q22_global_sales",
@@ -91,7 +99,7 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_distinct",
     # --- the r4-evidence straggler ---
     "deser_csv",
-    # --- 38 of the 45 keys whose latest driver evidence is r5 ---
+    # --- 35 of the 45 keys whose latest driver evidence is r5 ---
     "agg_distinct",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
@@ -100,7 +108,6 @@ DRIVER_WINDOW: list[str] = [
     "deser_json",
     "events_sessionize_batch",
     "flatmap_explode",
-    "flatmap_posexplode",
     "grouping_rollup",
     "join_anti",
     "join_full_outer",
@@ -108,7 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "join_outer_right",
     "join_range_theta",
     "join_semi",
-    "map_ops_extra",
     "scalar_string_date_math",
     "similarity_ivf",
     "similarity_lsh_multiprobe",
@@ -129,7 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q12_late_lines",
     "window_analytic",
     "window_range_time",
-    "window_rank_extra",
 ]
 
 

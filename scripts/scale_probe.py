@@ -134,10 +134,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    print(f"building {k}x synthetic scale-up under {DST} ...", flush=True)
-    t0 = time.perf_counter()
-    build(spark, k)
-    print(f"built in {time.perf_counter() - t0:.1f}s", flush=True)
+    # SCALE_PROBE_SKIP_BUILD=1 reuses an existing build (e.g. to probe
+    # heavy queries in separate JVMs so one query's OOM can't poison
+    # the rest of the sweep — learned from the r8 100× run, where
+    # dedup_clusters killed the context and five queries reported ERR
+    # on the dead session)
+    if os.environ.get("SCALE_PROBE_SKIP_BUILD") and os.path.isdir(DST):
+        print(f"reusing existing build at {DST}", flush=True)
+    else:
+        print(f"building {k}x synthetic scale-up under {DST} ...", flush=True)
+        t0 = time.perf_counter()
+        build(spark, k)
+        print(f"built in {time.perf_counter() - t0:.1f}s", flush=True)
 
     def best_of(fn, sf_dir, reps=2):
         best = None
