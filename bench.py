@@ -88,6 +88,8 @@ HEADLINE = [
     "events_dedup_adjacent",
     "events_markov_transitions",
     "logs_template_drift",
+    "agg_kmv_union",
+    "events_cooccurrence_lift",
 ]
 
 

@@ -738,3 +738,93 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
     )
+
+
+@register(
+    "events_cooccurrence_lift",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM inc
+    ), per_type AS (
+      SELECT event_type, COUNT(*) AS n_t FROM inc GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM inc a JOIN inc b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           CAST(ta.n_t AS BIGINT) AS n_a,
+           CAST(tb.n_t AS BIGINT) AS n_b,
+           CAST(p.n_ab AS DOUBLE) / u.n AS support,
+           CAST(p.n_ab AS DOUBLE) * u.n / (ta.n_t * tb.n_t) AS lift
+    FROM pairs p
+    JOIN per_type ta ON p.type_a = ta.event_type
+    JOIN per_type tb ON p.type_b = tb.event_type
+    CROSS JOIN n_users u
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over the user × event-type incidence — the
+    market-basket support/lift table ("users who trigger A also
+    trigger B more than chance predicts"), the classic co-occurrence
+    analytic over security and product logs alike. lift > 1 means the
+    pair co-occurs above independence.
+
+    Exactness: all counts are integers over the DISTINCT incidence;
+    support and lift are single double expressions of exact integers
+    — identical bits in both engines.
+
+    Scale: the incidence dedup shuffles on (user, type) once; the
+    self-join keys on user_id, where each user contributes ≤ |types|
+    rows, so join output is bounded by Σ_u |types_u|² — with a
+    bounded type vocabulary this is linear in users, never in event
+    volume. The pair aggregate lands on |types|² rows; per-type
+    totals and the 1-row user count are broadcasts. For an UNBOUNDED
+    item vocabulary (true market-basket at 10⁶ SKUs) the production
+    guard is frequency pruning first (drop types below min-support —
+    the a-priori property), which composes here as one filter on
+    per_type before the join."""
+    inc = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .persist()
+    )
+    n_users = inc.agg(F.countDistinct("user_id").alias("n"))
+    per_type = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = inc.select("user_id", F.col("event_type").alias("type_a"))
+    b = inc.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -433,3 +433,107 @@ def kmv_distinct(
             ),
         )
     )
+
+
+@register(
+    "agg_kmv_union",
+    oracle=f"""
+    WITH dv AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  ::BIGINT AS DOUBLE) / {_KMV_DENOM} AS u
+      FROM dv
+    ), per_group AS (
+      SELECT event_type, user_id, u, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY u, user_id) AS rn
+      FROM hashed
+    ), sketch_rows AS (
+      SELECT event_type, user_id, u FROM per_group WHERE rn <= {KMV_K}
+    ), merged AS (
+      SELECT user_id, u, ROW_NUMBER() OVER (
+               ORDER BY u, user_id) AS rn
+      FROM (SELECT DISTINCT user_id, u FROM sketch_rows)
+    ), union_sketch AS (
+      SELECT COUNT(*) AS k_seen, MAX(u) AS u_k
+      FROM merged WHERE rn <= {KMV_K}
+    ), exact AS (
+      SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
+    )
+    SELECT CAST(s.k_seen AS BIGINT) AS k_seen,
+           e.n_exact,
+           CASE WHEN s.k_seen < {KMV_K} THEN CAST(s.k_seen AS DOUBLE)
+                ELSE ({KMV_K} - 1) / s.u_k END AS kmv_estimate,
+           abs(CASE WHEN s.k_seen < {KMV_K} THEN CAST(s.k_seen AS DOUBLE)
+                    ELSE ({KMV_K} - 1) / s.u_k END - e.n_exact)
+             / e.n_exact <= 0.5 AS within_tol
+    FROM union_sketch s, exact e
+    """,
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY — the property that makes distinct
+    sketches distributed-friendly (Bar-Yossef et al. 2002): the union
+    of per-group sketches (keep the K smallest of the combined
+    minima) IS the sketch of the union, so per-partition / per-day /
+    per-type sketches roll up without rescanning raw data. Here the
+    per-event_type sketches built exactly as agg_kmv_distinct's are
+    merged into ONE corpus-wide distinct-users estimate and verified
+    against the exact global count. Deterministic md5 hashing means
+    the merged estimate is bit-identical across engines — the merge
+    path itself is value-hash-verified, which no engine-internal HLL
+    union can offer.
+
+    Scale: this is the cheap side of the sketch contract — the merge
+    input is ≤ |groups|·K rows (bytes, not data); a deployment keeps
+    the per-group sketch rows as a tiny table and answers any
+    group-combination cardinality from it. The exact count here is
+    the audit column, same posture as agg_kmv_distinct."""
+    dv = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(_KMV_DENOM)
+    )
+    from pyspark.sql.window import Window
+
+    hashed = dv.select("event_type", "user_id", u.alias("u"))
+    w_grp = Window.partitionBy("event_type").orderBy("u", "user_id")
+    sketch_rows = (
+        hashed.withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") <= KMV_K)
+        .select("user_id", "u")
+        .distinct()
+    )
+    # the merge: K smallest over the union of sketch rows. The input
+    # is ≤ |groups|·K rows, so the single-partition sort is sorting a
+    # few KB — the whole point of merging sketches instead of data.
+    w_all = Window.orderBy("u", "user_id")
+    merged = (
+        sketch_rows.withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.count(F.lit(1)).alias("k_seen"), F.max("u").alias("u_k"))
+    )
+    exact = dv.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / F.col("u_k"))
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("k_seen").cast("long").alias("k_seen"),
+            "n_exact",
+            est.alias("kmv_estimate"),
+            (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.5).alias(
+                "within_tol"
+            ),
+        )
+    )

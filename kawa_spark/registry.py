@@ -50,10 +50,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 8's window (below): first the 6 NEW keys (never
+# Round 8's window (below): first the 8 NEW keys (never
 # driver-checked — must lead): events_rate_limit / events_heavy_hitters
 # / logs_pattern_templates / events_dedup_adjacent /
-# events_markov_transitions / logs_template_drift. Then the 8 keys whose implementations
+# events_markov_transitions / logs_template_drift / agg_kmv_union /
+# events_cooccurrence_lift. Then the 8 keys whose implementations
 # changed this round — similarity_containment (its inverted-index cap
 # went RELATIVE late r7, after r7's window was frozen — the one key
 # VERDICT r7 flagged to lead), tpch_q22_global_sales (anti join
@@ -70,13 +71,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (a) the seven most trivially-stable single-op relational keys
 # (scan_project, filter_predicate, union_all, union_distinct,
 # intersect, except_distinct, sort_limit_topk), untouched since r1,
-# and (b) three "extra-variant" keys whose primary twins carry fresh
+# and (b) five keys whose family twins carry equal-or-fresher
 # evidence (flatmap_posexplode ↔ flatmap_explode in this window,
 # window_rank_extra ↔ window_rank r7, map_ops_extra ↔ array_map_ops
-# r6) — displaced when the second batch of new keys landed. ALL TEN
-# deferred keys MUST lead r9's window together with the r6-evidence
-# tier. Exactly 50.
-# Max evidence age after this round: r6 tier = 2 rounds, the ten
+# r6, deser_json ↔ deser_csv in this window, stream_tumbling_count ↔
+# stream_exec_tumbling in this window) — displaced as new keys
+# landed. ALL TWELVE deferred keys MUST lead r9's window together
+# with the r6-evidence tier. Exactly 50.
+# Max evidence age after this round: r6 tier = 2 rounds, the twelve
 # deferred r5 keys = 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
@@ -88,6 +90,8 @@ DRIVER_WINDOW: list[str] = [
     "events_dedup_adjacent",
     "events_markov_transitions",
     "logs_template_drift",
+    "agg_kmv_union",
+    "events_cooccurrence_lift",
     # --- 8 keys whose implementation changed this round ---
     "similarity_containment",
     "tpch_q22_global_sales",
@@ -99,13 +103,12 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_distinct",
     # --- the r4-evidence straggler ---
     "deser_csv",
-    # --- 35 of the 45 keys whose latest driver evidence is r5 ---
+    # --- 33 of the 45 keys whose latest driver evidence is r5 ---
     "agg_distinct",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
     "dedup_exact",
     "dedup_exact_norm",
-    "deser_json",
     "events_sessionize_batch",
     "flatmap_explode",
     "grouping_rollup",
@@ -124,7 +127,6 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_stream_stream_join",
     "stream_exec_tumbling",
     "stream_session",
-    "stream_tumbling_count",
     "text_langid",
     "text_quality",
     "text_stats",
