@@ -360,3 +360,42 @@ def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).save()
     return spark.range(1).select(F.lit(obs.get["n"]).alias("delivered"))
+
+
+@register(
+    "stream_exec_rate_limit",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+    )
+    SELECT event_id, user_id, event_type, us,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {21600000000} PRECEDING AND CURRENT ROW
+           ) AS n_in_window,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {21600000000} PRECEDING AND CURRENT ROW
+           ) > {3} AS is_limited
+    FROM t
+    """,
+)
+def stream_exec_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE rate limiter through the real streaming runtime:
+    applyInPandasWithState keeps each user's trailing-window
+    timestamps (streaming/stateful.py::rate_limited) and emits the
+    count + over-limit flag per event as it arrives — the form
+    kawa's security-log domain actually deploys; events_rate_limit
+    is its offline batch audit and supplies the oracle. Bisect-based
+    counting over merged state+batch times reproduces the RANGE
+    frame's tied-timestamp peer semantics exactly, so the bounded
+    drain hash-matches the batch SQL."""
+    from kawa_spark.queries.events import RATE_LIMIT, RATE_WINDOW_US
+    from kawa_spark.streaming.stateful import rate_limited
+
+    return _drain(
+        rate_limited(
+            stream_table(spark, sf_dir, "events"), RATE_WINDOW_US, RATE_LIMIT
+        ),
+        spark,
+    )

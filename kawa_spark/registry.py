@@ -50,11 +50,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 8's window (below): first the 8 NEW keys (never
+# Round 8's window (below): first the 9 NEW keys (never
 # driver-checked — must lead): events_rate_limit / events_heavy_hitters
 # / logs_pattern_templates / events_dedup_adjacent /
 # events_markov_transitions / logs_template_drift / agg_kmv_union /
-# events_cooccurrence_lift. Then the 8 keys whose implementations
+# events_cooccurrence_lift / stream_exec_rate_limit (the online
+# limiter through the real streaming runtime — applyInPandasWithState
+# trailing-window state, hash-matching the batch oracle).
+# Then the 8 keys whose implementations
 # changed this round — similarity_containment (its inverted-index cap
 # went RELATIVE late r7, after r7's window was frozen — the one key
 # VERDICT r7 flagged to lead), tpch_q22_global_sales (anti join
@@ -75,10 +78,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # evidence (flatmap_posexplode ↔ flatmap_explode in this window,
 # window_rank_extra ↔ window_rank r7, map_ops_extra ↔ array_map_ops
 # r6, deser_json ↔ deser_csv in this window, stream_tumbling_count ↔
-# stream_exec_tumbling in this window) — displaced as new keys
-# landed. ALL TWELVE deferred keys MUST lead r9's window together
-# with the r6-evidence tier. Exactly 50.
-# Max evidence age after this round: r6 tier = 2 rounds, the twelve
+# stream_exec_tumbling in this window, join_outer_right ↔
+# join_outer_left in this window) — displaced as new keys landed.
+# ALL THIRTEEN deferred keys MUST lead r9's window together with the
+# r6-evidence tier. Exactly 50.
+# Max evidence age after this round: r6 tier = 2 rounds, the thirteen
 # deferred r5 keys = 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
@@ -92,6 +96,7 @@ DRIVER_WINDOW: list[str] = [
     "logs_template_drift",
     "agg_kmv_union",
     "events_cooccurrence_lift",
+    "stream_exec_rate_limit",
     # --- 8 keys whose implementation changed this round ---
     "similarity_containment",
     "tpch_q22_global_sales",
@@ -103,7 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_distinct",
     # --- the r4-evidence straggler ---
     "deser_csv",
-    # --- 33 of the 45 keys whose latest driver evidence is r5 ---
+    # --- 32 of the 45 keys whose latest driver evidence is r5 ---
     "agg_distinct",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
@@ -115,7 +120,6 @@ DRIVER_WINDOW: list[str] = [
     "join_anti",
     "join_full_outer",
     "join_outer_left",
-    "join_outer_right",
     "join_range_theta",
     "join_semi",
     "scalar_string_date_math",

@@ -209,3 +209,79 @@ def user_totals_v2(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+RATE_LIMIT_SCHEMA = (
+    "event_id long, user_id long, event_type string, us long, "
+    "n_in_window long, is_limited boolean"
+)
+_RATE_STATE_SCHEMA = "times array<long>"
+
+
+def rate_limited(
+    events: DataFrame, window_us: int, limit: int
+) -> DataFrame:
+    """Streaming sliding-window rate limiter — the real-time form of
+    queries/events.py::events_rate_limit (same trailing-window count
+    and over-limit flag, emitted per event as it arrives). This is
+    the operator kawa's security-log domain actually runs ONLINE;
+    the batch RANGE window is its offline audit.
+
+    State per user is the event timestamps inside the trailing
+    window of the newest event (bounded by the rate the limiter
+    exists to cap — a key at the limit holds ≤ ~limit timestamps;
+    an attacker pushing further is exactly who the operator flags).
+    Counts use bisect over the merged state+batch times, so tied
+    timestamps see each other symmetrically — identical to the RANGE
+    frame's peer semantics, which is what makes the bounded drain
+    hash-match the batch oracle."""
+
+    def fn(key, pdfs, state):
+        from bisect import bisect_left, bisect_right
+
+        import pandas as pd
+
+        times = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            batch_times = [int(t) for t in pdf["us"]]
+            all_times = sorted(times + batch_times)
+            counts = [
+                bisect_right(all_times, t) - bisect_left(all_times, t - window_us)
+                for t in batch_times
+            ]
+            times = all_times
+            if times:
+                horizon = times[-1] - window_us
+                times = [t for t in times if t >= horizon]
+            n = pd.Series(counts, index=pdf.index, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "event_type": pdf["event_type"],
+                    "us": pdf["us"],
+                    "n_in_window": n,
+                    "is_limited": n > limit,
+                }
+            )
+        state.update((times,))
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RATE_LIMIT_SCHEMA,
+            stateStructType=_RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -70,3 +70,54 @@ def test_session_totals_subset_of_batch_sessions(spark):
     for k, v in got.items():
         assert k in want, f"spurious session {k}"
         assert abs(v[1] - want[k][1]) < 1e-6 and v[0] == want[k][0]
+
+
+def test_rate_limited_state_carries_across_batches(spark, tmp_path):
+    """The streaming rate limiter must count events from PREVIOUS
+    microbatches that still fall inside the trailing window — i.e.
+    the state (per-user timestamps) genuinely carries. Two parquet
+    files + maxFilesPerTrigger=1 force two microbatches split at a
+    known point; the per-event counts must equal the batch RANGE
+    window over the union."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import rate_limited
+
+    W = 1_000_000 * 60  # 60 s window
+    # user 1: events at t=0s,10s,30s | batch 2: 70s (sees 10,30 in
+    # window, not 0), 200s (sees only itself)
+    rows1 = [(1, 1, 0), (2, 1, 10_000_000), (3, 1, 30_000_000)]
+    rows2 = [(4, 1, 70_000_000), (5, 1, 200_000_000), (6, 2, 71_000_000)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    for i, rows in enumerate([rows1, rows2]):
+        pdf = pd.DataFrame(
+            [
+                (e, u, "click", pd.Timestamp(t, unit="us"))
+                for e, u, t in rows
+            ],
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"rl_{uuid.uuid4().hex[:8]}"
+    _drain(rate_limited(stream, W, 2), name)
+    got = {
+        r["event_id"]: (r["n_in_window"], r["is_limited"])
+        for r in spark.table(name).collect()
+    }
+    assert len(got) == 6
+    assert got[1] == (1, False)
+    assert got[2] == (2, False)
+    assert got[3] == (3, True)  # 0,10,30 within 60s
+    # 70s: window [10s,70s] must include the PREVIOUS batch's 10s,30s
+    assert got[4] == (3, True)
+    assert got[5] == (1, False)  # 200s: everyone else evicted
+    assert got[6] == (1, False)  # other user unaffected
