@@ -99,3 +99,32 @@ def test_training_data_pipeline_composes(spark, tmp_path):
         for r in dedup_clusters_query(spark, sf).filter(~F.col("is_keeper")).collect()
     }
     assert losers and not losers & {r["doc_id"] for r in rows}
+
+
+def test_security_analytics_composes(spark):
+    """examples/security_analytics.py: the r8 detection tier composed
+    over one debounced stream — detectors agree with their registry
+    twins' semantics on the shared input."""
+    from security_analytics import alert_relation, debounced_events
+
+    SF = "/root/testdata/sf0.001"
+    clean = debounced_events(spark, SF)
+    n_clean = clean.count()
+    from kawa_spark.io import table as _table
+
+    n_raw = _table(spark, SF, "events").count()
+    assert 0 < n_clean <= n_raw
+
+    alerts = alert_relation(spark, SF).collect()
+    assert alerts, "pipeline must produce alerts on the testdata"
+    kinds = {r["alert"] for r in alerts}
+    # heavy hitters always exist; drift always flags day-1 templates
+    assert "heavy_hitter" in kinds
+    assert "new_template" in kinds
+    assert all(r["severity"] in (1, 2, 3) for r in alerts)
+    # heavy-hitter count: exactly K per type present
+    hh = [r for r in alerts if r["alert"] == "heavy_hitter"]
+    types = _table(spark, SF, "events").select("event_type").distinct().count()
+    from kawa_spark.queries.events import HH_TOP_K
+
+    assert len(hh) <= types * HH_TOP_K
