@@ -13,10 +13,14 @@ reference exists to shuttle security logs, /root/reference/README.md:
         * template drift  (new-pattern / growth alerting)
     → one alert relation  (union of detector verdicts, severity-coded)
 
-Every stage is a registry operator (oracle-verified individually);
-the example shows they COMPOSE — the debounced stream feeds all three
-detectors without re-reading the source, and the alert union is a
-narrow column-aligned unionByName.
+Every detector calls the SAME core the oracle-verified registry
+operator binds (events.adjacent_dedup / rate_limit_annotate /
+top_k_by_count, logs.daily_template_counts / drift_enrich) — a
+predicate or constant fix in the verified operators flows into this
+pipeline automatically; nothing is re-implemented here (code review
+r8). The example's contribution is the COMPOSITION: one debounced,
+templated stream feeds all three detectors without re-reading the
+source, and the alert union is a narrow column-aligned unionByName.
 
 Run directly (`python examples/security_analytics.py [sf_dir]`) or
 through tests/test_example_pipeline.py.
@@ -31,24 +35,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from kawa_spark.io import table
 from kawa_spark.queries.events import (
-    DEBOUNCE_GAP_US,
-    HH_TOP_K,
     RATE_LIMIT,
-    RATE_WINDOW_US,
+    adjacent_dedup,
+    rate_limit_annotate,
+    top_k_by_count,
 )
-from kawa_spark.queries.logs import DAY_US, mask_template
+from kawa_spark.queries.logs import (
+    daily_template_counts,
+    drift_enrich,
+    mask_template,
+)
 
 
 def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events minus back-to-back same-type repeats per user (the
-    events_dedup_adjacent predicate), with the template column
-    attached once for every downstream detector."""
+    events_dedup_adjacent core), with the template column attached
+    once for every downstream detector."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     msg = F.concat(
         F.col("event_type"),
         F.lit(" uid="),
@@ -56,42 +62,28 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
         F.col("props"),
     )
-    t = e.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        "value",
-        mask_template(msg).alias("template"),
-    ).select(
-        "*",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("us").over(w).alias("prev_us"),
+    return adjacent_dedup(
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            "value",
+            mask_template(msg).alias("template"),
+        )
     )
-    keep = (
-        F.col("prev_us").isNull()
-        | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
-        | (F.col("us") - F.col("prev_us") > DEBOUNCE_GAP_US)
-    )
-    return t.filter(keep).drop("prev_type", "prev_us")
 
 
 def flood_alerts(clean: DataFrame) -> DataFrame:
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rangeBetween(-RATE_WINDOW_US, 0)
-    )
-    n = F.count(F.lit(1)).over(w)
     return (
-        clean.select("user_id", "event_type", "us", n.alias("n"))
-        .filter(F.col("n") > RATE_LIMIT)
+        rate_limit_annotate(clean.select("user_id", "event_type", "us"))
+        .filter("is_limited")
         .select(
             F.lit("flood").alias("alert"),
             F.lit(2).alias("severity"),
             F.col("user_id").cast("string").alias("subject"),
             F.concat(
-                F.lit("rate "), F.col("n").cast("string"),
+                F.lit("rate "), F.col("n_in_window").cast("string"),
                 F.lit(" > "), F.lit(RATE_LIMIT).cast("string"),
                 F.lit(" in window at us="), F.col("us").cast("string"),
             ).alias("detail"),
@@ -103,43 +95,26 @@ def heavy_hitter_alerts(clean: DataFrame) -> DataFrame:
     counts = clean.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("n_events").desc(), "user_id"
-    )
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= HH_TOP_K)
-        .select(
-            F.lit("heavy_hitter").alias("alert"),
-            F.lit(1).alias("severity"),
-            F.col("user_id").cast("string").alias("subject"),
-            F.concat(
-                F.lit("#"), F.col("rank").cast("string"),
-                F.lit(" on "), F.col("event_type"),
-                F.lit(" ("), F.col("n_events").cast("string"),
-                F.lit(" events)"),
-            ).alias("detail"),
-        )
+    return top_k_by_count(counts).select(
+        F.lit("heavy_hitter").alias("alert"),
+        F.lit(1).alias("severity"),
+        F.col("user_id").cast("string").alias("subject"),
+        F.concat(
+            F.lit("#"), F.col("rank").cast("string"),
+            F.lit(" on "), F.col("event_type"),
+            F.lit(" ("), F.col("n_events").cast("string"),
+            F.lit(" events)"),
+        ).alias("detail"),
     )
 
 
 def drift_alerts(clean: DataFrame) -> DataFrame:
     """New templates, or templates growing >2× day-over-day."""
-    daily = (
-        clean.select(
-            (F.col("us") - F.pmod(F.col("us"), F.lit(DAY_US)))
-            .alias("day_us"),
-            "template",
-        )
-        .groupBy("template", "day_us")
-        .agg(F.count(F.lit(1)).alias("n"))
+    enriched = drift_enrich(
+        daily_template_counts(clean.select("us", "template"))
     )
-    w = Window.partitionBy("template").orderBy("day_us")
-    d = daily.select(
-        "*", F.lag("n").over(w).alias("prev_n")
-    )
-    flagged = d.filter(
-        F.col("prev_n").isNull() | (F.col("n") > 2 * F.col("prev_n"))
+    flagged = enriched.filter(
+        F.col("prev_n").isNull() | (F.col("n_lines") > 2 * F.col("prev_n"))
     )
     return flagged.select(
         F.when(F.col("prev_n").isNull(), F.lit("new_template"))
@@ -148,8 +123,9 @@ def drift_alerts(clean: DataFrame) -> DataFrame:
         F.lit(3).alias("severity"),
         F.col("template").alias("subject"),
         F.concat(
-            F.lit("n="), F.col("n").cast("string"),
-            F.lit(" prev="), F.coalesce(F.col("prev_n").cast("string"), F.lit("-")),
+            F.lit("n="), F.col("n_lines").cast("string"),
+            F.lit(" prev="),
+            F.coalesce(F.col("prev_n").cast("string"), F.lit("-")),
         ).alias("detail"),
     )
 

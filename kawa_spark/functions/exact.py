@@ -45,9 +45,16 @@ def floordiv(col: str | Column, n: int) -> Column:
     negative operands too, unlike ``(col / n).cast('long')`` which
     truncates toward zero (ADVICE r7: any pre-1970 timestamp silently
     diverges from the oracle), and unlike ``floor(col / n)`` whose
-    double division can misround near bucket boundaries at extreme
-    magnitudes. ``col - pmod(col, n)`` is exactly divisible by ``n``
-    (pmod is always in [0, n)), so the division is exact integer math
-    surfaced through an error-free double op."""
+    double division can misround near bucket boundaries.
+    ``col - pmod(col, n)`` is exactly divisible by ``n`` (pmod is
+    always in [0, n)), and the division runs in DECIMAL(38,0) — exact
+    for the ENTIRE int64 range, where a double route would round
+    above 2^53 (code review r8) — with the exactly-integral quotient
+    cast back to long."""
     c = F.col(col) if isinstance(col, str) else col
-    return ((c - F.pmod(c, F.lit(n))) / F.lit(n)).cast("long")
+    # the subtraction itself is in decimal: c - pmod underflows int64
+    # for c within n of the long minimum (ANSI overflow error)
+    exact_num = c.cast("decimal(38,0)") - F.pmod(c, F.lit(n)).cast(
+        "decimal(38,0)"
+    )
+    return (exact_num / F.lit(n).cast("decimal(38,0)")).cast("long")

@@ -503,6 +503,27 @@ RATE_WINDOW_US = 6 * HOUR_US  # trailing rate-limit window
 RATE_LIMIT = 3  # max events per user per window before flagging
 
 
+def rate_limit_annotate(
+    df: DataFrame,
+    window_us: int = RATE_WINDOW_US,
+    limit: int = RATE_LIMIT,
+) -> DataFrame:
+    """Core of events_rate_limit over any frame carrying (user_id,
+    us): append n_in_window (trailing RANGE count, inclusive) and
+    is_limited, preserving every other column. The registered key
+    binds it to the events table; examples/security_analytics.py
+    drives it on the debounced stream."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-window_us, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return df.select(
+        "*", n.alias("n_in_window"), (n > limit).alias("is_limited")
+    )
+
+
 @register(
     "events_rate_limit",
     oracle=f"""
@@ -543,23 +564,32 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rangeBetween(-RATE_WINDOW_US, 0)
-    )
-    n = F.count(F.lit(1)).over(w)
-    return e.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "us",
-        n.alias("n_in_window"),
-        (n > RATE_LIMIT).alias("is_limited"),
-    )
+    return rate_limit_annotate(e)
 
 
 HH_TOP_K = 10  # heavy hitters kept per event_type
+
+
+def top_k_by_count(
+    counts: DataFrame,
+    part_col: str = "event_type",
+    count_col: str = "n_events",
+    tie_col: str = "user_id",
+    k: int = HH_TOP_K,
+) -> DataFrame:
+    """Core of events_heavy_hitters over any pre-aggregated count
+    table: deterministic rank (count desc, tie asc) filtered to the
+    top K per partition — the shape Catalyst recognizes as a
+    WindowGroupLimit on both shuffle sides. Preserves every column of
+    ``counts``; the registered key binds it to (type, user) event
+    counts, examples/security_analytics.py to the debounced stream's."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(count_col).desc(), tie_col
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 @register(
@@ -609,16 +639,33 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("n_events").desc(), "user_id"
-    )
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= HH_TOP_K)
-    )
+    return top_k_by_count(counts)
 
 
 DEBOUNCE_GAP_US = 5 * 60 * 1_000_000  # adjacent-duplicate window
+
+
+def adjacent_dedup(
+    df: DataFrame, gap_us: int = DEBOUNCE_GAP_US
+) -> DataFrame:
+    """Core of events_dedup_adjacent over any frame carrying
+    (user_id, event_id, event_type, us): drop rows repeating the same
+    user's previous type within the gap, preserving every other
+    column. The registered key binds it to the events table;
+    examples/security_analytics.py runs it with a template column
+    riding along."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = df.select(
+        "*",
+        F.lag("event_type").over(w).alias("__prev_type"),
+        F.lag("us").over(w).alias("__prev_us"),
+    )
+    keep = (
+        F.col("__prev_us").isNull()
+        | ~F.col("__prev_type").eqNullSafe(F.col("event_type"))
+        | (F.col("us") - F.col("__prev_us") > gap_us)
+    )
+    return t.filter(keep).drop("__prev_type", "__prev_us")
 
 
 @register(
@@ -657,24 +704,11 @@ def events_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     window state is a single previous row per user. The streaming
     twin is dropDuplicatesWithinWatermark keyed on (user, type) —
     batch form shown to the oracle."""
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    t = e.select(
+    e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.unix_micros("ts").alias("us"), "value",
-    ).select(
-        "*",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("us").over(w).alias("prev_us"),
     )
-    keep = (
-        F.col("prev_us").isNull()
-        | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
-        | (F.col("us") - F.col("prev_us") > DEBOUNCE_GAP_US)
-    )
-    return t.filter(keep).select(
-        "event_id", "user_id", "event_type", "us", "value"
-    )
+    return adjacent_dedup(e)
 
 
 @register(

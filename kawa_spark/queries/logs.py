@@ -121,6 +121,37 @@ def logs_pattern_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 DAY_US = 86_400 * 1_000_000
 
 
+def daily_template_counts(df: DataFrame) -> DataFrame:
+    """Core: (template, day, n_lines) from any frame carrying
+    ``us`` (epoch micros) and ``template`` — exact floor-division day
+    buckets (functions/exact.floordiv ≡ DuckDB ``//``)."""
+    from kawa_spark.functions.exact import floordiv
+
+    return (
+        df.select(floordiv(F.col("us"), DAY_US).alias("day"), "template")
+        .groupBy("template", "day")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def drift_enrich(daily: DataFrame) -> DataFrame:
+    """Core of logs_template_drift over any (template, day, n_lines)
+    table: appends day_total (that day's traffic) and prev_n (the
+    template's previous OBSERVED day's count). Both windows run over
+    the aggregated patterns×days table. The registered key projects
+    share/growth/new-template from this; examples/security_analytics.py
+    filters it for surge alerts."""
+    w_day = Window.partitionBy("day")
+    w_tpl = Window.partitionBy("template").orderBy("day")
+    return daily.select(
+        "template",
+        "day",
+        "n_lines",
+        F.sum("n_lines").over(w_day).cast("long").alias("day_total"),
+        F.lag("n_lines").over(w_tpl).cast("long").alias("prev_n"),
+    )
+
+
 @register(
     "logs_template_drift",
     oracle=f"""
@@ -166,8 +197,6 @@ def logs_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|patterns|·|days| rows — thousands), so the heavy stage is the
     one aggregate, exactly like events_anomaly_zscore's hourly
     pre-aggregation."""
-    from kawa_spark.functions.exact import floordiv
-
     e = table(spark, sf_dir, "events")
     msg = F.concat(
         F.col("event_type"),
@@ -176,22 +205,13 @@ def logs_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
         F.col("props"),
     )
-    daily = (
-        e.select(
-            floordiv(F.unix_micros("ts"), DAY_US).alias("day"),
-            mask_template(msg).alias("template"),
+    enriched = drift_enrich(
+        daily_template_counts(
+            e.select(
+                F.unix_micros("ts").alias("us"),
+                mask_template(msg).alias("template"),
+            )
         )
-        .groupBy("template", "day")
-        .agg(F.count(F.lit(1)).alias("n_lines"))
-    )
-    w_day = Window.partitionBy("day")
-    w_tpl = Window.partitionBy("template").orderBy("day")
-    enriched = daily.select(
-        "template",
-        "day",
-        "n_lines",
-        F.sum("n_lines").over(w_day).cast("long").alias("day_total"),
-        F.lag("n_lines").over(w_tpl).cast("long").alias("prev_n"),
     )
     return enriched.select(
         "template",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kawa_spark.io import stream_table
+from kawa_spark.queries.events import RATE_LIMIT, RATE_WINDOW_US
 from kawa_spark.registry import register
 from kawa_spark.streaming.stateful import running_total, session_totals
 
@@ -371,12 +372,12 @@ def stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type, us,
            COUNT(*) OVER (
              PARTITION BY user_id ORDER BY us
-             RANGE BETWEEN {21600000000} PRECEDING AND CURRENT ROW
+             RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW
            ) AS n_in_window,
            COUNT(*) OVER (
              PARTITION BY user_id ORDER BY us
-             RANGE BETWEEN {21600000000} PRECEDING AND CURRENT ROW
-           ) > {3} AS is_limited
+             RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+           ) > {RATE_LIMIT} AS is_limited
     FROM t
     """,
 )
@@ -386,11 +387,12 @@ def stream_exec_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps (streaming/stateful.py::rate_limited) and emits the
     count + over-limit flag per event as it arrives — the form
     kawa's security-log domain actually deploys; events_rate_limit
-    is its offline batch audit and supplies the oracle. Bisect-based
-    counting over merged state+batch times reproduces the RANGE
-    frame's tied-timestamp peer semantics exactly, so the bounded
-    drain hash-matches the batch SQL."""
-    from kawa_spark.queries.events import RATE_LIMIT, RATE_WINDOW_US
+    is its offline batch audit and supplies the oracle (both oracle
+    and implementation interpolate the SAME events.py constants, so
+    tuning the limit can't drift the twins apart — code review r8).
+    Bisect-based counting over merged state+batch times reproduces
+    the RANGE frame's tied-timestamp peer semantics exactly, so the
+    bounded drain hash-matches the batch SQL."""
     from kawa_spark.streaming.stateful import rate_limited
 
     return _drain(

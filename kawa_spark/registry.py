@@ -70,11 +70,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # expression tree changed), agg_kmv_distinct (hashed-stage reshaped to
 # host the optional prefilter; registered path semantically
 # unchanged). Then deser_csv (the r4 straggler displaced in r7).
-# Then 35 of the 45 keys whose latest driver evidence is r5 — all but
+# Then 32 of the 45 keys whose latest driver evidence is r5 — all but
 # (a) the seven most trivially-stable single-op relational keys
 # (scan_project, filter_predicate, union_all, union_distinct,
 # intersect, except_distinct, sort_limit_topk), untouched since r1,
-# and (b) five keys whose family twins carry equal-or-fresher
+# and (b) six keys whose family twins carry equal-or-fresher
 # evidence (flatmap_posexplode ↔ flatmap_explode in this window,
 # window_rank_extra ↔ window_rank r7, map_ops_extra ↔ array_map_ops
 # r6, deser_json ↔ deser_csv in this window, stream_tumbling_count ↔
@@ -87,7 +87,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 6 new keys (never driver-checked) ---
+    # --- 9 new keys (never driver-checked) ---
     "events_rate_limit",
     "events_heavy_hitters",
     "logs_pattern_templates",

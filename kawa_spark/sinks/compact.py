@@ -40,6 +40,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import SparkSession
@@ -69,7 +70,7 @@ def _leaf_dirs(root: str) -> list[str]:
     return out
 
 
-def _recover_orphans(root: str) -> list[str]:
+def _recover_orphans(root: str, min_age_s: float = 3600.0) -> list[str]:
     """Self-heal scratch left by a run that crashed mid-swap.
 
     Cases (leaf = scratch path with its tag suffix stripped):
@@ -80,8 +81,27 @@ def _recover_orphans(root: str) -> list[str]:
       backup.
     * ``.__compact_*`` → incomplete or unswapped rewrite output: drop.
 
+    ``min_age_s`` is the concurrent-run guard (code review r8):
+    scratch younger than this is assumed to belong to a LIVE
+    overlapping run and is left alone — recovering it would rmtree an
+    in-flight rewrite or steal a backup mid-swap. Except: an
+    ``.__old_*`` whose leaf is missing is always recovered regardless
+    of age (the partition is invisible to readers right now; a live
+    run in its microseconds-wide rename gap loses its own swap but no
+    data — its rename fails loudly). Concurrent compaction of one
+    root remains unsupported; the guard just makes the overlap
+    non-destructive instead of mutually corrupting.
+
     Returns the scratch paths handled (for the caller's report)."""
     handled = []
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_s
+        except OSError:
+            return True  # vanished mid-walk → nothing to protect
+
     # walk bottom-up not needed: scratch dirs are siblings of leaves,
     # never nested inside other scratch
     for dirpath, dirs, _files in os.walk(root):
@@ -93,12 +113,14 @@ def _recover_orphans(root: str) -> list[str]:
             if _OLD_TAG in d:
                 leaf = p[: p.index(_OLD_TAG)]
                 if not os.path.exists(leaf):
-                    os.rename(p, leaf)
-                else:
+                    os.rename(p, leaf)  # reader-visible hole: always fix
+                elif _old_enough(p):
                     shutil.rmtree(p)
+                else:
+                    continue
                 handled.append(p)
                 dirs.remove(d)
-            elif _COMPACT_TAG in d:
+            elif _COMPACT_TAG in d and _old_enough(p):
                 shutil.rmtree(p)
                 handled.append(p)
                 dirs.remove(d)
@@ -138,16 +160,18 @@ def compact_parquet(
     root: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     min_files: int = 4,
+    orphan_min_age_s: float = 3600.0,
 ) -> dict:
     """Compact fragmented leaf partitions under ``root``.
 
     Starts by recovering any scratch a previous crashed run left
-    behind (see ``_recover_orphans``).
+    behind (see ``_recover_orphans``; ``orphan_min_age_s`` guards a
+    concurrent run's live scratch).
 
     Returns {"compacted": [(leaf, files_before, files_after)],
     "skipped": n_leaves_left_alone, "recovered": [scratch paths]}.
     """
-    recovered = _recover_orphans(root)
+    recovered = _recover_orphans(root, min_age_s=orphan_min_age_s)
     plan = plan_compaction(root, target_bytes, min_files)
     n_leaves = len(_leaf_dirs(root))
     done = []

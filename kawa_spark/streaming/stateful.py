@@ -234,7 +234,18 @@ def rate_limited(
     Counts use bisect over the merged state+batch times, so tied
     timestamps see each other symmetrically — identical to the RANGE
     frame's peer semantics, which is what makes the bounded drain
-    hash-match the batch oracle."""
+    hash-match the batch oracle.
+
+    The group's chunks are MATERIALIZED before processing: Spark
+    hands a hot key's microbatch to ``fn`` as multiple Arrow chunks
+    (maxRecordsPerBatch, default 10k) in no particular time order —
+    per-chunk processing would both miss cross-chunk in-window events
+    and evict state a later chunk still needs. Concat-then-sort costs
+    per-(key, batch) memory equal to that key's batch events — the
+    same bound the batch RANGE window's per-partition sort has, and
+    exactly the key the limiter exists to flag.
+    tests/test_stateful.py forces multi-chunk groups with
+    maxRecordsPerBatch=2 to pin this."""
 
     def fn(key, pdfs, state):
         from bisect import bisect_left, bisect_right
@@ -242,30 +253,37 @@ def rate_limited(
         import pandas as pd
 
         times = list(state.get[0]) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["us", "event_id"])
-            batch_times = [int(t) for t in pdf["us"]]
-            all_times = sorted(times + batch_times)
-            counts = [
-                bisect_right(all_times, t) - bisect_left(all_times, t - window_us)
-                for t in batch_times
-            ]
-            times = all_times
-            if times:
-                horizon = times[-1] - window_us
-                times = [t for t in times if t >= horizon]
-            n = pd.Series(counts, index=pdf.index, dtype="int64")
-            yield pd.DataFrame(
-                {
-                    "event_id": pdf["event_id"],
-                    "user_id": pdf["user_id"],
-                    "event_type": pdf["event_type"],
-                    "us": pdf["us"],
-                    "n_in_window": n,
-                    "is_limited": n > limit,
-                }
-            )
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((times,))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        batch_times = [int(t) for t in pdf["us"]]
+        all_times = sorted(times + batch_times)
+        counts = [
+            bisect_right(all_times, t) - bisect_left(all_times, t - window_us)
+            for t in batch_times
+        ]
+        times = all_times
+        horizon = times[-1] - window_us
+        times = [t for t in times if t >= horizon]
         state.update((times,))
+        n = pd.Series(counts, index=pdf.index, dtype="int64")
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "event_type": pdf["event_type"],
+                "us": pdf["us"],
+                "n_in_window": n,
+                "is_limited": n > limit,
+            }
+        )
 
     from pyspark.sql import functions as F
 

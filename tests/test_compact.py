@@ -80,7 +80,9 @@ def test_scratch_dirs_are_not_partitions(spark, tmp_path):
     plan = plan_compaction(path, target_bytes=1 << 30, min_files=4)
     assert [p[0] for p in plan] == [leaf]  # scratch not planned
 
-    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    res = compact_parquet(
+        spark, path, target_bytes=1 << 30, min_files=4, orphan_min_age_s=0
+    )
     assert res["recovered"] == [tmp]
     assert not os.path.exists(tmp)  # orphan temp cleaned up
     n = spark.read.parquet(path).count()
@@ -98,6 +100,8 @@ def test_crash_between_renames_recovers(spark, tmp_path):
     assert not os.path.exists(leaf)
 
     res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    # leaf-missing backups are recovered regardless of age (the
+    # partition is invisible to readers) — no age override needed
     assert old in res["recovered"]
     assert os.path.exists(leaf) and not os.path.exists(old)
     # recovery restored the partition, then this run compacted it
@@ -111,3 +115,17 @@ def test_crash_between_renames_recovers(spark, tmp_path):
     }
     assert after["a"] == (10_000, sum(range(10_000)))
     assert after["b"] == (2_000, sum(range(10_000, 12_000)))
+
+
+def test_fresh_scratch_of_live_run_left_alone(spark, tmp_path):
+    """Concurrent-run guard: scratch YOUNGER than orphan_min_age_s is
+    assumed to belong to a live overlapping run and must not be
+    recovered (the leaf still exists, so readers are unaffected)."""
+    path = str(tmp_path / "tbl5")
+    _write_fragmented(spark, path)
+    leaf = os.path.join(path, "dt=a")
+    tmp = leaf + ".__compact_12345678"
+    spark.read.parquet(leaf).coalesce(1).write.parquet(tmp)
+    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    assert res["recovered"] == []
+    assert os.path.exists(tmp)  # live run's rewrite untouched

@@ -39,8 +39,9 @@ def test_short_docs_do_not_crash(spark):
     got = _spark_bigrams(spark, texts)
     assert got == [_py_bigrams(t) for t in texts]
     # the 0- and 1-word docs must shingle to EMPTY (explode → 0 rows),
-    # matching DuckDB's empty generate_series(1, 0)
-    assert got[0] == [] or got[0] == [" "]  # "" splits to [""] → 1 word
+    # matching DuckDB's empty generate_series(1, 0); "" splits to
+    # [""] — one (empty) word — so it is a 1-word doc
+    assert got[0] == []
     assert got[1] == []
 
 
