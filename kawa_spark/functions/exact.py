@@ -52,9 +52,20 @@ def floordiv(col: str | Column, n: int) -> Column:
     above 2^53 (code review r8) — with the exactly-integral quotient
     cast back to long."""
     c = F.col(col) if isinstance(col, str) else col
-    # the subtraction itself is in decimal: c - pmod underflows int64
-    # for c within n of the long minimum (ANSI overflow error)
-    exact_num = c.cast("decimal(38,0)") - F.pmod(c, F.lit(n)).cast(
-        "decimal(38,0)"
-    )
-    return (exact_num / F.lit(n).cast("decimal(38,0)")).cast("long")
+    pm = F.pmod(c, F.lit(n))
+    # Fast path for |c| ≤ 2^53 - n (every physical timestamp: micros
+    # stay under 2^53 from 1685 to 2255): c - pmod is then ≤ 2^53 in
+    # magnitude — no long overflow, and the double division of an
+    # exactly-representable, exactly-divisible numerator is exact.
+    # Outside that domain the DECIMAL route is exact over the whole
+    # int64 range but measured ~9× the per-row cost (16 ns/row at
+    # 60M rows) — the when() keeps the hot path cheap and the
+    # correctness unconditional.
+    lim = (1 << 53) - n
+    safe = (c >= F.lit(-lim)) & (c <= F.lit(lim))  # abs() would itself overflow at int64 min
+    fast = ((c - pm) / F.lit(n)).cast("long")
+    slow = (
+        (c.cast("decimal(38,0)") - pm.cast("decimal(38,0)"))
+        / F.lit(n).cast("decimal(38,0)")
+    ).cast("long")
+    return F.when(safe, fast).otherwise(slow)
