@@ -556,11 +556,15 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag is an integer comparison. Nothing floats.
 
     Scale: ONE shuffle on user_id; the range window is a single
-    ordered pass per user with state bounded by the window's event
-    count (the frame head pointer advances monotonically — Spark's
-    window exec evicts as it slides, it does not hold the partition's
-    history). The streaming twin is the same predicate over a
-    transformWithState timer loop; batch form shown to the oracle."""
+    ordered pass per user. The frame pointers advance monotonically,
+    but WindowExec buffers the WHOLE user partition in an
+    ExternalAppendOnlyUnsafeRowArray (spilling to disk past
+    spark.sql.windowExec.buffer.spill.threshold) — rows are not
+    evicted as the frame slides (ADVICE r8). Per-key memory is
+    therefore bounded by that key's total events with disk spill as
+    the backstop, not by the window width; the streaming twin
+    (streaming/stateful.py::rate_limited) is the form whose state IS
+    window-bounded. Batch form shown to the oracle."""
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -794,7 +798,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ta.n_t AS BIGINT) AS n_a,
            CAST(tb.n_t AS BIGINT) AS n_b,
            CAST(p.n_ab AS DOUBLE) / u.n AS support,
-           CAST(p.n_ab AS DOUBLE) * u.n / (ta.n_t * tb.n_t) AS lift
+           (CAST(p.n_ab AS DOUBLE) / ta.n_t) * (CAST(u.n AS DOUBLE) / tb.n_t)
+             AS lift
     FROM pairs p
     JOIN per_type ta ON p.type_a = ta.event_type
     JOIN per_type tb ON p.type_b = tb.event_type
@@ -809,24 +814,35 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair co-occurs above independence.
 
     Exactness: all counts are integers over the DISTINCT incidence;
-    support and lift are single double expressions of exact integers
-    — identical bits in both engines.
+    support and lift are double expressions of exact integers,
+    written identically in both engines. Lift is computed as
+    (n_ab/n_a)·(n/n_b) — never forming the n_a·n_b integer product,
+    which at corpus scale wraps silently in non-ANSI Spark while the
+    DuckDB oracle errors on HUGEINT overflow (ADVICE r8).
 
-    Scale: the incidence dedup shuffles on (user, type) once; the
-    self-join keys on user_id, where each user contributes ≤ |types|
-    rows, so join output is bounded by Σ_u |types_u|² — with a
-    bounded type vocabulary this is linear in users, never in event
-    volume. The pair aggregate lands on |types|² rows; per-type
-    totals and the 1-row user count are broadcasts. For an UNBOUNDED
-    item vocabulary (true market-basket at 10⁶ SKUs) the production
-    guard is frequency pruning first (drop types below min-support —
-    the a-priori property), which composes here as one filter on
-    per_type before the join."""
+    Scale: the incidence dedup shuffles on (user, type) and its
+    EXCHANGE IS REUSED — the self-join's two sides are byte-identical
+    subplans under their aliases, so AQE's exchange reuse collapses
+    them onto one shuffle whose files on disk serve as the cache
+    (2 ReusedExchange nodes in the executed plan, verified); the
+    count-distinct consumers plan narrower column-pruned aggregates
+    of their own, which is cheaper than rescanning the cache would
+    be. That replaces the earlier ``persist()`` (which leaked: a
+    registry sweep never unpersisted it — ADVICE r8) with zero cache
+    lifecycle.
+    The self-join keys on user_id, where each user contributes ≤
+    |types| rows, so join output is bounded by Σ_u |types_u|² — with
+    a bounded type vocabulary this is linear in users, never in
+    event volume. The pair aggregate lands on |types|² rows;
+    per-type totals and the 1-row user count are broadcasts. For an
+    UNBOUNDED item vocabulary (true market-basket at 10⁶ SKUs) the
+    production guard is frequency pruning first (drop types below
+    min-support — the a-priori property), which composes here as one
+    filter on per_type before the join."""
     inc = (
         table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
-        .persist()
     )
     n_users = inc.agg(F.countDistinct("user_id").alias("n"))
     per_type = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
@@ -856,9 +872,8 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long").alias("n_b"),
             (F.col("n_ab").cast("double") / F.col("n")).alias("support"),
             (
-                F.col("n_ab").cast("double")
-                * F.col("n")
-                / (F.col("n_a") * F.col("n_b"))
+                (F.col("n_ab").cast("double") / F.col("n_a"))
+                * (F.col("n").cast("double") / F.col("n_b"))
             ).alias("lift"),
         )
     )

@@ -180,13 +180,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
     )
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no URGENT-priority orders.
+
+    The right side is restricted to URGENT orders (pre-shuffle filter)
+    so the anti join retains rows on this testdata — every customer
+    has *some* order, so the unrestricted form verified only the empty
+    set (VERDICT r8 "what's wrong" #1; same remedy tpch_q22 used).
+    Anti joins ship only the right side's join key through the
+    shuffle; the filter further cuts that to ~20% of orders.
+    """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
         "c_custkey", "c_name"
     )

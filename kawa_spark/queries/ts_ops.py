@@ -185,12 +185,14 @@ def resample_ffill(
     ``max_span_hours`` is the fan-out guard (VERDICT r7 item 5): the
     per-key grid is |keys| × spanned-hours, so ONE dirty row with a
     1970-epoch timestamp fans a key out to ~490k grid rows. When set,
-    each key's grid start is clamped to ``s1 - max_span_hours`` —
-    observations older than the clamp still seed the forward fill
-    (their slot rows survive the clamp filter only inside the window,
-    but the fill window reads last_in_slot rows join-matched inside
-    the clamped grid; older observations simply fall off the grid,
-    exactly what a bounded-window gapfill means). Oracle-mirrorable:
+    each key's grid start is clamped to ``s1 - max_span_hours``.
+    Observations older than the clamp fall off the grid entirely and
+    do NOT seed the forward fill: their slots are outside the clamped
+    grid, so the left join never sees them and pre-first-surviving-
+    observation slots stay null/is_gap (pinned by
+    test_span_guard_bounds_epoch_outlier). That is the bounded-window
+    contract — history beyond the window is dropped, not carried.
+    Oracle-mirrorable:
     ``GREATEST(s0, s1 - span)`` in the bounds CTE. Slot arithmetic is
     exact floor division (functions/exact.floordiv) so pre-1970
     micros bucket identically to DuckDB's ``//``."""

@@ -56,6 +56,53 @@ def _is_scratch(path: str) -> bool:
     return _COMPACT_TAG in path or _OLD_TAG in path
 
 
+_LOCK_NAME = _COMPACT_TAG + "lock"  # matches _is_scratch by prefix
+
+
+def _acquire_lock(root: str) -> str:
+    """Per-root mutual exclusion for compaction runs (ADVICE r8).
+
+    Without this, a second run's orphan recovery could rmtree a live
+    run's age-expired ``.__compact_*`` between its write and its swap;
+    the live run would then rename a partially-deleted tmp over the
+    leaf and delete its backup — a data-loss interleaving. An
+    O_CREAT|O_EXCL lock file holding the owner's pid closes it: the
+    swap is driver-side ``os.rename``, so competing runs are
+    same-host by construction and a pid liveness probe is a sound
+    staleness test (a crashed run's lock is reaped, a live run's
+    raises)."""
+    path = os.path.join(root, _LOCK_NAME)
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            return path
+        except FileExistsError:
+            try:
+                pid = int(open(path).read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists, owned elsewhere
+            if alive:
+                raise RuntimeError(
+                    f"compaction of {root!r} already running (pid {pid})"
+                )
+            try:
+                os.unlink(path)  # stale lock from a crashed run
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"could not acquire compaction lock for {root!r}")
+
+
 def _leaf_dirs(root: str) -> list[str]:
     """Directories under root that directly contain parquet files.
     Compaction scratch dirs (``.__compact_*`` temp output, ``.__old_*``
@@ -88,9 +135,10 @@ def _recover_orphans(root: str, min_age_s: float = 3600.0) -> list[str]:
     ``.__old_*`` whose leaf is missing is always recovered regardless
     of age (the partition is invisible to readers right now; a live
     run in its microseconds-wide rename gap loses its own swap but no
-    data — its rename fails loudly). Concurrent compaction of one
-    root remains unsupported; the guard just makes the overlap
-    non-destructive instead of mutually corrupting.
+    data — its rename fails loudly). Concurrent ``compact_parquet``
+    runs on one root are excluded outright by the per-root pid lock
+    (``_acquire_lock``, ADVICE r8); the age guard remains as defense
+    in depth for recovery invoked outside that lock.
 
     Returns the scratch paths handled (for the caller's report)."""
     handled = []
@@ -164,39 +212,48 @@ def compact_parquet(
 ) -> dict:
     """Compact fragmented leaf partitions under ``root``.
 
-    Starts by recovering any scratch a previous crashed run left
-    behind (see ``_recover_orphans``; ``orphan_min_age_s`` guards a
-    concurrent run's live scratch).
+    Serialized per root by an O_EXCL pid lock (``_acquire_lock``):
+    a concurrent run raises instead of racing recovery against a live
+    rewrite's swap. Then recovers any scratch a previous crashed run
+    left behind (see ``_recover_orphans``; ``orphan_min_age_s`` is a
+    second line of defense for scratch whose lock was lost).
 
     Returns {"compacted": [(leaf, files_before, files_after)],
     "skipped": n_leaves_left_alone, "recovered": [scratch paths]}.
     """
-    recovered = _recover_orphans(root, min_age_s=orphan_min_age_s)
-    plan = plan_compaction(root, target_bytes, min_files)
-    n_leaves = len(_leaf_dirs(root))
-    done = []
-    for leaf, n, _tot, n_out in plan:
-        tmp = f"{leaf}{_COMPACT_TAG}{uuid.uuid4().hex[:8]}"
-        # coalesce, not repartition: narrowing file count needs no
-        # shuffle — each output task reads a slice of input files
-        (
-            spark.read.parquet(leaf)
-            .coalesce(n_out)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        old = f"{leaf}{_OLD_TAG}{uuid.uuid4().hex[:8]}"
-        os.rename(leaf, old)
+    lock = _acquire_lock(root)
+    try:
+        recovered = _recover_orphans(root, min_age_s=orphan_min_age_s)
+        plan = plan_compaction(root, target_bytes, min_files)
+        n_leaves = len(_leaf_dirs(root))
+        done = []
+        for leaf, n, _tot, n_out in plan:
+            tmp = f"{leaf}{_COMPACT_TAG}{uuid.uuid4().hex[:8]}"
+            # coalesce, not repartition: narrowing file count needs no
+            # shuffle — each output task reads a slice of input files
+            (
+                spark.read.parquet(leaf)
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            old = f"{leaf}{_OLD_TAG}{uuid.uuid4().hex[:8]}"
+            os.rename(leaf, old)
+            try:
+                os.rename(tmp, leaf)
+            except OSError:
+                os.rename(old, leaf)  # roll back: original wins
+                raise
+            shutil.rmtree(old)
+            after, _ = _parquet_stats(leaf)
+            done.append((leaf, n, after))
+        return {
+            "compacted": done,
+            "skipped": n_leaves - len(done),
+            "recovered": recovered,
+        }
+    finally:
         try:
-            os.rename(tmp, leaf)
-        except OSError:
-            os.rename(old, leaf)  # roll back: original wins
-            raise
-        shutil.rmtree(old)
-        after, _ = _parquet_stats(leaf)
-        done.append((leaf, n, after))
-    return {
-        "compacted": done,
-        "skipped": n_leaves - len(done),
-        "recovered": recovered,
-    }
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass

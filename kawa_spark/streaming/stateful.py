@@ -236,6 +236,21 @@ def rate_limited(
     frame's peer semantics, which is what makes the bounded drain
     hash-match the batch oracle.
 
+    TIME-ORDERED-BATCH ASSUMPTION (ADVICE r8): state is evicted at
+    horizon = max(batch times) − window, so an event arriving in a
+    LATER microbatch with a timestamp older than an earlier batch's
+    horizon counts against already-evicted peers — it undercounts
+    versus the batch RANGE oracle. Batches must be non-decreasing in
+    event time per key for exact oracle equivalence; that holds for
+    the single availableNow drain the registered key runs, and for
+    any source that delivers per-key in order (e.g. a partitioned
+    log keyed by user). Under genuinely late data the result is a
+    conservative undercount of n_in_window (never an overcount —
+    evicted peers can only lower the count), i.e. the limiter may
+    under-flag stragglers but never false-positives. The property
+    test (test_stateful.py) pins the in-order contract across random
+    batch splits.
+
     The group's chunks are MATERIALIZED before processing: Spark
     hands a hot key's microbatch to ``fn`` as multiple Arrow chunks
     (maxRecordsPerBatch, default 10k) in no particular time order —

@@ -129,3 +129,35 @@ def test_fresh_scratch_of_live_run_left_alone(spark, tmp_path):
     res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
     assert res["recovered"] == []
     assert os.path.exists(tmp)  # live run's rewrite untouched
+
+
+def test_concurrent_run_excluded_by_lock(spark, tmp_path):
+    """A live lock (pid alive) makes a second run raise instead of
+    racing its recovery against the first run's swap (ADVICE r8)."""
+    import pytest
+
+    from kawa_spark.sinks.compact import _LOCK_NAME
+
+    path = str(tmp_path / "tbl6")
+    _write_fragmented(spark, path)
+    lock = os.path.join(path, _LOCK_NAME)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # "other run" that is demonstrably alive
+    with pytest.raises(RuntimeError, match="already running"):
+        compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    os.unlink(lock)
+
+
+def test_stale_lock_of_dead_run_is_reaped(spark, tmp_path):
+    """A crashed run's lock (dead pid) must not wedge compaction
+    forever: the next run reaps it, recovers, and proceeds."""
+    from kawa_spark.sinks.compact import _LOCK_NAME
+
+    path = str(tmp_path / "tbl7")
+    _write_fragmented(spark, path)
+    lock = os.path.join(path, _LOCK_NAME)
+    with open(lock, "w") as f:
+        f.write("999999999")  # beyond pid_max: guaranteed dead
+    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    assert len(res["compacted"]) == 1
+    assert not os.path.exists(lock)  # released after the run
