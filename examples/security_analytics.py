@@ -7,10 +7,14 @@ reference exists to shuttle security logs, /root/reference/README.md:
     → debounce            (adjacent-duplicate suppression — the
                            at-least-once ingest cleanup)
     → template extraction (drain-style masking → pattern id)
-    → three detectors over the clean stream:
+    → five detectors over the clean stream:
         * rate limiter    (trailing-window per-user flood flag)
         * heavy hitters   (top-K users per event type)
         * template drift  (new-pattern / growth alerting)
+        * CIDR watch      (r9: longest-prefix net attribution —
+                           anything landing in the quarantine net)
+        * session rarity  (r9: sessions whose transition pattern is
+                           improbable under the global Markov model)
     → one alert relation  (union of detector verdicts, severity-coded)
 
 Every detector calls the SAME core the oracle-verified registry
@@ -48,6 +52,11 @@ from kawa_spark.queries.logs import (
     drift_enrich,
     mask_template,
 )
+from kawa_spark.queries.security import (
+    CIDR_NETS,
+    longest_prefix_match,
+    session_rarity_scores,
+)
 
 
 def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +79,12 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("us"),
             "value",
             mask_template(msg).alias("template"),
+            # deterministic synthetic source address (the testdata has
+            # no ip column) — same derivation logs_cidr_enrich uses
+            (
+                F.lit(167772160)
+                + (F.col("event_id") * F.lit(2654435761)) % F.lit(16777216)
+            ).alias("ip"),
         )
     )
 
@@ -130,14 +145,72 @@ def drift_alerts(clean: DataFrame) -> DataFrame:
     )
 
 
+def net_watch_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Events attributed (longest-prefix) to the quarantine net — a
+    host talking from a quarantined range is a per-se alert."""
+    nets = spark.createDataFrame(
+        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
+        "net string, plen long, lo long, hi long",
+    )
+    hits = (
+        longest_prefix_match(clean.select("user_id", "ip"), nets)
+        .filter(F.col("net") == "quarantine")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return hits.select(
+        F.lit("quarantine_net").alias("alert"),
+        F.lit(3).alias("severity"),
+        F.col("user_id").cast("string").alias("subject"),
+        F.concat(
+            F.lit("n="), F.col("n_events").cast("string"),
+            F.lit(" events from quarantine range"),
+        ).alias("detail"),
+    )
+
+
+RARITY_MIN_P = 0.01  # a session whose least-likely transition is <1%
+
+
+def rarity_alerts(clean: DataFrame) -> DataFrame:
+    """Sessions containing a transition the global Markov model rates
+    below RARITY_MIN_P — 'nobody behaves like this' sessions."""
+    scores = session_rarity_scores(
+        clean.select(
+            "user_id", "event_id", "event_type", F.col("us").alias("ts_us")
+        ),
+        gap_us=30 * 60 * 1_000_000,
+    )
+    return scores.filter(F.col("min_p") < RARITY_MIN_P).select(
+        F.lit("improbable_session").alias("alert"),
+        F.lit(2).alias("severity"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.col("session_idx").cast("string"),
+        ).alias("subject"),
+        F.concat(
+            F.lit("min_p="), F.col("min_p").cast("string"),
+            F.lit(" over "), F.col("n_transitions").cast("string"),
+            F.lit(" transitions"),
+        ).alias("detail"),
+    )
+
+
 def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline: one cleaned stream, three detectors,
-    one severity-ordered alert table."""
-    clean = debounced_events(spark, sf_dir).persist()
+    """The composed pipeline: one cleaned stream, five detectors,
+    one severity-ordered alert table. No persist(): the detectors'
+    plans share the debounce subtree byte-identically, so AQE
+    exchange reuse serves the shared scan+shuffle from shuffle files
+    — the cache-lifecycle-free form of the same sharing (the
+    never-unpersisted persist() here was the ADVICE r8 leak class)."""
+    clean = debounced_events(spark, sf_dir)
     alerts = (
         flood_alerts(clean)
         .unionByName(heavy_hitter_alerts(clean))
         .unionByName(drift_alerts(clean))
+        .unionByName(net_watch_alerts(spark, clean))
+        .unionByName(rarity_alerts(clean))
     )
     return alerts.orderBy(F.col("severity").desc(), "alert", "subject", "detail")
 

@@ -174,6 +174,69 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(e)
 
 
+CLAMP_HOURS = 168  # 7-day trailing window — bites on every testdata key
+
+
+@register(
+    "ts_resample_ffill_clamped",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+    ), bounds AS (
+      SELECT user_id,
+             GREATEST(MIN(us) // {HOUR_US},
+                      MAX(us) // {HOUR_US} - {CLAMP_HOURS}) AS s0,
+             MAX(us) // {HOUR_US} AS s1
+      FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(s0, s1)) AS slot FROM bounds
+    ), slotted AS (
+      SELECT user_id, us // {HOUR_US} AS slot, us, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, us // {HOUR_US}
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM e
+    ), last_in_slot AS (
+      SELECT user_id, slot, value FROM slotted WHERE rn = 1
+    ), joined AS (
+      SELECT g.user_id, g.slot, l.value AS obs_value
+      FROM grid g LEFT JOIN last_in_slot l
+        ON g.user_id = l.user_id AND g.slot = l.slot
+    )
+    SELECT user_id,
+           CAST(slot * {HOUR_US} AS BIGINT) AS slot_us,
+           last_value(obs_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY slot
+             ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           obs_value IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def ts_resample_ffill_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the gapfill: ``resample_ffill`` with
+    the ``max_span_hours`` fan-out guard engaged (VERDICT r8 item 4 —
+    the guard the 10× probe proved necessary, now itself
+    hash-verified rather than only unit-tested). Each key's grid is
+    its trailing {CLAMP_HOURS} hours; observations older than the
+    clamp fall off the grid and do not seed the fill, so leading
+    clamped slots are null/is_gap until the first surviving
+    observation. On this testdata every key spans ~700 hours, so the
+    clamp genuinely bites everywhere (grid ≈ 4× smaller than the
+    unclamped twin). Oracle: identical CTE chain with
+    GREATEST(s0, s1 - span) in bounds — the exact clamp expression.
+
+    Scale: same single user_id shuffle chain as the unclamped form,
+    but grid fan-out is bounded at |keys| × {CLAMP_HOURS} regardless
+    of dirty timestamps — one 1970-epoch row can no longer fan a key
+    to ~490k grid rows."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    return resample_ffill(e, max_span_hours=CLAMP_HOURS)
+
+
 def resample_ffill(
     e: DataFrame, max_span_hours: int | None = None
 ) -> DataFrame:

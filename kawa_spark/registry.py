@@ -50,97 +50,94 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # self-loop contract; the decontaminate hash swap and posting-table
 # persist had landed earlier, in r2) and the 34 r1-only keys.
 #
-# Round 8's window (below): first the 9 NEW keys (never
-# driver-checked — must lead): events_rate_limit / events_heavy_hitters
-# / logs_pattern_templates / events_dedup_adjacent /
-# events_markov_transitions / logs_template_drift / agg_kmv_union /
-# events_cooccurrence_lift / stream_exec_rate_limit (the online
-# limiter through the real streaming runtime — applyInPandasWithState
-# trailing-window state, hash-matching the batch oracle).
-# Then the 8 keys whose implementations
-# changed this round — similarity_containment (its inverted-index cap
-# went RELATIVE late r7, after r7's window was frozen — the one key
-# VERDICT r7 flagged to lead), tpch_q22_global_sales (anti join
-# retargeted to URGENT orders so it finally returns rows — was the
-# suite's last vacuous 0-row match), quality_lm_commonness +
-# corpus_bigrams (short-doc shingle guard via hof.bigrams),
-# events_retention_cohorts + events_anomaly_zscore + ts_resample_ffill
-# (exact floor-division bucketing via exact.floordiv — output
-# identical on the all-post-1970 testdata, verified locally, but the
-# expression tree changed), agg_kmv_distinct (hashed-stage reshaped to
-# host the optional prefilter; registered path semantically
-# unchanged). Then deser_csv (the r4 straggler displaced in r7).
-# Then 32 of the 45 keys whose latest driver evidence is r5 — all but
-# (a) the seven most trivially-stable single-op relational keys
-# (scan_project, filter_predicate, union_all, union_distinct,
-# intersect, except_distinct, sort_limit_topk), untouched since r1,
-# and (b) six keys whose family twins carry equal-or-fresher
-# evidence (flatmap_posexplode ↔ flatmap_explode in this window,
-# window_rank_extra ↔ window_rank r7, map_ops_extra ↔ array_map_ops
-# r6, deser_json ↔ deser_csv in this window, stream_tumbling_count ↔
-# stream_exec_tumbling in this window, join_outer_right ↔
-# join_outer_left in this window) — displaced as new keys landed.
-# ALL THIRTEEN deferred keys MUST lead r9's window together with the
-# r6-evidence tier. Exactly 50.
-# Max evidence age after this round: r6 tier = 2 rounds, the thirteen
-# deferred r5 keys = 3 rounds.
+# Round 9's window (below), per VERDICT r8 item 1: first the 4 NEW
+# keys (never driver-checked — must lead): logs_cidr_enrich
+# (longest-prefix CIDR match via broadcast plan-array + higher-order
+# filter/array_max — zero pre-rollup shuffle),
+# events_funnel_daily_conversion (funnel_stages rolled up on the
+# exact floor-div day of t_view), events_session_rarity (sessionize →
+# in-session transitions scored against the global Markov model;
+# integer-exact rarity score), ts_resample_ffill_clamped (the
+# max_span_hours=168 production gapfill, oracle GREATEST clamp —
+# VERDICT r8 item 4). Then the 3 keys whose implementations changed
+# this round: join_anti (anti-join retargeted to URGENT orders — was
+# a 0-row vacuous match at r1/r5/r8, q22's own fix; 203 rows at
+# sf0.01), except_distinct (subtrahend narrowed to s_nationkey < 10 —
+# the other 0-row vacuous key; 15 rows), events_cooccurrence_lift
+# (persist() dropped for AQE exchange reuse; lift recomputed as
+# (n_ab/n_a)*(n/n_b) in doubles, oracle mirrored — ADVICE r8).
+# Then ALL 12 remaining r5-evidence keys (the 13 VERDICT r8 committed
+# to, minus except_distinct which moved to the changed tier above).
+# Then 31 of the 42 r6-evidence keys — all but 11 deferred on family-
+# twin or triviality grounds: multimodal_meta/resize/frames (twin
+# multimodal_decode in this window + audio_features r7),
+# percentile_disc (twin percentile_cont in this window),
+# scalar_string_extra + interval_arithmetic (twin
+# scalar_string_date_math r8), array_map_ops (twin map_ops_extra in
+# this window), json_roundtrip (twin deser_json in this window),
+# null_handling (trivially-stable single-op, untouched since r1),
+# text_normalize (normalization core exercised by dedup_exact_norm
+# r8), text_chunking (tokenizer core shared with text_tokens r8).
+# THOSE ELEVEN deferred keys MUST lead r10's window. Exactly 50.
+# Max evidence age after this round: deferred 11 = r6 evidence =
+# 3 rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 9 new keys (never driver-checked) ---
-    "events_rate_limit",
-    "events_heavy_hitters",
-    "logs_pattern_templates",
-    "events_dedup_adjacent",
-    "events_markov_transitions",
-    "logs_template_drift",
-    "agg_kmv_union",
-    "events_cooccurrence_lift",
-    "stream_exec_rate_limit",
-    # --- 8 keys whose implementation changed this round ---
-    "similarity_containment",
-    "tpch_q22_global_sales",
-    "quality_lm_commonness",
-    "corpus_bigrams",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "ts_resample_ffill",
-    "agg_kmv_distinct",
-    # --- the r4-evidence straggler ---
-    "deser_csv",
-    # --- 32 of the 45 keys whose latest driver evidence is r5 ---
-    "agg_distinct",
-    "corpus_mixture_sample",
-    "corpus_pack_sequences",
-    "dedup_exact",
-    "dedup_exact_norm",
-    "events_sessionize_batch",
-    "flatmap_explode",
-    "grouping_rollup",
+    # --- 4 new keys (never driver-checked) ---
+    "logs_cidr_enrich",
+    "events_funnel_daily_conversion",
+    "events_session_rarity",
+    "ts_resample_ffill_clamped",
+    # --- 3 keys whose implementation changed this round ---
     "join_anti",
-    "join_full_outer",
-    "join_outer_left",
-    "join_range_theta",
-    "join_semi",
-    "scalar_string_date_math",
-    "similarity_ivf",
-    "similarity_lsh_multiprobe",
-    "stateful_running_total",
-    "stream_exec_dedup_watermark",
-    "stream_exec_stream_static_join",
-    "stream_exec_stream_stream_join",
-    "stream_exec_tumbling",
-    "stream_session",
-    "text_langid",
-    "text_quality",
-    "text_stats",
-    "text_tokens",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_lines",
-    "window_analytic",
-    "window_range_time",
+    "except_distinct",
+    "events_cooccurrence_lift",
+    # --- the 12 remaining r5-evidence keys (VERDICT r8 item 1) ---
+    "scan_project",
+    "filter_predicate",
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "sort_limit_topk",
+    "deser_json",
+    "flatmap_posexplode",
+    "window_rank_extra",
+    "map_ops_extra",
+    "stream_tumbling_count",
+    "join_outer_right",
+    # --- 31 of the 42 r6-evidence keys ---
+    "agg_argminmax",
+    "agg_bitwise_bool",
+    "agg_stats_moments",
+    "agg_string_collect",
+    "corpus_decontaminate",
+    "corpus_dedup_report",
+    "corpus_split",
+    "corpus_stratified_sample",
+    "corpus_tfidf",
+    "data_profile",
+    "dedup_keeper_corpus",
+    "dedup_minhash",
+    "dedup_simhash",
+    "histogram_width_bucket",
+    "join_asof",
+    "multimodal_decode",
+    "percentile_cont",
+    "pipeline_dedup_corpus",
+    "pivot_wide",
+    "rollup_multires",
+    "sample_hash",
+    "sql_surface",
+    "stream_exec_incremental_rollup",
+    "stream_exec_running_total",
+    "stream_exec_session_totals",
+    "subquery_correlated",
+    "text_edit_distance",
+    "text_fingerprint",
+    "text_redact_pii",
+    "udf_python",
+    "udtf_lateral",
 ]
 
 
@@ -166,6 +163,7 @@ def load_all() -> None:
         llm_corpus,
         llm_quality,
         logs,
+        security,
     )
 
     missing = [k for k in DRIVER_WINDOW if k not in QUERIES]

@@ -31,6 +31,10 @@ Design:
 * ``_leaf_dirs`` ignores in-flight ``.__compact_*`` / ``.__old_*``
   dirs, so a concurrent or crashed run's temp files are never
   mistaken for real partitions.
+* Runs are serialized per root by an O_EXCL pid lock file — a second
+  ``compact_parquet`` on the same root raises instead of letting its
+  orphan recovery race the first run's swap (ADVICE r8); a crashed
+  run's stale lock (dead pid) is reaped automatically.
 * Hive-partition columns live in the directory names, not the files,
   so per-leaf rewrites preserve the table's partitioning exactly.
 """

@@ -128,3 +128,9 @@ def test_security_analytics_composes(spark):
     from kawa_spark.queries.events import HH_TOP_K
 
     assert len(hh) <= types * HH_TOP_K
+    # r9 detectors: quarantine covers 1/64 of the derived ip space, so
+    # hits exist at any sf; subjects are "user#session" composites
+    assert "quarantine_net" in kinds
+    for r in alerts:
+        if r["alert"] == "improbable_session":
+            assert "#" in r["subject"]

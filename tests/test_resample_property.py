@@ -113,3 +113,24 @@ def test_span_guard_bounds_epoch_outlier(spark):
     assert by_slot[base + HOUR_US] == (2.0, True)
     assert by_slot[base + 5 * HOUR_US] == (3.0, False)
     assert [r["slot_us"] for r in rows if r["user_id"] == 2] == [base]
+
+
+def test_registered_clamped_form_uses_guard(spark):
+    """The registered ts_resample_ffill_clamped key must run the
+    max_span_hours=CLAMP_HOURS guard (VERDICT r8 item 4): per-key
+    grid rows are capped at CLAMP_HOURS+1 on the real testdata, and
+    every key's grid ends at its own last observed slot."""
+    from kawa_spark.queries.ts_ops import CLAMP_HOURS
+    from kawa_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["ts_resample_ffill_clamped"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r["user_id"], []).append(r["slot_us"])
+    assert per_key  # non-vacuous
+    for slots in per_key.values():
+        assert len(slots) == CLAMP_HOURS + 1  # spans ~700h → clamp bites
+        assert max(slots) - min(slots) == CLAMP_HOURS * HOUR_US
