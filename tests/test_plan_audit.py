@@ -375,3 +375,63 @@ def test_pattern_templates_no_python_udf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "regexp_replace" in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "logs_cidr_enrich",
+        "events_funnel_daily_conversion",
+        "events_session_rarity",
+        "ts_resample_ffill_clamped",
+    ],
+)
+def test_r9_plans_clean(spark, key):
+    """Round-9 keys pass the mechanical scale audit."""
+    df = registry.QUERIES[key](spark, SF)
+    assert audit_plan(df) == []
+
+
+def test_cidr_enrich_no_per_event_shuffle(spark):
+    """logs_cidr_enrich's LPM must stay map-side: the CIDR plan rides
+    in as a broadcast 1-row array and the argmax is a higher-order
+    array_max per row, so the ONLY exchanges are the |nets|-key
+    rollup (incl. the count-distinct expand) — never a per-event
+    hashpartitioning. The r9 rewrite replaced a BNLJ + groupBy(event)
+    plan that shuffled the full event stream; this pins it out."""
+    import re
+
+    df = registry.QUERIES["logs_cidr_enrich"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys, plan
+    for k in keys:
+        assert "event_id" not in k and k.startswith("net"), keys
+    assert "array_max" in plan and "BatchEvalPython" not in plan
+
+
+def test_session_rarity_reuses_user_partitioning(spark):
+    """events_session_rarity's three user-keyed stages (sessionize
+    window, in-session lead, per-session aggregate) must share ONE
+    user_id partitioning — the (user_id, session_idx) window and
+    aggregate are satisfied by the user_id hash partitioning (subset
+    rule), so no exchange may be keyed on session_idx."""
+    import re
+
+    df = registry.QUERIES["events_session_rarity"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys
+    for k in keys:
+        assert "session_idx" not in k, keys
+    # model joins ride in as broadcasts, not shuffled joins
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_resample_clamped_engages_guard(spark):
+    """The registered clamped key must carry the GREATEST clamp in
+    its plan (the max_span_hours guard engaged, not the unclamped
+    twin's bounds)."""
+    df = registry.QUERIES["ts_resample_ffill_clamped"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "greatest" in plan.lower(), plan
