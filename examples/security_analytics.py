@@ -83,7 +83,8 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no ip column) — same derivation logs_cidr_enrich uses
             (
                 F.lit(167772160)
-                + (F.col("event_id") * F.lit(2654435761)) % F.lit(16777216)
+                + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
+                % F.lit(16777216)
             ).alias("ip"),
         )
     )

@@ -58,9 +58,13 @@ CIDR_NETS: list[tuple[str, int, int, int]] = [
 
 # Deterministic synthetic source address per event (the testdata has
 # no ip column): a Knuth multiplicative hash of event_id folded into
-# 10.0.0.0/8. Pure BIGINT arithmetic — bit-identical in both engines
-# (event_id * 2654435761 stays far inside int64 at any testdata SF).
-_IP_EXPR_SQL = "167772160 + (event_id * 2654435761) % 16777216"
+# 10.0.0.0/8. event_id is reduced mod 2^24 BEFORE the multiply —
+# value-identical (c·(e mod 2^24) ≡ c·e (mod 2^24)) but the product
+# stays ≤ 2^24·2654435761 ≈ 4.5e16, inside int64 for ANY event_id;
+# the raw e·c form overflowed (ANSI Spark error, DuckDB HUGEINT
+# divergence) once ids passed ~3.5e9 — caught by the 100× probe,
+# whose id-shifting pushes event_id to ~1e10.
+_IP_EXPR_SQL = "167772160 + ((event_id % 16777216) * 2654435761) % 16777216"
 
 
 def _nets_values_sql() -> str:
@@ -127,7 +131,8 @@ def logs_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (
             F.lit(167772160)
-            + (F.col("event_id") * F.lit(2654435761)) % F.lit(16777216)
+            + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
+            % F.lit(16777216)
         ).alias("ip"),
     )
     nets = spark.createDataFrame(
