@@ -95,6 +95,9 @@ HEADLINE = [
     "events_funnel_daily_conversion",
     "events_session_rarity",
     "ts_resample_ffill_clamped",
+    "events_beaconing",
+    "events_first_seen",
+    "events_impossible_travel",
 ]
 
 

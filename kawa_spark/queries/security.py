@@ -395,3 +395,327 @@ def session_rarity_scores(e: DataFrame, gap_us: int) -> DataFrame:
         F.sum(F.col("n_from") - F.col("n")).cast("long").alias("rarity"),
         F.min(F.col("n").cast("double") / F.col("n_from")).alias("min_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# beaconing detection
+# ---------------------------------------------------------------------------
+
+# A beacon is a key whose inter-arrival times are suspiciously REGULAR
+# (malware phoning home on a timer). The test is on the coefficient of
+# variation of the gap sequence: CV = std/mean <= 1/2, evaluated as the
+# cross-multiplied integer inequality
+#   CV^2 <= NUM/DEN  <=>  DEN * (n*SUM(d^2) - SUM(d)^2) <= NUM * SUM(d)^2
+# so no float sqrt/variance ever enters the hash-checked surface.
+BEACON_MIN_GAPS = 20
+BEACON_CV2_NUM = 1
+BEACON_CV2_DEN = 4
+
+# Two planted callback streams (the synthetic event stream is Poisson,
+# CV ~= 1 — without planting, the beacon flag would verify only the
+# all-false case, the vacuous-pass class VERDICT r8 closed for
+# join_anti/except_distinct). Planted deterministically in BOTH engines:
+# user 9900001 fires exactly every 300 s; user 9900002 every 300 s with
+# a +/-10 s multiplicative-hash jitter (CV ~= 0.03, still a beacon).
+PLANT_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+PLANT_N = 48
+
+
+@register(
+    "events_beaconing",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+      UNION ALL
+      SELECT 9900001, 'beacon', {PLANT_BASE_US} + i*300000000,
+             10000000 + i FROM range({PLANT_N}) t(i)
+      UNION ALL
+      SELECT 9900002, 'beacon',
+             {PLANT_BASE_US} + i*300000000
+               + ((i*2654435761) % 21 - 10) * 1000000,
+             10001000 + i FROM range({PLANT_N}) t(i)
+    ), d AS (
+      SELECT user_id, event_type,
+             ts_us - LAG(ts_us) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+             ) AS d_us
+      FROM ev
+    ), g AS (
+      SELECT user_id, event_type,
+             CAST(d_us // 1000000 AS HUGEINT) AS d_s
+      FROM d WHERE d_us IS NOT NULL
+    ), s AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             SUM(d_s) AS sd, SUM(d_s * d_s) AS sd2
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(sd AS DOUBLE) / n AS period_s,
+           ({BEACON_CV2_DEN} * (n * sd2 - sd * sd)
+              <= {BEACON_CV2_NUM} * (sd * sd)) AS is_beacon
+    FROM s WHERE n >= {BEACON_MIN_GAPS}
+    """,
+)
+def events_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beaconing detection — the C2-callback staple of the SIEM the
+    reference ships logs into (kawa moves security telemetry,
+    /root/reference/README.md:7-16; periodic-callback detection is
+    what the destination runs on it). Per (user_id, event_type) key:
+    take the inter-arrival gap sequence and flag keys whose gaps are
+    too REGULAR to be human — coefficient of variation <= 1/2 over at
+    least BEACON_MIN_GAPS gaps. Two deterministic callback streams are
+    planted (mirrored verbatim in the oracle) so the flag verifies a
+    true beacon, not just the all-false complement — the
+    dedup_embedding_cosine planting discipline.
+
+    Exactness: gaps are floor-seconds of integer epoch-micros (both
+    engines' integral division agrees on the non-negative gaps); the
+    CV test is the cross-multiplied integer inequality
+    DEN*(n*SUM(d^2) - SUM(d)^2) <= NUM*SUM(d)^2 — DECIMAL(38,0) here,
+    HUGEINT in DuckDB, no float variance, no sqrt. SUM(d) per key is
+    bounded by the stream's time span (~3e13 µs => exact in double for
+    period_s's single division); SUM(d^2) by span^2/n — the decimal
+    route exists because THAT product overflows int64 at scale.
+
+    Scale: one exchange on (user_id, event_type) serves both the lag
+    window and the stats aggregate (same keys — Catalyst reuses the
+    partitioning, pinned in test_plan_audit). State per key is three
+    numbers; output is |active keys| rows. The planted frames are
+    2 x 48 driver-local rows unioned before the shuffle."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    plants = _planted_beacons(spark)
+    return beaconing_stats(
+        e.unionByName(plants),
+        min_gaps=BEACON_MIN_GAPS,
+        cv2_num=BEACON_CV2_NUM,
+        cv2_den=BEACON_CV2_DEN,
+    )
+
+
+def _planted_beacons(spark: SparkSession) -> DataFrame:
+    exact = spark.range(PLANT_N).select(
+        F.lit(9900001).cast("long").alias("user_id"),
+        F.lit("beacon").alias("event_type"),
+        (F.lit(PLANT_BASE_US) + F.col("id") * F.lit(300_000_000)).alias(
+            "ts_us"
+        ),
+        (F.lit(10_000_000) + F.col("id")).alias("event_id"),
+    )
+    jitter = (
+        (F.col("id") * F.lit(2654435761)) % F.lit(21) - F.lit(10)
+    ) * F.lit(1_000_000)
+    jittered = spark.range(PLANT_N).select(
+        F.lit(9900002).cast("long").alias("user_id"),
+        F.lit("beacon").alias("event_type"),
+        (
+            F.lit(PLANT_BASE_US) + F.col("id") * F.lit(300_000_000) + jitter
+        ).alias("ts_us"),
+        (F.lit(10_001_000) + F.col("id")).alias("event_id"),
+    )
+    return exact.unionByName(jittered)
+
+
+def beaconing_stats(
+    e: DataFrame, min_gaps: int, cv2_num: int, cv2_den: int
+) -> DataFrame:
+    """Core beacon scorer over any (user_id, event_type, ts_us,
+    event_id) frame — events_beaconing binds it to the events table
+    plus the planted streams; the property test
+    (tests/test_beaconing_property.py) drives it on random streams
+    against a brute-force Python reference (gap floor-seconds, exact
+    integer CV^2 cross-multiplication, min-gap threshold)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    d = (
+        e.withColumn("d_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("d_us").isNotNull())
+        .withColumn("d_s", F.expr("d_us div 1000000").cast("decimal(38,0)"))
+    )
+    s = d.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d_s").alias("sd"),
+        F.sum(F.col("d_s") * F.col("d_s")).alias("sd2"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    var_num = n_dec * F.col("sd2") - F.col("sd") * F.col("sd")
+    return s.filter(F.col("n") >= min_gaps).select(
+        "user_id",
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        (F.col("sd").cast("double") / F.col("n")).alias("period_s"),
+        (F.lit(cv2_den) * var_num <= F.lit(cv2_num) * F.col("sd") * F.col("sd")).alias(
+            "is_beacon"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# first-seen entity emergence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_first_seen",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, first_us // {86_400 * 1_000_000} AS day,
+             COUNT(*) AS n_new
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_new
+    FROM c
+    """,
+)
+def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-entity detection — "is this the FIRST time this actor has
+    done this action": the other detection primitive every SIEM ships
+    (first-seen process, first-seen country, first-seen API call).
+    Each (user_id, event_type) pair is attributed to the day of its
+    first occurrence; output is the per-day emergence curve per event
+    type plus the running count of distinct pairs ever seen — the
+    curve a detection engineer baselines "new behavior" against.
+
+    Exactness: first-occurrence timestamps are integer MIN over
+    epoch-micros; day buckets are exact floor-division (floordiv —
+    agrees with DuckDB ``//`` on pre-1970 rows too); counts and the
+    running sum are integers.
+
+    Scale: one shuffle groups the raw stream on the (user_id,
+    event_type) pair with map-side combine (partial MIN) — the only
+    pass over the full data; the day rollup shuffles |pairs| rows onto
+    |days x types| keys, and the cumulative window runs over that
+    tiny frame (|days| rows per type — no WindowExec over raw events).
+    At 100 TB the pair table is the entity inventory, orders of
+    magnitude smaller than the stream."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    p = e.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("first_us")
+    )
+    c = p.select(
+        "event_type", floordiv(F.col("first_us"), DAY_US).alias("day")
+    ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# impossible travel
+# ---------------------------------------------------------------------------
+
+# Two different networks within 30 minutes: the classic credential-
+# sharing / session-hijack detection. 30 min (the sessionize gap) is
+# the widest window at which the synthetic per-user stream still has
+# consecutive-event pairs at every test SF.
+HOP_WINDOW_US = SESSION_GAP_US
+
+
+@register(
+    "events_impossible_travel",
+    oracle=f"""
+    WITH ips AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             {_IP_EXPR_SQL} AS ip
+      FROM events
+    ), nets(net, plen, lo, hi) AS (
+      VALUES {_nets_values_sql()}
+    ), matched AS (
+      SELECT i.user_id, i.event_id, i.ts_us, n.net,
+             ROW_NUMBER() OVER (PARTITION BY i.event_id
+                                ORDER BY n.plen DESC, n.net DESC) AS rn
+      FROM ips i JOIN nets n ON i.ip BETWEEN n.lo AND n.hi
+    ), seq AS (
+      SELECT user_id, ts_us, net,
+             LAG(net) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev_net,
+             ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS d_us
+      FROM matched WHERE rn = 1
+    )
+    SELECT prev_net AS from_net, net AS to_net,
+           COUNT(*) AS n_hops,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(d_us) AS min_gap_us
+    FROM seq
+    WHERE prev_net IS NOT NULL AND prev_net <> net
+      AND d_us <= {HOP_WINDOW_US}
+    GROUP BY 1, 2
+    """,
+)
+def events_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible travel — the same actor observed on two DIFFERENT
+    networks within a 30-minute window (credential sharing, session
+    hijack, VPN split). Composes the two detections this file already
+    ships: each event's source address goes through the map-side
+    longest-prefix CIDR match (logs_cidr_enrich's core), then a
+    per-user lag window flags consecutive events whose attributed
+    networks differ inside the hop window; output is the net-to-net
+    hop matrix with actor counts — the pivot table an analyst reads.
+
+    Exactness: addresses, bounds, gaps are pure int64; counts are
+    integers; MIN(d_us) is an integer min. No floats anywhere.
+
+    Scale: the LPM is zero-shuffle (broadcast one-row plan array,
+    codegen'd filter + array_max per row); the only full-stream
+    exchange is the user_id window — the SAME single-shuffle shape as
+    events_dedup_adjacent, pinned in test_plan_audit; the hop rollup
+    shuffles only surviving hop rows onto |nets|^2 keys. At 100 TB
+    the hop matrix is bounded by the address plan, not the stream."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (
+            F.lit(167772160)
+            + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
+            % F.lit(16777216)
+        ).alias("ip"),
+    )
+    nets = spark.createDataFrame(
+        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
+        "net string, plen long, lo long, hi long",
+    )
+    m = longest_prefix_match(e, nets).drop("plen", "ip")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = m.select(
+        "user_id",
+        "net",
+        F.lag("net").over(w).alias("prev_net"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("d_us"),
+    )
+    hops = seq.filter(
+        F.col("prev_net").isNotNull()
+        & (F.col("prev_net") != F.col("net"))
+        & (F.col("d_us") <= HOP_WINDOW_US)
+    )
+    return hops.groupBy(
+        F.col("prev_net").alias("from_net"), F.col("net").alias("to_net")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("d_us").alias("min_gap_us"),
+    )

@@ -68,7 +68,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (n_ab/n_a)*(n/n_b) in doubles, oracle mirrored — ADVICE r8).
 # Then ALL 12 remaining r5-evidence keys (the 13 VERDICT r8 committed
 # to, minus except_distinct which moved to the changed tier above).
-# Then 31 of the 42 r6-evidence keys — all but 11 deferred on family-
+# Then THREE more new keys added later in r9 (same never-checked
+# tier): events_beaconing (integer-exact CV^2 periodicity test with
+# two planted callback streams), events_first_seen (per-day new-
+# entity emergence + running pair inventory), events_impossible_travel
+# (map-side LPM + per-user lag — different nets within 30 min).
+# Then 28 of the 42 r6-evidence keys — all but 14 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc (twin percentile_cont in this window),
@@ -77,18 +82,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # this window), json_roundtrip (twin deser_json in this window),
 # null_handling (trivially-stable single-op, untouched since r1),
 # text_normalize (normalization core exercised by dedup_exact_norm
-# r8), text_chunking (tokenizer core shared with text_tokens r8).
-# THOSE ELEVEN deferred keys MUST lead r10's window. Exactly 50.
-# Max evidence age after this round: deferred 11 = r6 evidence =
-# 3 rounds at r9; everything else <= 3 rounds.
+# r8), text_chunking (tokenizer core shared with text_tokens r8);
+# displaced by the three late-r9 keys, on the same grounds:
+# stream_exec_running_total (twins stream_exec_session_totals +
+# stream_exec_incremental_rollup stay in this window; batch twin
+# stateful_running_total is r8 evidence), udf_python (twin
+# udtf_lateral stays; udf_grouped_agg r7), text_fingerprint
+# (text_edit_distance + text_redact_pii stay; the text tier carries
+# r8 evidence x4). THOSE FOURTEEN deferred keys MUST lead r10's
+# window. Exactly 50. Max evidence age after this round: deferred
+# 14 = r6 evidence = 3 rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 4 new keys (never driver-checked) ---
+    # --- 7 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
     "ts_resample_ffill_clamped",
+    "events_beaconing",
+    "events_first_seen",
+    "events_impossible_travel",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -106,7 +120,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 31 of the 42 r6-evidence keys ---
+    # --- 28 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_bitwise_bool",
     "agg_stats_moments",
@@ -130,13 +144,10 @@ DRIVER_WINDOW: list[str] = [
     "sample_hash",
     "sql_surface",
     "stream_exec_incremental_rollup",
-    "stream_exec_running_total",
     "stream_exec_session_totals",
     "subquery_correlated",
     "text_edit_distance",
-    "text_fingerprint",
     "text_redact_pii",
-    "udf_python",
     "udtf_lateral",
 ]
 

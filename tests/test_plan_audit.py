@@ -435,3 +435,55 @@ def test_resample_clamped_engages_guard(spark):
     df = registry.QUERIES["ts_resample_ffill_clamped"](spark, SF)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "greatest" in plan.lower(), plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["events_beaconing", "events_first_seen", "events_impossible_travel"],
+)
+def test_r9_security_plans_clean(spark, key):
+    """Late-round-9 security keys pass the mechanical scale audit."""
+    df = registry.QUERIES[key](spark, SF)
+    assert audit_plan(df) == []
+
+
+def test_beaconing_single_exchange(spark):
+    """events_beaconing is ONE shuffle on (user_id, event_type): the
+    lag window and the gap-stats aggregate share the same keys, so
+    Catalyst must satisfy both from a single hash partitioning — the
+    docstring's scale claim, asserted mechanically."""
+    df = registry.QUERIES["events_beaconing"](spark, SF)
+    assert shuffle_count(df) == 1, shuffle_count(df)
+
+
+def test_first_seen_pair_shuffle_leads(spark):
+    """events_first_seen's only full-stream exchange is the
+    (user_id, event_type) pair MIN; the day rollup and cumulative
+    window re-shuffle only the pair inventory. Pin: no exchange wider
+    than the pair keys, and the raw-stream exchange carries partial
+    MIN (map-side combine) beneath it."""
+    import re
+
+    df = registry.QUERIES["events_first_seen"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 3, keys
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+def test_impossible_travel_lpm_stays_mapside(spark):
+    """events_impossible_travel: the longest-prefix match must ride in
+    as a broadcast/array expression, never a per-event join shuffle —
+    the only exchange touching raw events is the user_id lag window
+    (the events_dedup_adjacent shape); the hop rollup shuffles only
+    surviving hops on net keys."""
+    import re
+
+    df = registry.QUERIES["events_impossible_travel"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys
+    for k in keys:
+        assert "event_id" not in k, keys
+    assert any(k.startswith("user_id") for k in keys), keys
+    assert "SortMergeJoin" not in plan, plan
