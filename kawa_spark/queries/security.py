@@ -607,6 +607,15 @@ def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.groupBy("user_id", "event_type").agg(
         F.min("ts_us").alias("first_us")
     )
+    return first_seen_curve(p)
+
+
+def first_seen_curve(p: DataFrame) -> DataFrame:
+    """Day rollup + running inventory over a (user_id, event_type,
+    first_us) pair table — shared by the batch key above and the
+    streaming twin (stream_exec_first_seen drains the SAME pair-MIN
+    state through the real streaming runtime, then hands the drained
+    inventory here; identical curve, identical oracle)."""
     c = p.select(
         "event_type", floordiv(F.col("first_us"), DAY_US).alias("day")
     ).groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_new"))

@@ -401,3 +401,54 @@ def stream_exec_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
+
+
+@register(
+    "stream_exec_first_seen",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, first_us // {86_400 * 1_000_000} AS day,
+             COUNT(*) AS n_new
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_new
+    FROM c
+    """,
+)
+def stream_exec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_first_seen's pair inventory maintained ONLINE: the
+    (user_id, event_type) -> MIN(ts) aggregate runs through the real
+    streaming runtime (complete-mode bounded drain — streaming MIN is
+    order-insensitive, so late/out-of-order arrivals converge to the
+    same first-seen state a batch MIN produces), then the drained
+    inventory goes through the SAME day-rollup/cumulative core as the
+    batch key (security.first_seen_curve). Oracle = the batch key's
+    SQL verbatim: the streaming execution path itself is hash-checked,
+    not just row-counted.
+
+    Scale: streaming state = one long per live (user, type) pair —
+    the entity inventory a first-seen detector must hold in ANY
+    engine; per-batch work is the pair-keyed partial MIN. Spark can't
+    chain a second streaming aggregation in one query, so the
+    emergence curve is the read-side batch pass over the (tiny)
+    drained state — at 100 TB/day the pair table is still orders of
+    magnitude smaller than the stream."""
+    from kawa_spark.queries.security import first_seen_curve
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    agg = e.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("first_us")
+    )
+    # state rows = |pairs| (~50k at sf0.1): keep the 8-store default
+    # (see the store-count note in stream_exec_tumbling).
+    p = _drain(agg, spark, mode="complete")
+    return first_seen_curve(p)

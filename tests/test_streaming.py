@@ -144,3 +144,68 @@ def test_watchdog_listener(spark, events_stream):
         assert wd.check() == set()
     finally:
         spark.streams.removeListener(wd)
+
+
+def test_first_seen_min_converges_out_of_order(spark, tmp_path):
+    """stream_exec_first_seen's claim: streaming MIN is
+    order-insensitive, so a LATE microbatch carrying an EARLIER
+    timestamp for an already-seen pair must still converge to the
+    batch MIN (first-seen re-attributed to the earlier day). Two
+    parquet files + maxFilesPerTrigger=1 force the late arrival into
+    a second microbatch."""
+    import pandas as pd
+
+    DAY = 86_400
+    # batch 1: pair (1,'click') first seen day 5; pair (2,'view') day 3
+    rows1 = [(1, 1, "click", 5 * DAY), (2, 2, "view", 3 * DAY)]
+    # batch 2: LATE arrival for (1,'click') on day 1 (re-attributes
+    # its first-seen), plus a brand-new pair (3,'click') on day 5
+    rows2 = [(3, 1, "click", 1 * DAY), (4, 3, "click", 5 * DAY)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    for rows in [rows1, rows2]:
+        pdf = pd.DataFrame(
+            [
+                (e, u, t, pd.Timestamp(s, unit="s"))
+                for e, u, t, s in rows
+            ],
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.select(
+            "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts_us").alias("first_us"))
+    )
+    name = f"fs_{uuid.uuid4().hex[:8]}"
+    _drain(agg, name, mode="complete")
+    pairs = {
+        (r["user_id"], r["event_type"]): r["first_us"]
+        for r in spark.table(name).collect()
+    }
+    assert pairs == {
+        (1, "click"): 1 * DAY * 1_000_000,  # the LATE day-1 arrival won
+        (2, "view"): 3 * DAY * 1_000_000,
+        (3, "click"): 5 * DAY * 1_000_000,
+    }
+    from kawa_spark.queries.security import first_seen_curve
+
+    curve = {
+        (r["event_type"], r["day"]): (r["n_new"], r["cum_new"])
+        for r in first_seen_curve(spark.table(name)).collect()
+    }
+    assert curve == {
+        ("click", 1): (1, 1),
+        ("click", 5): (1, 2),
+        ("view", 3): (1, 1),
+    }
