@@ -98,6 +98,7 @@ HEADLINE = [
     "events_beaconing",
     "events_first_seen",
     "events_impossible_travel",
+    "agg_kmv_sliding_window",
 ]
 
 

@@ -68,14 +68,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (n_ab/n_a)*(n/n_b) in doubles, oracle mirrored — ADVICE r8).
 # Then ALL 12 remaining r5-evidence keys (the 13 VERDICT r8 committed
 # to, minus except_distinct which moved to the changed tier above).
-# Then FOUR more new keys added later in r9 (same never-checked
+# Then FIVE more new keys added later in r9 (same never-checked
 # tier): events_beaconing (integer-exact CV^2 periodicity test with
 # two planted callback streams), events_first_seen (per-day new-
 # entity emergence + running pair inventory), events_impossible_travel
 # (map-side LPM + per-user lag — different nets within 30 min),
 # stream_exec_first_seen (the pair inventory maintained ONLINE —
-# complete-mode streaming MIN drain feeding the same curve core).
-# Then 27 of the 42 r6-evidence keys — all but 15 deferred on family-
+# complete-mode streaming MIN drain feeding the same curve core),
+# agg_kmv_sliding_window (trailing-7-day sketch-union DAU — the
+# windowed COUNT DISTINCT answered from per-day sketches).
+# Then 26 of the 42 r6-evidence keys — all but 16 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc (twin percentile_cont in this window),
@@ -94,13 +96,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # r8 evidence x4); and dedup_simhash, displaced by the eighth new
 # key stream_exec_first_seen (simhash's banded-self-join family twin
 # dedup_minhash stays in this window; the hamming core is
-# property-covered). THOSE FIFTEEN deferred keys MUST lead r10's
-# window. Exactly 50. Max evidence age after this round: deferred
-# 15 = r6 evidence = 3 rounds at r9; everything else <= 3 rounds.
+# property-covered); and corpus_dedup_report, displaced by the ninth
+# new key agg_kmv_sliding_window (report's normalization/dedup-
+# summary twin pipeline_dedup_corpus stays in this window). THOSE
+# SIXTEEN deferred keys MUST lead r10's window. Exactly 50. Max
+# evidence age after this round: deferred 16 = r6 evidence =
+# 3 rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 8 new keys (never driver-checked) ---
+    # --- 9 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -109,6 +114,7 @@ DRIVER_WINDOW: list[str] = [
     "events_first_seen",
     "events_impossible_travel",
     "stream_exec_first_seen",
+    "agg_kmv_sliding_window",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -126,13 +132,12 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 27 of the 42 r6-evidence keys ---
+    # --- 26 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_bitwise_bool",
     "agg_stats_moments",
     "agg_string_collect",
     "corpus_decontaminate",
-    "corpus_dedup_report",
     "corpus_split",
     "corpus_stratified_sample",
     "corpus_tfidf",

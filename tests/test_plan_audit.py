@@ -487,3 +487,16 @@ def test_impossible_travel_lpm_stays_mapside(spark):
         assert "event_id" not in k, keys
     assert any(k.startswith("user_id") for k in keys), keys
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmv_sliding_reuses_distinct_exchange(spark):
+    """agg_kmv_sliding_window's (day, user) distinct must compute
+    ONCE and be shared by the sketch and audit branches (runtime AQE
+    exchange reuse — the no-persist discipline from ADVICE r8). The
+    reuse only materializes in the adaptive plan after execution, so
+    run first; audit cleanliness is checked pre-run."""
+    df = registry.QUERIES["agg_kmv_sliding_window"](spark, SF)
+    assert audit_plan(df) == []
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan
