@@ -420,6 +420,18 @@ BEACON_CV2_DEN = 4
 PLANT_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
 PLANT_N = 48
 
+# The planted-stream SQL, shared verbatim by the batch oracle below
+# and the online twin's prefix oracle (streaming_mode.py::
+# stream_exec_beaconing) so the two can never drift.
+PLANTS_SQL = f"""
+      SELECT 9900001, 'beacon', {PLANT_BASE_US} + i*300000000,
+             10000000 + i FROM range({PLANT_N}) t(i)
+      UNION ALL
+      SELECT 9900002, 'beacon',
+             {PLANT_BASE_US} + i*300000000
+               + ((i*2654435761) % 21 - 10) * 1000000,
+             10001000 + i FROM range({PLANT_N}) t(i)"""
+
 
 @register(
     "events_beaconing",
@@ -427,14 +439,7 @@ PLANT_N = 48
     WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
       FROM events
-      UNION ALL
-      SELECT 9900001, 'beacon', {PLANT_BASE_US} + i*300000000,
-             10000000 + i FROM range({PLANT_N}) t(i)
-      UNION ALL
-      SELECT 9900002, 'beacon',
-             {PLANT_BASE_US} + i*300000000
-               + ((i*2654435761) % 21 - 10) * 1000000,
-             10001000 + i FROM range({PLANT_N}) t(i)
+      UNION ALL{PLANTS_SQL}
     ), d AS (
       SELECT user_id, event_type,
              ts_us - LAG(ts_us) OVER (

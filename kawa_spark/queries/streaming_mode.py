@@ -452,3 +452,97 @@ def stream_exec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see the store-count note in stream_exec_tumbling).
     p = _drain(agg, spark, mode="complete")
     return first_seen_curve(p)
+
+
+def _beacon_oracle() -> str:
+    from kawa_spark.queries.security import (
+        BEACON_CV2_DEN,
+        BEACON_CV2_NUM,
+        BEACON_MIN_GAPS,
+        PLANTS_SQL,
+    )
+
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+      UNION ALL{PLANTS_SQL}
+    ), d AS (
+      SELECT user_id, event_type, event_id, ts_us,
+             ts_us - LAG(ts_us) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+             ) AS d_us
+      FROM ev
+    ), g AS (
+      SELECT user_id, event_type, event_id, ts_us,
+             CAST(d_us // 1000000 AS HUGEINT) AS d_s
+      FROM d WHERE d_us IS NOT NULL
+    ), s AS (
+      SELECT user_id, event_type, event_id,
+             COUNT(*) OVER w AS n,
+             SUM(d_s) OVER w AS sd,
+             SUM(d_s * d_s) OVER w AS sd2
+      FROM g
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_type, event_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(sd AS DOUBLE) / n AS period_s,
+           ({BEACON_CV2_DEN} * (n * sd2 - sd * sd)
+              <= {BEACON_CV2_NUM} * (sd * sd)) AS is_beacon
+    FROM s WHERE n >= {BEACON_MIN_GAPS}
+    """
+
+
+@register("stream_exec_beaconing", oracle=_beacon_oracle())
+def stream_exec_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_beaconing maintained ONLINE: per-(user, type) gap power
+    sums through the real streaming runtime
+    (streaming/stateful.py::beacon_scores), emitting a verdict row
+    for every event past the min-gap threshold — the alert fires as
+    the callback arrives, instead of at the end-of-day batch sweep.
+    The oracle is the PREFIX form of the batch key's stats (running
+    window sums over the same ordered gap sequence, plants included
+    via the shared PLANTS_SQL), so the streaming path is hash-checked
+    per event, not just at the final aggregate. The planted callback
+    streams ride the STREAM itself (written to a scratch parquet and
+    unioned as a second file source) — a batch-side union is not
+    expressible in a streaming query.
+
+    Scale: state is four int64s per (user, type) key; output is
+    bounded by events on keys past min_gaps. Same time-ordered-batch
+    contract as stream_exec_rate_limit (kernel docstring)."""
+    from kawa_spark.queries.security import (
+        BEACON_CV2_DEN,
+        BEACON_CV2_NUM,
+        BEACON_MIN_GAPS,
+        _planted_beacons,
+    )
+    from kawa_spark.streaming.stateful import beacon_scores
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    plants_dir = "/tmp/kawa_spark_beacon_plants"
+    _planted_beacons(spark).select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "event_id",
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        .parquet(plants_dir)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    return _drain(
+        beacon_scores(
+            e.unionByName(p),
+            BEACON_MIN_GAPS,
+            BEACON_CV2_NUM,
+            BEACON_CV2_DEN,
+        ),
+        spark,
+    )

@@ -68,7 +68,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (n_ab/n_a)*(n/n_b) in doubles, oracle mirrored — ADVICE r8).
 # Then ALL 12 remaining r5-evidence keys (the 13 VERDICT r8 committed
 # to, minus except_distinct which moved to the changed tier above).
-# Then FIVE more new keys added later in r9 (same never-checked
+# Then SIX more new keys added later in r9 (same never-checked
 # tier): events_beaconing (integer-exact CV^2 periodicity test with
 # two planted callback streams), events_first_seen (per-day new-
 # entity emergence + running pair inventory), events_impossible_travel
@@ -76,8 +76,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # stream_exec_first_seen (the pair inventory maintained ONLINE —
 # complete-mode streaming MIN drain feeding the same curve core),
 # agg_kmv_sliding_window (trailing-7-day sketch-union DAU — the
-# windowed COUNT DISTINCT answered from per-day sketches).
-# Then 26 of the 42 r6-evidence keys — all but 16 deferred on family-
+# windowed COUNT DISTINCT answered from per-day sketches),
+# stream_exec_beaconing (the beacon detector ONLINE — per-event gap
+# power sums in the state store, prefix-window oracle).
+# Then 25 of the 42 r6-evidence keys — all but 17 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc (twin percentile_cont in this window),
@@ -98,14 +100,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dedup_minhash stays in this window; the hamming core is
 # property-covered); and corpus_dedup_report, displaced by the ninth
 # new key agg_kmv_sliding_window (report's normalization/dedup-
-# summary twin pipeline_dedup_corpus stays in this window). THOSE
-# SIXTEEN deferred keys MUST lead r10's window. Exactly 50. Max
-# evidence age after this round: deferred 16 = r6 evidence =
-# 3 rounds at r9; everything else <= 3 rounds.
+# summary twin pipeline_dedup_corpus stays in this window); and
+# data_profile, displaced by the tenth new key stream_exec_beaconing
+# (profile's summary-stats family twins agg_stats_moments +
+# histogram_width_bucket stay in this window). THOSE SEVENTEEN
+# deferred keys MUST lead r10's window. Exactly 50. Max evidence age
+# after this round: deferred 17 = r6 evidence = 3 rounds at r9;
+# everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 9 new keys (never driver-checked) ---
+    # --- 10 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -115,6 +120,7 @@ DRIVER_WINDOW: list[str] = [
     "events_impossible_travel",
     "stream_exec_first_seen",
     "agg_kmv_sliding_window",
+    "stream_exec_beaconing",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -132,7 +138,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 26 of the 42 r6-evidence keys ---
+    # --- 25 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_bitwise_bool",
     "agg_stats_moments",
@@ -141,7 +147,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_split",
     "corpus_stratified_sample",
     "corpus_tfidf",
-    "data_profile",
     "dedup_keeper_corpus",
     "dedup_minhash",
     "histogram_width_bucket",

@@ -318,3 +318,110 @@ def rate_limited(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+BEACON_SCHEMA = (
+    "user_id long, event_type string, event_id long, "
+    "n_gaps long, period_s double, is_beacon boolean"
+)
+_BEACON_STATE_SCHEMA = "last_us long, n long, sd long, sd2 long"
+
+
+def beacon_scores(
+    events: DataFrame, min_gaps: int, cv2_num: int, cv2_den: int
+) -> DataFrame:
+    """Streaming beaconing detector — the real-time form of
+    queries/security.py::events_beaconing: per (user_id, event_type)
+    key, maintain the gap-sequence power sums (n, Σd, Σd²) plus the
+    previous timestamp, and emit a verdict row for EVERY event that
+    completes a gap once the key has ≥ min_gaps gaps — alerts fire
+    as the callbacks arrive instead of at end-of-day. The batch key
+    is the offline audit; the oracle for the online form is the
+    PREFIX version of the same stats (running window sums), which
+    this kernel reproduces exactly: gaps are integer floor-seconds,
+    the CV² test is the same cross-multiplied integer inequality,
+    and period_s = sd/n is a single exact-int division (Python's
+    correctly-rounded true division == CAST(sd AS DOUBLE)/n for
+    sd < 2^53).
+
+    State is four int64s per key. Σd² stores in an int64 state slot:
+    that bounds per-key span²·n at ~9.2e18 (a key would need e.g. a
+    30-year gap squared times ten to overflow) — the batch twin's
+    DECIMAL(38,0) route is the audit path without that bound; a
+    deployment needing it online splits sd2 into hi/lo longs.
+
+    TIME-ORDERED-BATCH ASSUMPTION (same contract as rate_limited,
+    ADVICE r8): each gap is measured against the key's previous
+    event IN ARRIVAL ORDER — batches must be non-decreasing in event
+    time per key for exact oracle equivalence, which holds for the
+    single availableNow drain the registered key runs. A genuinely
+    late event would contribute one wrong gap, perturbing the stats
+    (not silently dropping data). Chunks are materialized
+    concat-then-sort like rate_limited (a hot key's microbatch
+    arrives as multiple Arrow chunks in no particular order)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_us, n, sd, sd2 = (int(x) for x in state.get)
+        else:
+            last_us, n, sd, sd2 = -1, 0, 0, 0
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((last_us, n, sd, sd2))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        rows = []
+        for eid, t in zip(pdf["event_id"], pdf["us"]):
+            t = int(t)
+            if last_us >= 0:
+                d = (t - last_us) // 1_000_000
+                n += 1
+                sd += d
+                sd2 += d * d
+                if n >= min_gaps:
+                    beacon = (
+                        cv2_den * (n * sd2 - sd * sd) <= cv2_num * sd * sd
+                    )
+                    rows.append(
+                        (key[0], key[1], int(eid), n, sd / n, beacon)
+                    )
+            last_us = t
+        state.update((last_us, n, sd, sd2))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "event_type",
+                    "event_id",
+                    "n_gaps",
+                    "period_s",
+                    "is_beacon",
+                ],
+            )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=BEACON_SCHEMA,
+            stateStructType=_BEACON_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

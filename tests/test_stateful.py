@@ -157,3 +157,50 @@ def test_rate_limited_hot_key_spans_arrow_chunks(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     # all 10 events are within 100 s of each other → event i sees i+1
     assert got == {i: i + 1 for i in range(10)}, got
+
+
+def test_beacon_scores_state_carries_across_batches(spark, tmp_path):
+    """The online beaconing detector's gap power sums must carry
+    across microbatches: an event in batch 2 reaches the min-gap
+    threshold only by counting batch 1's gaps. Two parquet files +
+    maxFilesPerTrigger=1 force the split; verdicts must equal the
+    prefix stats over the union."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import beacon_scores
+
+    S = 1_000_000
+    # one key, perfect 10 s cadence through the batch boundary, then
+    # a 60 s straggler that breaks the regularity
+    rows1 = [(1, 0), (2, 10 * S), (3, 20 * S), (4, 30 * S)]
+    rows2 = [(5, 40 * S), (6, 100 * S)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    for rows in [rows1, rows2]:
+        pdf = pd.DataFrame(
+            [(e, 7, "beacon", pd.Timestamp(t, unit="us")) for e, t in rows],
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"bs_{uuid.uuid4().hex[:8]}"
+    _drain(beacon_scores(stream, min_gaps=3, cv2_num=1, cv2_den=4), name)
+    got = {
+        r["event_id"]: (r["n_gaps"], r["period_s"], r["is_beacon"])
+        for r in spark.table(name).collect()
+    }
+    # eid 4 closes gap 3 (10,10,10): variance 0 -> beacon
+    # eid 5 is batch 2's first event: n=4 REQUIRES batch 1's state
+    # eid 6 adds the 60 s gap: CV^2 > 1/4 -> not a beacon
+    assert got == {
+        4: (3, 10.0, True),
+        5: (4, 10.0, True),
+        6: (5, 20.0, False),
+    }
