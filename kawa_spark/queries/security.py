@@ -647,10 +647,10 @@ def first_seen_curve(p: DataFrame) -> DataFrame:
 # consecutive-event pairs at every test SF.
 HOP_WINDOW_US = SESSION_GAP_US
 
-
-@register(
-    "events_impossible_travel",
-    oracle=f"""
+# Shared verbatim by this batch key and the online twin
+# (streaming_mode.py::stream_exec_impossible_travel): the streaming
+# drain + rollup must converge to exactly this matrix.
+IMPOSSIBLE_TRAVEL_SQL = f"""
     WITH ips AS (
       SELECT event_id, user_id, epoch_us(ts) AS ts_us,
              {_IP_EXPR_SQL} AS ip
@@ -678,7 +678,12 @@ HOP_WINDOW_US = SESSION_GAP_US
     WHERE prev_net IS NOT NULL AND prev_net <> net
       AND d_us <= {HOP_WINDOW_US}
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "events_impossible_travel",
+    oracle=IMPOSSIBLE_TRAVEL_SQL,
 )
 def events_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impossible travel — the same actor observed on two DIFFERENT

@@ -546,3 +546,58 @@ def stream_exec_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
+
+
+def _impossible_travel_oracle() -> str:
+    from kawa_spark.queries.security import IMPOSSIBLE_TRAVEL_SQL
+
+    return IMPOSSIBLE_TRAVEL_SQL
+
+
+@register(
+    "stream_exec_impossible_travel", oracle=_impossible_travel_oracle()
+)
+def stream_exec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_impossible_travel's stateful half run ONLINE: each
+    event's address goes through the map-side CIDR longest-prefix
+    match (stateless, stream-compatible — the nets plan rides in as a
+    1-row broadcast), then streaming/stateful.py::net_hops keeps each
+    user's (last_net, last_us) in the state store and emits hop rows
+    the moment a user shows up on a different network inside the
+    window. The drained per-hop rows roll up batch-side to the same
+    net-to-net matrix as the batch key; oracle = the batch key's SQL
+    verbatim (shared IMPOSSIBLE_TRAVEL_SQL constant), so the online
+    path is hash-checked against the offline audit.
+
+    Scale: state is two scalars per user; the streaming exchange is
+    the user_id state partitioning; the post-drain rollup shuffles
+    only surviving hops onto |nets|^2 keys. Same time-ordered-batch
+    contract as the other kernels."""
+    from kawa_spark.queries.security import (
+        CIDR_NETS,
+        HOP_WINDOW_US,
+        longest_prefix_match,
+    )
+    from kawa_spark.streaming.stateful import net_hops
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.lit(167772160)
+            + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
+            % F.lit(16777216)
+        ).alias("ip"),
+    )
+    nets = spark.createDataFrame(
+        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
+        "net string, plen long, lo long, hi long",
+    )
+    m = longest_prefix_match(e, nets).drop("plen", "ip")
+    drained = _drain(net_hops(m, HOP_WINDOW_US), spark)
+    return drained.groupBy("from_net", "to_net").agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("gap_us").alias("min_gap_us"),
+    )

@@ -68,7 +68,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (n_ab/n_a)*(n/n_b) in doubles, oracle mirrored — ADVICE r8).
 # Then ALL 12 remaining r5-evidence keys (the 13 VERDICT r8 committed
 # to, minus except_distinct which moved to the changed tier above).
-# Then SIX more new keys added later in r9 (same never-checked
+# Then SEVEN more new keys added later in r9 (same never-checked
 # tier): events_beaconing (integer-exact CV^2 periodicity test with
 # two planted callback streams), events_first_seen (per-day new-
 # entity emergence + running pair inventory), events_impossible_travel
@@ -78,8 +78,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # agg_kmv_sliding_window (trailing-7-day sketch-union DAU — the
 # windowed COUNT DISTINCT answered from per-day sketches),
 # stream_exec_beaconing (the beacon detector ONLINE — per-event gap
-# power sums in the state store, prefix-window oracle).
-# Then 25 of the 42 r6-evidence keys — all but 17 deferred on family-
+# power sums in the state store, prefix-window oracle),
+# stream_exec_impossible_travel (the hop detector ONLINE — per-user
+# (last_net, last_us) state, batch-matrix oracle shared verbatim).
+# Then 24 of the 42 r6-evidence keys — all but 18 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc (twin percentile_cont in this window),
@@ -103,14 +105,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # summary twin pipeline_dedup_corpus stays in this window); and
 # data_profile, displaced by the tenth new key stream_exec_beaconing
 # (profile's summary-stats family twins agg_stats_moments +
-# histogram_width_bucket stay in this window). THOSE SEVENTEEN
+# histogram_width_bucket stay in this window); and sample_hash,
+# displaced by the eleventh new key stream_exec_impossible_travel
+# (its deterministic-hash-sampling family twins corpus_split +
+# corpus_stratified_sample stay in this window). THOSE EIGHTEEN
 # deferred keys MUST lead r10's window. Exactly 50. Max evidence age
-# after this round: deferred 17 = r6 evidence = 3 rounds at r9;
+# after this round: deferred 18 = r6 evidence = 3 rounds at r9;
 # everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 10 new keys (never driver-checked) ---
+    # --- 11 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -121,6 +126,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_first_seen",
     "agg_kmv_sliding_window",
     "stream_exec_beaconing",
+    "stream_exec_impossible_travel",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -138,7 +144,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 25 of the 42 r6-evidence keys ---
+    # --- 24 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_bitwise_bool",
     "agg_stats_moments",
@@ -156,7 +162,6 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_dedup_corpus",
     "pivot_wide",
     "rollup_multires",
-    "sample_hash",
     "sql_surface",
     "stream_exec_incremental_rollup",
     "stream_exec_session_totals",

@@ -425,3 +425,79 @@ def beacon_scores(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOP_SCHEMA = (
+    "user_id long, event_id long, from_net string, to_net string, "
+    "gap_us long"
+)
+_HOP_STATE_SCHEMA = "last_net string, last_us long"
+
+
+def net_hops(events: DataFrame, window_us: int) -> DataFrame:
+    """Streaming network-hop detector — the stateful half of
+    queries/security.py::events_impossible_travel run ONLINE: per
+    user, remember the last attributed network and timestamp; when an
+    event arrives on a DIFFERENT network within ``window_us`` of the
+    previous one, emit the hop row immediately (the session-hijack
+    alert at arrival time, not at the batch sweep). The caller feeds
+    LPM-attributed rows (user_id, event_id, us, net) — the CIDR match
+    itself is stateless map-side work that needs no state store.
+
+    State is (last_net, last_us) per user — two scalars, O(1)
+    regardless of volume. Inherits the time-ordered-batch contract
+    (rate_limited docstring): hops are measured against the previous
+    event in arrival order; exact for the single availableNow drain
+    and any per-key in-order source. Chunks are materialized
+    concat-then-sort like the other kernels."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        last_net, last_us = state.get if state.exists else (None, -1)
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((last_net, last_us))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        rows = []
+        for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
+            t = int(t)
+            if (
+                last_us >= 0
+                and net != last_net
+                and t - last_us <= window_us
+            ):
+                rows.append(
+                    (key[0], int(eid), last_net, net, t - last_us)
+                )
+            last_net, last_us = net, t
+        state.update((last_net, last_us))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "from_net",
+                    "to_net",
+                    "gap_us",
+                ],
+            )
+
+    return (
+        events.select("user_id", "event_id", "us", "net")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HOP_SCHEMA,
+            stateStructType=_HOP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -204,3 +204,46 @@ def test_beacon_scores_state_carries_across_batches(spark, tmp_path):
         5: (4, 10.0, True),
         6: (5, 20.0, False),
     }
+
+
+def test_net_hops_state_carries_across_batches(spark, tmp_path):
+    """The online hop detector must flag a network change whose two
+    events sit in DIFFERENT microbatches — (last_net, last_us)
+    genuinely carries. Also pins the negative cases: same net within
+    the window, different net outside it."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import net_hops
+
+    M = 1_000_000
+    rows1 = [(1, 1, "net_a", 0), (2, 1, "net_a", 60 * M)]
+    # batch 2: user 1 hops to net_b 120 s after batch 1's last event
+    # (inside the 30 min window -> hop), then net_c 1 h later (outside
+    # -> no hop); user 2's first event can never hop
+    rows2 = [
+        (3, 1, "net_b", 180 * M),
+        (4, 1, "net_c", 3780 * M),
+        (5, 2, "net_a", 200 * M),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, net string, us long"
+    for rows in [rows1, rows2]:
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "net", "us"]
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"nh_{uuid.uuid4().hex[:8]}"
+    _drain(net_hops(stream, 1800 * M), name)
+    got = [
+        (r["user_id"], r["event_id"], r["from_net"], r["to_net"], r["gap_us"])
+        for r in spark.table(name).collect()
+    ]
+    assert got == [(1, 3, "net_a", "net_b", 120 * M)]
