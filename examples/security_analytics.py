@@ -7,7 +7,7 @@ reference exists to shuttle security logs, /root/reference/README.md:
     → debounce            (adjacent-duplicate suppression — the
                            at-least-once ingest cleanup)
     → template extraction (drain-style masking → pattern id)
-    → five detectors over the clean stream:
+    → seven detectors over the clean stream:
         * rate limiter    (trailing-window per-user flood flag)
         * heavy hitters   (top-K users per event type)
         * template drift  (new-pattern / growth alerting)
@@ -15,6 +15,11 @@ reference exists to shuttle security logs, /root/reference/README.md:
                            anything landing in the quarantine net)
         * session rarity  (r9: sessions whose transition pattern is
                            improbable under the global Markov model)
+        * beaconing       (r9: machine-regular callback cadence; the
+                           planted streams simulate the C2 host so
+                           the detector demonstrably fires)
+        * impossible travel (r9: same actor on two networks inside
+                           the hop window — the net-to-net matrix)
     → one alert relation  (union of detector verdicts, severity-coded)
 
 Every detector calls the SAME core the oracle-verified registry
@@ -53,8 +58,15 @@ from kawa_spark.queries.logs import (
     mask_template,
 )
 from kawa_spark.queries.security import (
+    BEACON_CV2_DEN,
+    BEACON_CV2_NUM,
+    BEACON_MIN_GAPS,
     CIDR_NETS,
+    HOP_WINDOW_US,
+    _planted_beacons,
+    beaconing_stats,
     longest_prefix_match,
+    net_hop_matrix,
     session_rarity_scores,
 )
 
@@ -198,8 +210,66 @@ def rarity_alerts(clean: DataFrame) -> DataFrame:
     )
 
 
+def beacon_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Keys whose inter-arrival cadence is machine-regular
+    (beaconing_stats core — the events_beaconing / stream_exec_
+    beaconing semantics). The deterministic planted callback streams
+    ride along exactly as in the registry key, simulating the C2 host
+    so the detector demonstrably fires on the demo data."""
+    stats = beaconing_stats(
+        clean.select(
+            "user_id", "event_type", F.col("us").alias("ts_us"), "event_id"
+        ).unionByName(_planted_beacons(spark)),
+        min_gaps=BEACON_MIN_GAPS,
+        cv2_num=BEACON_CV2_NUM,
+        cv2_den=BEACON_CV2_DEN,
+    )
+    return stats.filter(F.col("is_beacon")).select(
+        F.lit("beaconing").alias("alert"),
+        F.lit(3).alias("severity"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("/"), F.col("event_type")
+        ).alias("subject"),
+        F.concat(
+            F.lit("period_s="), F.round("period_s", 1).cast("string"),
+            F.lit(" over "), F.col("n_gaps").cast("string"),
+            F.lit(" gaps"),
+        ).alias("detail"),
+    )
+
+
+def travel_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Net-to-net hops inside the hop window (net_hop_matrix core —
+    the events_impossible_travel / stream_exec_impossible_travel
+    semantics) over the debounced stream's attributed addresses."""
+    nets = spark.createDataFrame(
+        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
+        "net string, plen long, lo long, hi long",
+    )
+    attributed = longest_prefix_match(
+        clean.select(
+            "user_id", "event_id", F.col("us").alias("ts_us"), "ip"
+        ),
+        nets,
+    ).drop("plen", "ip")
+    matrix = net_hop_matrix(attributed, HOP_WINDOW_US)
+    return matrix.select(
+        F.lit("impossible_travel").alias("alert"),
+        F.lit(3).alias("severity"),
+        F.concat(
+            F.col("from_net"), F.lit(" -> "), F.col("to_net")
+        ).alias("subject"),
+        F.concat(
+            F.lit("n_hops="), F.col("n_hops").cast("string"),
+            F.lit(" users="), F.col("n_users").cast("string"),
+            F.lit(" min_gap_s="),
+            (F.col("min_gap_us") / 1_000_000).cast("long").cast("string"),
+        ).alias("detail"),
+    )
+
+
 def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline: one cleaned stream, five detectors,
+    """The composed pipeline: one cleaned stream, seven detectors,
     one severity-ordered alert table. No persist(): the detectors'
     plans share the debounce subtree byte-identically, so AQE
     exchange reuse serves the shared scan+shuffle from shuffle files
@@ -212,6 +282,8 @@ def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(drift_alerts(clean))
         .unionByName(net_watch_alerts(spark, clean))
         .unionByName(rarity_alerts(clean))
+        .unionByName(beacon_alerts(spark, clean))
+        .unionByName(travel_alerts(spark, clean))
     )
     return alerts.orderBy(F.col("severity").desc(), "alert", "subject", "detail")
 

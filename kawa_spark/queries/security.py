@@ -719,8 +719,16 @@ def events_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net string, plen long, lo long, hi long",
     )
     m = longest_prefix_match(e, nets).drop("plen", "ip")
+    return net_hop_matrix(m, HOP_WINDOW_US)
+
+
+def net_hop_matrix(attributed: DataFrame, window_us: int) -> DataFrame:
+    """Hop-matrix core over any LPM-attributed frame (user_id,
+    event_id, ts_us, net) — events_impossible_travel binds it to the
+    events table; the example pipeline reuses it over the debounced
+    stream so a predicate fix here flows everywhere."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    seq = m.select(
+    seq = attributed.select(
         "user_id",
         "net",
         F.lag("net").over(w).alias("prev_net"),
@@ -729,7 +737,7 @@ def events_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops = seq.filter(
         F.col("prev_net").isNotNull()
         & (F.col("prev_net") != F.col("net"))
-        & (F.col("d_us") <= HOP_WINDOW_US)
+        & (F.col("d_us") <= window_us)
     )
     return hops.groupBy(
         F.col("prev_net").alias("from_net"), F.col("net").alias("to_net")

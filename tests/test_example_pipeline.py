@@ -134,3 +134,15 @@ def test_security_analytics_composes(spark):
     for r in alerts:
         if r["alert"] == "improbable_session":
             assert "#" in r["subject"]
+    # late-r9 detectors: the planted callback streams guarantee
+    # beaconing fires (both plant keys), and the dense synthetic
+    # per-user stream guarantees net hops inside the window
+    beacons = [r for r in alerts if r["alert"] == "beaconing"]
+    assert {r["subject"] for r in beacons} >= {
+        "9900001/beacon",
+        "9900002/beacon",
+    }
+    assert "impossible_travel" in kinds
+    for r in alerts:
+        if r["alert"] == "impossible_travel":
+            assert " -> " in r["subject"]
