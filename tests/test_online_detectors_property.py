@@ -1,0 +1,187 @@
+"""Property-based cross-checks of the two late-r9 online kernels
+(streaming/stateful.beacon_scores, net_hops) against brute-force
+Python references on random event sets with RANDOM microbatch splits.
+Both kernels process in global (us, event_id) order when batches are
+time-ordered (the documented contract), so the split point may land
+anywhere on the globally sorted list — including inside a timestamp
+tie — and the online result must still equal the batch prefix form.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kawa_spark.streaming.stateful import beacon_scores, net_hops
+
+MIN_GAPS = 3
+CV2_NUM, CV2_DEN = 1, 4
+S = 1_000_000
+HOP_W = 10 * S
+
+
+def _beacon_ref(rows):
+    """event_id → (n_gaps, period_s, is_beacon) for events past the
+    threshold, from the prefix gap power sums in (us, eid) order."""
+    out = {}
+    by_key: dict[tuple, list] = {}
+    for eid, u, typ, us in sorted(rows, key=lambda r: (r[3], r[0])):
+        by_key.setdefault((u, typ), []).append((eid, us))
+    for evs in by_key.values():
+        last, n, sd, sd2 = -1, 0, 0, 0
+        for eid, us in evs:
+            if last >= 0:
+                d = (us - last) // S
+                n += 1
+                sd += d
+                sd2 += d * d
+                if n >= MIN_GAPS:
+                    flag = CV2_DEN * (n * sd2 - sd * sd) <= CV2_NUM * sd * sd
+                    out[eid] = (n, sd / n, flag)
+            last = us
+    return out
+
+
+def _hops_ref(rows):
+    """event_id → (from_net, to_net, gap_us) for net changes within
+    the window, in (us, eid) order per user."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for eid, u, net, us in sorted(rows, key=lambda r: (r[3], r[0])):
+        by_user.setdefault(u, []).append((eid, net, us))
+    for evs in by_user.values():
+        last_net, last_us = None, -1
+        for eid, net, us in evs:
+            if last_us >= 0 and net != last_net and us - last_us <= HOP_W:
+                out[eid] = (last_net, net, us - last_us)
+            last_net, last_us = net, us
+    return out
+
+
+@st.composite
+def beacon_batches(draw):
+    rows = []
+    eid = 0
+    for u in range(draw(st.integers(1, 2))):
+        for typ in ["a", "b"][: draw(st.integers(1, 2))]:
+            n = draw(st.integers(1, 12))
+            t = 0
+            for _ in range(n):
+                # regular 300 s cadence, jittered cadence, ragged
+                # gaps, sub-second gaps that floor to 0
+                t += draw(
+                    st.sampled_from(
+                        [300 * S, 300 * S + 7, 290 * S, 40 * S, 999_999, 0]
+                    )
+                )
+                rows.append((eid, u, typ, t))
+                eid += 1
+    rows.sort(key=lambda r: (r[3], r[0]))
+    cut = draw(st.integers(0, len(rows)))
+    return rows, cut
+
+
+@st.composite
+def hop_batches(draw):
+    rows = []
+    eid = 0
+    for u in range(draw(st.integers(1, 3))):
+        n = draw(st.integers(1, 15))
+        t = 0
+        for _ in range(n):
+            t += draw(
+                st.sampled_from([0, 1, HOP_W // 2, HOP_W, HOP_W + 1, 5 * HOP_W])
+            )
+            rows.append(
+                (eid, u, draw(st.sampled_from(["na", "nb", "nc"])), t)
+            )
+            eid += 1
+    rows.sort(key=lambda r: (r[3], r[0]))
+    cut = draw(st.integers(0, len(rows)))
+    return rows, cut
+
+
+def _drain_batches(spark, src, schema, batches, build, name):
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.table(name).collect()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=beacon_batches())
+def test_beacon_scores_matches_bruteforce(spark, case, tmp_path_factory):
+    rows, cut = case
+    src = tmp_path_factory.mktemp("bs_src")
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    batches = [
+        pd.DataFrame(
+            [(e, u, ty, pd.Timestamp(t, unit="us")) for e, u, ty, t in b],
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        for b in (rows[:cut], rows[cut:])
+        if b
+    ]
+    got = {
+        r["event_id"]: (r["n_gaps"], r["period_s"], r["is_beacon"])
+        for r in _drain_batches(
+            spark,
+            src,
+            schema,
+            batches,
+            lambda s: beacon_scores(s, MIN_GAPS, CV2_NUM, CV2_DEN),
+            f"bsp_{uuid.uuid4().hex[:8]}",
+        )
+    }
+    assert got == _beacon_ref(rows), (rows, cut)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=hop_batches())
+def test_net_hops_matches_bruteforce(spark, case, tmp_path_factory):
+    rows, cut = case
+    src = tmp_path_factory.mktemp("nh_src")
+    schema = "event_id long, user_id long, net string, us long"
+    batches = [
+        pd.DataFrame(b, columns=["event_id", "user_id", "net", "us"])
+        for b in (rows[:cut], rows[cut:])
+        if b
+    ]
+    got = {
+        r["event_id"]: (r["from_net"], r["to_net"], r["gap_us"])
+        for r in _drain_batches(
+            spark,
+            src,
+            schema,
+            batches,
+            lambda s: net_hops(s, HOP_W),
+            f"nhp_{uuid.uuid4().hex[:8]}",
+        )
+    }
+    assert got == _hops_ref(rows), (rows, cut)
