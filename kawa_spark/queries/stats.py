@@ -387,7 +387,10 @@ def kmv_distinct(
             F.col(value_col).alias("user_id"),
         )
         .distinct()
-        .persist()  # feeds the sketch AND the exact-count branch
+        # feeds the sketch AND the exact-count branch (and the coarse
+        # N-hat in prefilter mode): shared via runtime AQE exchange
+        # reuse, NOT persist() — a registry-sweep-long cache leak was
+        # the ADVICE r8 class fixed for cooccurrence_lift
     )
     u = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
@@ -493,7 +496,8 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .select("event_type", "user_id")
         .distinct()
-        .persist()
+        # sketch + exact branches share the distinct via AQE exchange
+        # reuse (no persist — the ADVICE r8 cache-leak class)
     )
     u = (
         F.conv(
