@@ -112,3 +112,138 @@ def test_scanner_printer_roundtrip_survives_restart(spark, tmp_path):
         .collect()
     ]
     assert sorted(got) == sorted(first + second)
+
+
+def test_beacon_scores_survives_restart(spark, tmp_path):
+    """The online beaconing detector's gap power sums resume from the
+    checkpointed state store: a verdict emitted after restart counts
+    gaps from BEFORE the restart."""
+    from kawa_spark.streaming.stateful import beacon_scores
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    collected: dict[int, tuple] = {}
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value",
+                "event_id long, user_id long, event_type string, ts timestamp",
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            beacon_scores(parsed, min_gaps=2, cv2_num=1, cv2_den=4)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.update(
+                    {
+                        r["event_id"]: (
+                            r["n_gaps"], r["period_s"], r["is_beacon"]
+                        )
+                        for r in df.collect()
+                    }
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json
+
+    def emit(eid, ts):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "user_id": 7,
+                        "event_type": "beacon",
+                        "ts": ts,
+                    }
+                )
+                + "\n"
+            )
+
+    emit(1, "2024-01-01 10:00:00")
+    emit(2, "2024-01-01 10:00:10")
+    emit(3, "2024-01-01 10:00:20")
+    drain()
+    assert collected == {3: (2, 10.0, True)}
+
+    # restart: gap 3 (10 s again, still regular), then a 60 s break
+    emit(4, "2024-01-01 10:00:30")
+    emit(5, "2024-01-01 10:01:30")
+    drain()
+    assert collected[4] == (3, 10.0, True)  # n=3 NEEDS pre-restart state
+    n, period, flag = collected[5]
+    assert (n, period) == (4, 22.5) and not flag  # 10,10,10,60
+
+
+def test_net_hops_survives_restart(spark, tmp_path):
+    """The online hop detector's (last_net, last_us) resumes from the
+    checkpoint: a hop whose two events straddle the RESTART is still
+    flagged."""
+    from kawa_spark.streaming.stateful import net_hops
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    collected: dict[int, tuple] = {}
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value", "event_id long, user_id long, net string, us long"
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            net_hops(parsed, 1800 * 1_000_000)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.update(
+                    {
+                        r["event_id"]: (
+                            r["from_net"], r["to_net"], r["gap_us"]
+                        )
+                        for r in df.collect()
+                    }
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json
+
+    def emit(eid, net, us):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "user_id": 7, "net": net, "us": us}
+                )
+                + "\n"
+            )
+
+    M = 1_000_000
+    emit(1, "net_a", 0)
+    emit(2, "net_a", 60 * M)
+    drain()
+    assert collected == {}
+
+    # restart: the hop's FROM side lives only in the checkpoint
+    emit(3, "net_b", 180 * M)
+    drain()
+    assert collected == {3: ("net_a", "net_b", 120 * M)}
