@@ -355,8 +355,11 @@ def beacon_scores(
     event IN ARRIVAL ORDER — batches must be non-decreasing in event
     time per key for exact oracle equivalence, which holds for the
     single availableNow drain the registered key runs. A genuinely
-    late event would contribute one wrong gap, perturbing the stats
-    (not silently dropping data). Chunks are materialized
+    late event (timestamp behind the key's high-water mark) is
+    EXCLUDED from the gap sequence and does not move the mark — a
+    negative "gap" folded into Σd/Σd² would corrupt the key's stats
+    permanently, which is strictly worse than missing one gap. Inside
+    the contract the guard never fires. Chunks are materialized
     concat-then-sort like rate_limited (a hot key's microbatch
     arrives as multiple Arrow chunks in no particular order)."""
 
@@ -380,6 +383,8 @@ def beacon_scores(
         rows = []
         for eid, t in zip(pdf["event_id"], pdf["us"]):
             t = int(t)
+            if t < last_us:
+                continue  # late row: see docstring guard
             if last_us >= 0:
                 d = (t - last_us) // 1_000_000
                 n += 1
@@ -448,8 +453,12 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
     regardless of volume. Inherits the time-ordered-batch contract
     (rate_limited docstring): hops are measured against the previous
     event in arrival order; exact for the single availableNow drain
-    and any per-key in-order source. Chunks are materialized
-    concat-then-sort like the other kernels."""
+    and any per-key in-order source. A genuinely late event
+    (timestamp behind the key's high-water mark) is skipped and does
+    not move the mark — without the guard its negative "gap" would
+    trivially satisfy ``<= window_us`` and emit a spurious hop.
+    Inside the contract the guard never fires. Chunks are
+    materialized concat-then-sort like the other kernels."""
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -468,6 +477,8 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
         rows = []
         for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
             t = int(t)
+            if t < last_us:
+                continue  # late row: see docstring guard
             if (
                 last_us >= 0
                 and net != last_net

@@ -247,3 +247,65 @@ def test_net_hops_state_carries_across_batches(spark, tmp_path):
         for r in spark.table(name).collect()
     ]
     assert got == [(1, 3, "net_a", "net_b", 120 * M)]
+
+
+def test_late_rows_do_not_corrupt_gap_kernels(spark, tmp_path):
+    """Outside the time-ordered-batch contract, a late event
+    (timestamp behind the key's high-water mark in a LATER microbatch)
+    must be excluded: in beacon_scores a negative gap folded into
+    the power sums would corrupt the key's stats permanently, and in
+    net_hops a negative gap trivially satisfies <= window and would
+    emit a spurious hop. Both kernels skip the row and keep their
+    high-water mark."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import beacon_scores, net_hops
+
+    S = 1_000_000
+    src = tmp_path / "b"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    rows1 = [(1, 0), (2, 10 * S), (3, 20 * S)]
+    rows2 = [(4, 5 * S), (5, 30 * S)]  # eid 4 is LATE (behind 20 s)
+    for rows in [rows1, rows2]:
+        pdf = pd.DataFrame(
+            [(e, 7, "beacon", pd.Timestamp(t, unit="us")) for e, t in rows],
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"lb_{uuid.uuid4().hex[:8]}"
+    _drain(beacon_scores(stream, min_gaps=2, cv2_num=1, cv2_den=4), name)
+    got = {
+        r["event_id"]: (r["n_gaps"], r["period_s"], r["is_beacon"])
+        for r in spark.table(name).collect()
+    }
+    # the late eid 4 is absent AND eid 5's stats see gaps 10,10,10
+    # (20 s -> 30 s), untouched by the late row
+    assert got == {3: (2, 10.0, True), 5: (3, 10.0, True)}
+
+    src2 = tmp_path / "h"
+    src2.mkdir()
+    schema2 = "event_id long, user_id long, net string, us long"
+    hrows1 = [(1, 7, "net_a", 0), (2, 7, "net_a", 60 * S)]
+    hrows2 = [(3, 7, "net_b", 30 * S),  # LATE + different net
+              (4, 7, "net_a", 90 * S)]  # same net as the mark: no hop
+    for rows in [hrows1, hrows2]:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "user_id", "net", "us"]),
+            schema2,
+        ).coalesce(1).write.mode("append").parquet(str(src2))
+    stream2 = (
+        spark.readStream.schema(schema2)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src2))
+    )
+    name2 = f"lh_{uuid.uuid4().hex[:8]}"
+    _drain(net_hops(stream2, 1800 * S), name2)
+    assert spark.table(name2).count() == 0
