@@ -61,12 +61,13 @@ from kawa_spark.queries.security import (
     BEACON_CV2_DEN,
     BEACON_CV2_NUM,
     BEACON_MIN_GAPS,
-    CIDR_NETS,
     HOP_WINDOW_US,
     _planted_beacons,
     beaconing_stats,
+    ip_col,
     longest_prefix_match,
     net_hop_matrix,
+    nets_df,
     session_rarity_scores,
 )
 
@@ -92,12 +93,8 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             mask_template(msg).alias("template"),
             # deterministic synthetic source address (the testdata has
-            # no ip column) — same derivation logs_cidr_enrich uses
-            (
-                F.lit(167772160)
-                + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
-                % F.lit(16777216)
-            ).alias("ip"),
+            # no ip column) — the shared logs_cidr_enrich derivation
+            ip_col(),
         )
     )
 
@@ -161,12 +158,8 @@ def drift_alerts(clean: DataFrame) -> DataFrame:
 def net_watch_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
     """Events attributed (longest-prefix) to the quarantine net — a
     host talking from a quarantined range is a per-se alert."""
-    nets = spark.createDataFrame(
-        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
-        "net string, plen long, lo long, hi long",
-    )
     hits = (
-        longest_prefix_match(clean.select("user_id", "ip"), nets)
+        longest_prefix_match(clean.select("user_id", "ip"), nets_df(spark))
         .filter(F.col("net") == "quarantine")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -242,15 +235,11 @@ def travel_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
     """Net-to-net hops inside the hop window (net_hop_matrix core —
     the events_impossible_travel / stream_exec_impossible_travel
     semantics) over the debounced stream's attributed addresses."""
-    nets = spark.createDataFrame(
-        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
-        "net string, plen long, lo long, hi long",
-    )
     attributed = longest_prefix_match(
         clean.select(
             "user_id", "event_id", F.col("us").alias("ts_us"), "ip"
         ),
-        nets,
+        nets_df(spark),
     ).drop("plen", "ip")
     matrix = net_hop_matrix(attributed, HOP_WINDOW_US)
     return matrix.select(

@@ -67,6 +67,27 @@ CIDR_NETS: list[tuple[str, int, int, int]] = [
 _IP_EXPR_SQL = "167772160 + ((event_id % 16777216) * 2654435761) % 16777216"
 
 
+def ip_col():
+    """The Spark twin of ``_IP_EXPR_SQL`` — the ONE place the
+    synthetic-address derivation lives (code review: the congruence-
+    reduction overflow fix had to be applied to four hand copies;
+    never again). Requires an ``event_id`` column in scope."""
+    return (
+        F.lit(167772160)
+        + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
+        % F.lit(16777216)
+    ).alias("ip")
+
+
+def nets_df(spark: SparkSession) -> DataFrame:
+    """The CIDR plan as a DataFrame — the Spark twin of
+    ``_nets_values_sql()``, single point for schema + contents."""
+    return spark.createDataFrame(
+        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
+        "net string, plen long, lo long, hi long",
+    )
+
+
 def _nets_values_sql() -> str:
     return ", ".join(
         f"('{n}', {p}, {lo}, {hi})" for n, p, lo, hi in CIDR_NETS
@@ -127,20 +148,9 @@ def logs_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped (oracle's inner join); here the plan covers the
     derived space, so none are.
     """
-    e = table(spark, sf_dir, "events").select(
-        "user_id",
-        (
-            F.lit(167772160)
-            + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
-            % F.lit(16777216)
-        ).alias("ip"),
-    )
-    nets = spark.createDataFrame(
-        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
-        "net string, plen long, lo long, hi long",
-    )
+    e = table(spark, sf_dir, "events").select("user_id", ip_col())
     return (
-        longest_prefix_match(e, nets)
+        longest_prefix_match(e, nets_df(spark))
         .groupBy("net", "plen")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -566,9 +576,10 @@ def beaconing_stats(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_first_seen",
-    oracle=f"""
+# Shared verbatim by this batch key and the online twin
+# (streaming_mode.py::stream_exec_first_seen) — the shared-constant
+# discipline of PLANTS_SQL / IMPOSSIBLE_TRAVEL_SQL (code review).
+FIRST_SEEN_SQL = f"""
     WITH p AS (
       SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
       FROM events GROUP BY 1, 2
@@ -583,7 +594,12 @@ def beaconing_stats(
              ROWS UNBOUNDED PRECEDING
            ) AS BIGINT) AS cum_new
     FROM c
-    """,
+    """
+
+
+@register(
+    "events_first_seen",
+    oracle=FIRST_SEEN_SQL,
 )
 def events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-entity detection — "is this the FIRST time this actor has
@@ -708,17 +724,9 @@ def events_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
-        (
-            F.lit(167772160)
-            + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
-            % F.lit(16777216)
-        ).alias("ip"),
+        ip_col(),
     )
-    nets = spark.createDataFrame(
-        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
-        "net string, plen long, lo long, hi long",
-    )
-    m = longest_prefix_match(e, nets).drop("plen", "ip")
+    m = longest_prefix_match(e, nets_df(spark)).drop("plen", "ip")
     return net_hop_matrix(m, HOP_WINDOW_US)
 
 

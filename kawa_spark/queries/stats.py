@@ -294,6 +294,28 @@ KMV_K = 64
 _KMV_DENOM = float(1 << 60)
 
 
+def _kmv_u(col: str = "user_id"):
+    """The normalized KMV hash u in (0, 1] — the ONE Spark-side copy
+    (code review: three verbatim copies of the most drift-sensitive
+    expression in the family). Must stay bit-identical to
+    ``_kmv_u_sql``; both read the first 15 md5 hex chars as an
+    integer over 2^60."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(_KMV_DENOM)
+    )
+
+
+def _kmv_u_sql(col: str = "user_id") -> str:
+    """DuckDB twin of ``_kmv_u`` for oracle interpolation."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT AS DOUBLE) / {_KMV_DENOM}"
+    )
+
+
 @register(
     "agg_kmv_distinct",
     oracle=f"""
@@ -301,8 +323,7 @@ _KMV_DENOM = float(1 << 60)
       SELECT DISTINCT event_type, user_id FROM events
     ), hashed AS (
       SELECT event_type, user_id,
-             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                  ::BIGINT AS DOUBLE) / {_KMV_DENOM} AS u
+             {_kmv_u_sql()} AS u
       FROM dv
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (
@@ -392,12 +413,7 @@ def kmv_distinct(
         # reuse, NOT persist() — a registry-sweep-long cache leak was
         # the ADVICE r8 class fixed for cooccurrence_lift
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .cast("double")
-        / F.lit(_KMV_DENOM)
-    )
+    u = _kmv_u()
     from pyspark.sql.window import Window
 
     hashed = dv.select("event_type", "user_id", u.alias("u"))
@@ -445,8 +461,7 @@ def kmv_distinct(
       SELECT DISTINCT event_type, user_id FROM events
     ), hashed AS (
       SELECT event_type, user_id,
-             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                  ::BIGINT AS DOUBLE) / {_KMV_DENOM} AS u
+             {_kmv_u_sql()} AS u
       FROM dv
     ), per_group AS (
       SELECT event_type, user_id, u, ROW_NUMBER() OVER (
@@ -499,14 +514,7 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sketch + exact branches share the distinct via AQE exchange
         # reuse (no persist — the ADVICE r8 cache-leak class)
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-        )
-        .cast("long")
-        .cast("double")
-        / F.lit(_KMV_DENOM)
-    )
+    u = _kmv_u()
     from pyspark.sql.window import Window
 
     hashed = dv.select("event_type", "user_id", u.alias("u"))
@@ -551,8 +559,7 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), hashed AS (
       SELECT day, user_id,
-             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                  ::BIGINT AS DOUBLE) / {_KMV_DENOM} AS u
+             {_kmv_u_sql()} AS u
       FROM dv
     ), per_day AS (
       SELECT day, user_id, u, ROW_NUMBER() OVER (
@@ -626,14 +633,7 @@ def agg_kmv_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-        )
-        .cast("long")
-        .cast("double")
-        / F.lit(_KMV_DENOM)
-    )
+    u = _kmv_u()
     days = dv.select("day").distinct()
     w_day = Window.partitionBy("day").orderBy("u", "user_id")
     sketch_rows = (

@@ -403,24 +403,15 @@ def stream_exec_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _first_seen_oracle() -> str:
+    from kawa_spark.queries.security import FIRST_SEEN_SQL
+
+    return FIRST_SEEN_SQL
+
+
 @register(
     "stream_exec_first_seen",
-    oracle=f"""
-    WITH p AS (
-      SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
-      FROM events GROUP BY 1, 2
-    ), c AS (
-      SELECT event_type, first_us // {86_400 * 1_000_000} AS day,
-             COUNT(*) AS n_new
-      FROM p GROUP BY 1, 2
-    )
-    SELECT event_type, day, CAST(n_new AS BIGINT) AS n_new,
-           CAST(SUM(n_new) OVER (
-             PARTITION BY event_type ORDER BY day
-             ROWS UNBOUNDED PRECEDING
-           ) AS BIGINT) AS cum_new
-    FROM c
-    """,
+    oracle=_first_seen_oracle(),
 )
 def stream_exec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_first_seen's pair inventory maintained ONLINE: the
@@ -452,6 +443,23 @@ def stream_exec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see the store-count note in stream_exec_tumbling).
     p = _drain(agg, spark, mode="complete")
     return first_seen_curve(p)
+
+
+_PLANTS_DIR: str | None = None
+
+
+def _beacon_plants_dir() -> str:
+    """Per-process scratch dir for the planted streams (code review:
+    a fixed shared path collides under concurrent sessions — one
+    run's overwrite deletes part files another run's file stream is
+    reading). Serial overwrites within a process are safe; the dir is
+    ~KBs and dies with /tmp."""
+    global _PLANTS_DIR
+    if _PLANTS_DIR is None:
+        import tempfile
+
+        _PLANTS_DIR = tempfile.mkdtemp(prefix="kawa_beacon_plants_")
+    return _PLANTS_DIR
 
 
 def _beacon_oracle() -> str:
@@ -523,7 +531,7 @@ def stream_exec_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = stream_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts"
     )
-    plants_dir = "/tmp/kawa_spark_beacon_plants"
+    plants_dir = _beacon_plants_dir()
     _planted_beacons(spark).select(
         "user_id",
         "event_type",
@@ -574,9 +582,10 @@ def stream_exec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     only surviving hops onto |nets|^2 keys. Same time-ordered-batch
     contract as the other kernels."""
     from kawa_spark.queries.security import (
-        CIDR_NETS,
         HOP_WINDOW_US,
+        ip_col,
         longest_prefix_match,
+        nets_df,
     )
     from kawa_spark.streaming.stateful import net_hops
 
@@ -584,17 +593,9 @@ def stream_exec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("us"),
-        (
-            F.lit(167772160)
-            + ((F.col("event_id") % F.lit(16777216)) * F.lit(2654435761))
-            % F.lit(16777216)
-        ).alias("ip"),
+        ip_col(),
     )
-    nets = spark.createDataFrame(
-        [(n, p, lo, hi) for n, p, lo, hi in CIDR_NETS],
-        "net string, plen long, lo long, hi long",
-    )
-    m = longest_prefix_match(e, nets).drop("plen", "ip")
+    m = longest_prefix_match(e, nets_df(spark)).drop("plen", "ip")
     drained = _drain(net_hops(m, HOP_WINDOW_US), spark)
     return drained.groupBy("from_net", "to_net").agg(
         F.count(F.lit(1)).alias("n_hops"),

@@ -366,13 +366,18 @@ def beacon_scores(
     def fn(key, pdfs, state):
         import pandas as pd
 
-        if state.exists:
+        # initialization rides on state.exists, NOT a timestamp
+        # sentinel (code review: a -1 sentinel misclassifies
+        # pre-epoch events as late and drops them)
+        has_last = state.exists
+        if has_last:
             last_us, n, sd, sd2 = (int(x) for x in state.get)
         else:
-            last_us, n, sd, sd2 = -1, 0, 0, 0
+            last_us, n, sd, sd2 = 0, 0, 0, 0
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
-            state.update((last_us, n, sd, sd2))
+            if has_last:
+                state.update((last_us, n, sd, sd2))
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -383,9 +388,9 @@ def beacon_scores(
         rows = []
         for eid, t in zip(pdf["event_id"], pdf["us"]):
             t = int(t)
-            if t < last_us:
+            if has_last and t < last_us:
                 continue  # late row: see docstring guard
-            if last_us >= 0:
+            if has_last:
                 d = (t - last_us) // 1_000_000
                 n += 1
                 sd += d
@@ -398,6 +403,7 @@ def beacon_scores(
                         (key[0], key[1], int(eid), n, sd / n, beacon)
                     )
             last_us = t
+            has_last = True
         state.update((last_us, n, sd, sd2))
         if rows:
             yield pd.DataFrame(
@@ -463,10 +469,15 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
     def fn(key, pdfs, state):
         import pandas as pd
 
-        last_net, last_us = state.get if state.exists else (None, -1)
+        # initialization rides on state.exists, NOT a timestamp
+        # sentinel (code review: a -1 sentinel misclassifies
+        # pre-epoch events as late and drops them)
+        has_last = state.exists
+        last_net, last_us = state.get if has_last else (None, 0)
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
-            state.update((last_net, last_us))
+            if has_last:
+                state.update((last_net, last_us))
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -477,10 +488,10 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
         rows = []
         for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
             t = int(t)
-            if t < last_us:
+            if has_last and t < last_us:
                 continue  # late row: see docstring guard
             if (
-                last_us >= 0
+                has_last
                 and net != last_net
                 and t - last_us <= window_us
             ):
@@ -488,6 +499,7 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
                     (key[0], int(eid), last_net, net, t - last_us)
                 )
             last_net, last_us = net, t
+            has_last = True
         state.update((last_net, last_us))
         if rows:
             yield pd.DataFrame(

@@ -31,9 +31,9 @@ def _beacon_ref(rows):
     for eid, u, typ, us in sorted(rows, key=lambda r: (r[3], r[0])):
         by_key.setdefault((u, typ), []).append((eid, us))
     for evs in by_key.values():
-        last, n, sd, sd2 = -1, 0, 0, 0
+        last, n, sd, sd2 = None, 0, 0, 0
         for eid, us in evs:
-            if last >= 0:
+            if last is not None:
                 d = (us - last) // S
                 n += 1
                 sd += d
@@ -53,9 +53,13 @@ def _hops_ref(rows):
     for eid, u, net, us in sorted(rows, key=lambda r: (r[3], r[0])):
         by_user.setdefault(u, []).append((eid, net, us))
     for evs in by_user.values():
-        last_net, last_us = None, -1
+        last_net, last_us = None, None
         for eid, net, us in evs:
-            if last_us >= 0 and net != last_net and us - last_us <= HOP_W:
+            if (
+                last_us is not None
+                and net != last_net
+                and us - last_us <= HOP_W
+            ):
                 out[eid] = (last_net, net, us - last_us)
             last_net, last_us = net, us
     return out
@@ -68,7 +72,9 @@ def beacon_batches(draw):
     for u in range(draw(st.integers(1, 2))):
         for typ in ["a", "b"][: draw(st.integers(1, 2))]:
             n = draw(st.integers(1, 12))
-            t = 0
+            # pre-epoch starts pin that initialization does not ride
+            # on a timestamp sentinel (code-review fix)
+            t = draw(st.sampled_from([0, -4000 * S]))
             for _ in range(n):
                 # regular 300 s cadence, jittered cadence, ragged
                 # gaps, sub-second gaps that floor to 0
@@ -90,7 +96,7 @@ def hop_batches(draw):
     eid = 0
     for u in range(draw(st.integers(1, 3))):
         n = draw(st.integers(1, 15))
-        t = 0
+        t = draw(st.sampled_from([0, -100 * HOP_W]))
         for _ in range(n):
             t += draw(
                 st.sampled_from([0, 1, HOP_W // 2, HOP_W, HOP_W + 1, 5 * HOP_W])

@@ -500,3 +500,19 @@ def test_kmv_sliding_reuses_distinct_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_kmv_family_never_caches(spark):
+    """The KMV keys' branches share work via plan reuse / optimizer
+    collapse, NOT persist() — pin that the registry-sweep cache leak
+    (ADVICE r8 class) cannot silently return in any of the three,
+    and that agg_kmv_distinct's branches genuinely reuse the distinct
+    exchange (post-execution: AQE reuse is a runtime decision)."""
+    for key in ["agg_kmv_distinct", "agg_kmv_union", "agg_kmv_sliding_window"]:
+        df = registry.QUERIES[key](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryRelation" not in plan, key
+        assert "InMemoryTableScan" not in plan, key
+        if key == "agg_kmv_distinct":
+            assert plan.count("ReusedExchange") >= 1, plan
