@@ -621,8 +621,6 @@ def agg_kmv_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch_rows is KB-scale (<= |days|*7*K rows). The exact trailing
     count is the AUDIT column — its |pairs|*7 fan-out is what the
     sketch path exists to avoid, same posture as the other KMV keys."""
-    from pyspark.sql.window import Window
-
     from kawa_spark.functions.exact import floordiv
     from kawa_spark.queries.events import DAY_US
 
@@ -633,6 +631,18 @@ def agg_kmv_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return kmv_sliding(dv, width=7)
+
+
+def kmv_sliding(dv: DataFrame, width: int) -> DataFrame:
+    """Core sliding sketch-union over any DISTINCT (day, user_id)
+    frame — agg_kmv_sliding_window binds it to events with width=7;
+    the property test (tests/test_kmv_property.py) drives it on
+    random pair sets against an independent Python KMV computed
+    directly over each window's user set (catching fan-out or
+    dedup errors the construction-mirroring oracle cannot)."""
+    from pyspark.sql.window import Window
+
     u = _kmv_u()
     days = dv.select("day").distinct()
     w_day = Window.partitionBy("day").orderBy("u", "user_id")
@@ -642,7 +652,9 @@ def agg_kmv_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
     )
-    week = F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6)))
+    week = F.explode(
+        F.sequence(F.col("day"), F.col("day") + F.lit(width - 1))
+    )
     fanout = (
         sketch_rows.withColumn("target", week)
         .select(F.col("target").alias("day"), "user_id", "u")

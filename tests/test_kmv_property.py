@@ -104,3 +104,66 @@ def test_kmv_prefilter_invariant_on_large_group(spark):
     pre = kmv_distinct(df, "g", "v", prefilter=True).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in pre]
     assert plain[0]["k_seen"] == KMV_K
+
+
+def _sliding_ref(pairs: list[tuple[int, int]], width: int) -> dict:
+    """day → (n_exact, k_seen, estimate, within_tol), computing the
+    KMV DIRECTLY over each observed day's trailing-window user set —
+    independent of the banded fan-out construction under test."""
+    by_day: dict[int, set] = {}
+    for d, v in pairs:
+        by_day.setdefault(d, set()).add(v)
+    out = {}
+    for d in by_day:
+        users = set()
+        for back in range(width):
+            users |= by_day.get(d - back, set())
+        ranked = sorted((_u(v), v) for v in users)[:KMV_K]
+        k_seen = len(ranked)
+        u_k = ranked[-1][0]
+        est = float(k_seen) if k_seen < KMV_K else (KMV_K - 1) / u_k
+        out[d] = (
+            len(users), k_seen, est,
+            abs(est - len(users)) / len(users) <= 0.5,
+        )
+    return out
+
+
+@st.composite
+def day_user_pairs(draw):
+    out = set()
+    n_days = draw(st.integers(1, 10))
+    base_day = draw(st.sampled_from([0, -20, 19720]))
+    for _ in range(n_days):
+        # gaps so some windows DON'T cover all prior days, and
+        # per-day populations straddling K=64
+        d = base_day + draw(st.integers(0, 25))
+        n = draw(st.integers(1, 120))
+        vbase = draw(st.integers(0, 5_000))
+        out |= {(d, vbase + i) for i in range(n)}
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=day_user_pairs(), width=st.sampled_from([1, 3, 7]))
+def test_kmv_sliding_matches_direct_window_kmv(spark, pairs, width):
+    """The banded fan-out (each day's sketch re-attributed to the
+    windows it serves, deduped, re-ranked) must equal a KMV computed
+    directly over each window's exact user set — the union identity
+    end-to-end, bit-identical including the estimate doubles. The
+    oracle mirrors the construction, so only an INDEPENDENT
+    reference can catch a fan-out-range or dedup error."""
+    from kawa_spark.queries.stats import kmv_sliding
+
+    df = spark.createDataFrame(pairs, "day long, user_id long").distinct()
+    got = {
+        r["day"]: (
+            r["n_exact"], r["k_seen"], r["kmv_estimate"], r["within_tol"]
+        )
+        for r in kmv_sliding(df, width=width).collect()
+    }
+    assert got == _sliding_ref(pairs, width), (len(pairs), width)
