@@ -63,3 +63,35 @@ def test_lpm_matches_bruteforce(spark, nets, ip_vals):
         for r in longest_prefix_match(ips_df, nets_df).collect()
     }
     assert got == _ref(ips, nets), (nets, ip_vals)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    nets=cidr_plan(),
+    ip_vals=st.lists(st.integers(0, 255), min_size=1, max_size=30),
+    bucket_bits=st.sampled_from([0, 3, 8]),
+)
+def test_bucketed_lpm_equals_mapside(spark, nets, ip_vals, bucket_bits):
+    """The BGP-scale bucketized equi-join rewrite must equal the
+    map-side broadcast-array form row-for-row — including plans with
+    routes wider than a bucket (plen < bucket_bits, multi-bucket
+    explode) and the degenerate bucket counts 0 (everything in one
+    bucket) and addr_bits (one address per bucket)."""
+    from kawa_spark.queries.security import longest_prefix_match_bucketed
+
+    ips = [(i, v) for i, v in enumerate(ip_vals)]
+    ips_df = spark.createDataFrame(ips, "rid long, ip long")
+    nets_df = spark.createDataFrame(
+        nets, "net string, plen long, lo long, hi long"
+    )
+    got = {
+        r["rid"]: (r["net"], r["plen"])
+        for r in longest_prefix_match_bucketed(
+            ips_df, nets_df, bucket_bits=bucket_bits, addr_bits=8
+        ).collect()
+    }
+    assert got == _ref(ips, nets), (nets, ip_vals, bucket_bits)
