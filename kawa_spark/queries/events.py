@@ -837,17 +837,41 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type totals and the 1-row user count are broadcasts. For an
     UNBOUNDED item vocabulary (true market-basket at 10⁶ SKUs) the
     production guard is frequency pruning first (drop types below
-    min-support — the a-priori property), which composes here as one
-    filter on per_type before the join."""
+    min-support — the a-priori property), implemented as
+    ``cooccurrence_lift(inc, min_support=)`` below (the registered
+    key runs unpruned: the testdata vocabulary is bounded)."""
     inc = (
         table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
     )
+    return cooccurrence_lift(inc)
+
+
+def cooccurrence_lift(inc: DataFrame, min_support: int = 0) -> DataFrame:
+    """Core association miner over a DISTINCT (user_id, event_type)
+    incidence — events_cooccurrence_lift binds it to events.
+
+    ``min_support > 0`` is the unbounded-vocabulary production guard
+    (a-priori property: a pair can never beat the support of its
+    rarest item, so items below min-support cannot appear in any
+    qualifying pair): per_type is filtered FIRST and the incidence
+    semi-joined against the survivors before the user-keyed self-
+    join, bounding the join input by the pruned Σ|types_u|².
+    Support and totals are computed over the FULL incidence (pruning
+    selects items, it does not re-define the corpus), so a surviving
+    pair's numbers equal the unpruned run's — asserted by
+    tests/test_cooccurrence_prune.py."""
     n_users = inc.agg(F.countDistinct("user_id").alias("n"))
     per_type = inc.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
-    a = inc.select("user_id", F.col("event_type").alias("type_a"))
-    b = inc.select("user_id", F.col("event_type").alias("type_b"))
+    kept = inc
+    if min_support > 0:
+        frequent = per_type.filter(F.col("n_t") >= min_support).select(
+            "event_type"
+        )
+        kept = inc.join(F.broadcast(frequent), "event_type")
+    a = kept.select("user_id", F.col("event_type").alias("type_a"))
+    b = kept.select("user_id", F.col("event_type").alias("type_b"))
     pairs = (
         a.join(b, "user_id")
         .filter(F.col("type_a") < F.col("type_b"))
