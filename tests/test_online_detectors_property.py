@@ -2,9 +2,10 @@
 (streaming/stateful.beacon_scores, net_hops) against brute-force
 Python references on random event sets with RANDOM microbatch splits.
 Both kernels process in global (us, event_id) order when batches are
-time-ordered (the documented contract), so the split point may land
-anywhere on the globally sorted list — including inside a timestamp
-tie — and the online result must still equal the batch prefix form.
+time-ordered (the documented contract), so the RANDOM split points
+(up to three microbatches) may land anywhere on the globally sorted
+list — including inside a timestamp tie — and the online result must
+still equal the batch prefix form.
 """
 
 from __future__ import annotations
@@ -86,8 +87,10 @@ def beacon_batches(draw):
                 rows.append((eid, u, typ, t))
                 eid += 1
     rows.sort(key=lambda r: (r[3], r[0]))
-    cut = draw(st.integers(0, len(rows)))
-    return rows, cut
+    cuts = sorted(
+        [draw(st.integers(0, len(rows))), draw(st.integers(0, len(rows)))]
+    )
+    return rows, cuts
 
 
 @st.composite
@@ -106,8 +109,10 @@ def hop_batches(draw):
             )
             eid += 1
     rows.sort(key=lambda r: (r[3], r[0]))
-    cut = draw(st.integers(0, len(rows)))
-    return rows, cut
+    cuts = sorted(
+        [draw(st.integers(0, len(rows))), draw(st.integers(0, len(rows)))]
+    )
+    return rows, cuts
 
 
 def _drain_batches(spark, src, schema, batches, build, name):
@@ -139,7 +144,7 @@ def _drain_batches(spark, src, schema, batches, build, name):
 )
 @given(case=beacon_batches())
 def test_beacon_scores_matches_bruteforce(spark, case, tmp_path_factory):
-    rows, cut = case
+    rows, (c1, c2) = case
     src = tmp_path_factory.mktemp("bs_src")
     schema = "event_id long, user_id long, event_type string, ts timestamp"
     batches = [
@@ -147,7 +152,7 @@ def test_beacon_scores_matches_bruteforce(spark, case, tmp_path_factory):
             [(e, u, ty, pd.Timestamp(t, unit="us")) for e, u, ty, t in b],
             columns=["event_id", "user_id", "event_type", "ts"],
         )
-        for b in (rows[:cut], rows[cut:])
+        for b in (rows[:c1], rows[c1:c2], rows[c2:])
         if b
     ]
     got = {
@@ -161,7 +166,7 @@ def test_beacon_scores_matches_bruteforce(spark, case, tmp_path_factory):
             f"bsp_{uuid.uuid4().hex[:8]}",
         )
     }
-    assert got == _beacon_ref(rows), (rows, cut)
+    assert got == _beacon_ref(rows), (rows, c1, c2)
 
 
 @settings(
@@ -171,12 +176,12 @@ def test_beacon_scores_matches_bruteforce(spark, case, tmp_path_factory):
 )
 @given(case=hop_batches())
 def test_net_hops_matches_bruteforce(spark, case, tmp_path_factory):
-    rows, cut = case
+    rows, (c1, c2) = case
     src = tmp_path_factory.mktemp("nh_src")
     schema = "event_id long, user_id long, net string, us long"
     batches = [
         pd.DataFrame(b, columns=["event_id", "user_id", "net", "us"])
-        for b in (rows[:cut], rows[cut:])
+        for b in (rows[:c1], rows[c1:c2], rows[c2:])
         if b
     ]
     got = {
@@ -190,4 +195,4 @@ def test_net_hops_matches_bruteforce(spark, case, tmp_path_factory):
             f"nhp_{uuid.uuid4().hex[:8]}",
         )
     }
-    assert got == _hops_ref(rows), (rows, cut)
+    assert got == _hops_ref(rows), (rows, c1, c2)
