@@ -28,7 +28,7 @@ top_k_by_count, logs.daily_template_counts / drift_enrich) — a
 predicate or constant fix in the verified operators flows into this
 pipeline automatically; nothing is re-implemented here (code review
 r8). The example's contribution is the COMPOSITION: one debounced,
-templated stream feeds all three detectors without re-reading the
+templated stream feeds all seven detectors without re-reading the
 source, and the alert union is a narrow column-aligned unionByName.
 
 Run directly (`python examples/security_analytics.py [sf_dir]`) or
