@@ -58,6 +58,19 @@ _RAW_MSG_SQL = (
 )
 
 
+def raw_msg_col() -> F.Column:
+    """The Spark twin of ``_RAW_MSG_SQL`` — the one place the
+    synthetic raw-log-line shape lives (needs event_type, user_id,
+    props in scope)."""
+    return F.concat(
+        F.col("event_type"),
+        F.lit(" uid="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+
+
 @register(
     "logs_pattern_templates",
     oracle=f"""
@@ -95,13 +108,7 @@ def logs_pattern_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     users/template swaps in approx_count_distinct or the KMV sketch
     (stats.kmv_distinct) — same plan shape."""
     e = table(spark, sf_dir, "events")
-    msg = F.concat(
-        F.col("event_type"),
-        F.lit(" uid="),
-        F.col("user_id").cast("string"),
-        F.lit(" "),
-        F.col("props"),
-    )
+    msg = raw_msg_col()
     return (
         e.select(
             "user_id",
@@ -152,9 +159,10 @@ def drift_enrich(daily: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "logs_template_drift",
-    oracle=f"""
+# Shared verbatim by the batch key below and the online twin's
+# oracle (streaming_mode.py::stream_exec_template_drift) so the two
+# can never drift — the security.py FIRST_SEEN_SQL convention.
+TEMPLATE_DRIFT_SQL = f"""
     WITH msgs AS (
       SELECT epoch_us(ts) // {DAY_US} AS day,
              {_mask_sql(_RAW_MSG_SQL)} AS template
@@ -177,8 +185,10 @@ def drift_enrich(daily: DataFrame) -> DataFrame:
                 THEN CAST(n_lines AS DOUBLE) / prev_n END AS growth,
            prev_n IS NULL AS is_new_template
     FROM enriched
-    """,
-)
+    """
+
+
+@register("logs_template_drift", oracle=TEMPLATE_DRIFT_SQL)
 def logs_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template drift report — the operational layer on top of
     logs_pattern_templates: per (template, day) volume, its share of
@@ -198,14 +208,8 @@ def logs_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate, exactly like events_anomaly_zscore's hourly
     pre-aggregation."""
     e = table(spark, sf_dir, "events")
-    msg = F.concat(
-        F.col("event_type"),
-        F.lit(" uid="),
-        F.col("user_id").cast("string"),
-        F.lit(" "),
-        F.col("props"),
-    )
-    enriched = drift_enrich(
+    msg = raw_msg_col()
+    return drift_report(
         daily_template_counts(
             e.select(
                 F.unix_micros("ts").alias("us"),
@@ -213,6 +217,15 @@ def logs_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def drift_report(daily: DataFrame) -> DataFrame:
+    """The registered drift projection over any (template, day,
+    n_lines) table — shared VERBATIM by the batch key (whose counts
+    come from the batch aggregate) and the online twin (whose counts
+    come from the streaming aggregate's complete-mode drain,
+    streaming_mode.py::stream_exec_template_drift)."""
+    enriched = drift_enrich(daily)
     return enriched.select(
         "template",
         "day",

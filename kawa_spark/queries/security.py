@@ -343,9 +343,10 @@ def events_funnel_daily_conversion(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_session_rarity",
-    oracle=f"""
+# Shared verbatim by the batch key below and the online twin's
+# oracle (streaming_mode.py::stream_exec_session_rarity) so the two
+# can never drift — the FIRST_SEEN_SQL / PLANTS_SQL convention.
+SESSION_RARITY_SQL = f"""
     WITH t AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
              LAG(epoch_us(ts)) OVER (
@@ -385,8 +386,10 @@ def events_funnel_daily_conversion(
     JOIN pairs p ON tr.from_type = p.from_type AND tr.to_type = p.to_type
     JOIN totals t2 ON tr.from_type = t2.from_type
     GROUP BY tr.user_id, tr.session_idx
-    """,
-)
+    """
+
+
+@register("events_session_rarity", oracle=SESSION_RARITY_SQL)
 def events_session_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session improbability scoring — "this session's behavior
     doesn't look like anyone's": sessionize (the events.py
@@ -454,6 +457,19 @@ def session_rarity_scores(e: DataFrame, gap_us: int) -> DataFrame:
         )
         .filter(F.col("to_type").isNotNull())
     )
+    return score_transitions(tr)
+
+
+def score_transitions(tr: DataFrame) -> DataFrame:
+    """Score a (user_id, session_idx, from_type, to_type) transition
+    frame against the global Markov model fitted ON that same frame —
+    the scoring half shared VERBATIM by the batch key (whose
+    transitions come from the lead window above) and the online twin
+    (whose transitions come from the streaming sessionizer,
+    streaming/stateful.py::session_transitions). The model is
+    |types|² pairs + |types| totals, broadcast back map-side; the
+    per-session aggregate shuffles on (user_id, session_idx) with
+    map-side combine."""
     pairs = tr.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )

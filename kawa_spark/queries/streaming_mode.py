@@ -602,3 +602,107 @@ def stream_exec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("user_id").alias("n_users"),
         F.min("gap_us").alias("min_gap_us"),
     )
+
+
+def _session_rarity_oracle() -> str:
+    from kawa_spark.queries.security import SESSION_RARITY_SQL
+
+    return SESSION_RARITY_SQL
+
+
+@register(
+    "stream_exec_session_rarity", oracle=_session_rarity_oracle()
+)
+def stream_exec_session_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_session_rarity's stateful half run ONLINE: the
+    sessionizer lives in the state store (streaming/stateful.py::
+    session_transitions keeps (session_idx, last_us, last_type) per
+    user and emits each in-session transition as it arrives), and the
+    drained transition rows go through the SAME Markov-model scorer
+    as the batch key (security.score_transitions, shared verbatim).
+    Oracle = the batch key's SQL verbatim (shared SESSION_RARITY_SQL
+    constant), so the online sessionization path is hash-checked
+    against the offline audit — the banked r9 candidate exactly as
+    STATUS sketched it.
+
+    The model is fitted on the drained transitions themselves: the
+    in-order drain reproduces the batch transition multiset exactly,
+    so fit-then-score downstream of the kernel equals the batch form
+    (a deployment scoring against YESTERDAY's model broadcasts a
+    static pairs/totals table instead — same plan, no refit).
+
+    Scale: state is two int64s + a type string per user — the O(1)
+    sessionizer minimum; the streaming exchange is the user_id state
+    partitioning; the scorer's joins are broadcast (|types|² model)
+    and the final aggregate shuffles only transitions onto session
+    keys. Same time-ordered-batch contract as the other kernels
+    (kernel docstring)."""
+    from kawa_spark.queries.security import (
+        SESSION_GAP_US,
+        score_transitions,
+    )
+    from kawa_spark.streaming.stateful import session_transitions
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    # localCheckpoint: the scorer self-joins the drained frame
+    # (tr ⋈ aggregates-of-tr); Spark's conflicting-attribute dedup
+    # fails with an INTERNAL_ERROR on memory-sink View plans, so
+    # truncate lineage to a plain (still partitioned, executor-held)
+    # materialization first. Cost ≈ one cache of the transition rows,
+    # which the scorer reads three times anyway.
+    drained = _drain(
+        session_transitions(e, SESSION_GAP_US), spark
+    ).localCheckpoint()
+    return score_transitions(drained)
+
+
+def _template_drift_oracle() -> str:
+    from kawa_spark.queries.logs import TEMPLATE_DRIFT_SQL
+
+    return TEMPLATE_DRIFT_SQL
+
+
+@register("stream_exec_template_drift", oracle=_template_drift_oracle())
+def stream_exec_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logs_template_drift maintained ONLINE: the per-(template, day)
+    line counts run as a streaming aggregation (masking is stateless
+    JVM regex — stream-compatible as-is; logs.mask_template), and the
+    drained counts go through the SAME drift projection as the batch
+    key (logs.drift_report, shared verbatim). Oracle = the batch
+    key's SQL verbatim (shared TEMPLATE_DRIFT_SQL constant) — the
+    streaming aggregation path is hash-checked, not just row-counted.
+    This is the operational form a log platform actually runs: the
+    day's template counts accumulate as lines arrive, and the drift
+    report reads the live aggregate instead of re-scanning the day.
+
+    Scale: streaming state = |templates| × |live days| counters
+    (hundreds — the Drain-paper pattern cardinality, NOT line
+    volume); per-batch work is the map-side masked partial count.
+    Spark can't chain the drift windows onto a streaming aggregate in
+    one query, so the report is the read-side batch pass over the
+    (tiny) drained counts — the stream_exec_first_seen shape."""
+    from kawa_spark.queries.logs import (
+        daily_template_counts,
+        mask_template,
+        raw_msg_col,
+    )
+
+    e = stream_table(spark, sf_dir, "events")
+    daily = daily_template_counts(
+        e.select(
+            F.unix_micros("ts").alias("us"),
+            mask_template(raw_msg_col()).alias("template"),
+        )
+    )
+    # state rows = templates × days (~150 at sf0.1): 2 stores, the
+    # stream_exec_tumbling reasoning (store count follows state
+    # volume).
+    counts = _drain(daily, spark, mode="complete", state_partitions=2)
+    from kawa_spark.queries.logs import drift_report
+
+    return drift_report(counts)

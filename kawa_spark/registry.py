@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # power sums in the state store, prefix-window oracle),
 # stream_exec_impossible_travel (the hop detector ONLINE — per-user
 # (last_net, last_us) state, batch-matrix oracle shared verbatim).
-# Then 24 of the 42 r6-evidence keys — all but 18 deferred on family-
+# Then 22 of the 42 r6-evidence keys — all but 20 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc (twin percentile_cont in this window),
@@ -107,15 +107,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (profile's summary-stats family twins agg_stats_moments +
 # histogram_width_bucket stay in this window); and sample_hash,
 # displaced by the eleventh new key stream_exec_impossible_travel
-# (its deterministic-hash-sampling family twins corpus_split +
-# corpus_stratified_sample stay in this window). THOSE EIGHTEEN
-# deferred keys MUST lead r10's window. Exactly 50. Max evidence age
-# after this round: deferred 18 = r6 evidence = 3 rounds at r9;
-# everything else <= 3 rounds.
+# (its deterministic-hash-sampling family twin corpus_split stays in
+# this window); and
+# corpus_stratified_sample itself plus dedup_keeper_corpus, displaced
+# by the twelfth and thirteenth new keys stream_exec_session_rarity
+# (events_session_rarity's sessionizer run ONLINE through the state
+# store, scored by the SAME shared Markov scorer) and
+# stream_exec_template_drift (logs_template_drift's counts maintained
+# as a streaming aggregation, shared drift projection) — the two
+# banked r9 candidates from docs/STATUS.md: stratified_sample's
+# deterministic-hash-sampling family twin corpus_split stays in this
+# window, and keeper_corpus's normalization/dedup-summary family twin
+# pipeline_dedup_corpus stays in this window. THOSE TWENTY deferred
+# keys MUST lead r10's window. Exactly 50. Max evidence age after
+# this round: deferred 20 = r6 evidence = 3 rounds at r9; everything
+# else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 11 new keys (never driver-checked) ---
+    # --- 13 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -127,6 +137,8 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_sliding_window",
     "stream_exec_beaconing",
     "stream_exec_impossible_travel",
+    "stream_exec_session_rarity",
+    "stream_exec_template_drift",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -144,16 +156,14 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 24 of the 42 r6-evidence keys ---
+    # --- 22 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_bitwise_bool",
     "agg_stats_moments",
     "agg_string_collect",
     "corpus_decontaminate",
     "corpus_split",
-    "corpus_stratified_sample",
     "corpus_tfidf",
-    "dedup_keeper_corpus",
     "dedup_minhash",
     "histogram_width_bucket",
     "join_asof",

@@ -524,3 +524,95 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_SCHEMA = (
+    "user_id long, session_idx long, from_type string, to_type string"
+)
+_SESSION_TR_STATE_SCHEMA = (
+    "session_idx long, last_us long, last_type string"
+)
+
+
+def session_transitions(events: DataFrame, gap_us: int) -> DataFrame:
+    """Streaming sessionizer emitting in-session TRANSITIONS — the
+    stateful half of queries/security.py::events_session_rarity run
+    ONLINE: per user, remember (session_idx, last_us, last_type);
+    an event more than ``gap_us`` after the previous one opens a new
+    session (indexes count from 1, exactly the batch window's
+    cumulative new-session sum), and an event continuing a session
+    emits its (from_type → to_type) transition row at arrival. The
+    downstream scorer (security.score_transitions) is shared with the
+    batch key verbatim, so the online path is hash-checked against
+    the batch oracle end-to-end.
+
+    State is two int64s + the last event type per user — O(1) per
+    key regardless of volume, the minimum ANY sessionizer must hold.
+    Inherits the time-ordered-batch contract (rate_limited
+    docstring): session boundaries are gap tests against the previous
+    event in arrival order; exact for the single availableNow drain
+    the registered key runs. A genuinely late event (timestamp behind
+    the key's high-water mark) is SKIPPED and does not move the mark
+    — folding it in would measure a negative gap and could both miss
+    a boundary and fabricate a transition the batch form never saw.
+    Inside the contract the guard never fires. Chunks are
+    materialized concat-then-sort like the other kernels (a hot key's
+    microbatch arrives as multiple Arrow chunks in no order)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        # initialization rides on state.exists, NOT a timestamp
+        # sentinel (code review: a -1 sentinel misclassifies
+        # pre-epoch events as late and drops them)
+        has_last = state.exists
+        if has_last:
+            session_idx, last_us, last_type = state.get
+            session_idx, last_us = int(session_idx), int(last_us)
+        else:
+            session_idx, last_us, last_type = 0, 0, None
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            if has_last:
+                state.update((session_idx, last_us, last_type))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        rows = []
+        for t, typ in zip(pdf["us"], pdf["event_type"]):
+            t = int(t)
+            if has_last and t < last_us:
+                continue  # late row: see docstring guard
+            if not has_last or t - last_us > gap_us:
+                session_idx += 1
+            else:
+                rows.append((key[0], session_idx, last_type, typ))
+            last_us, last_type = t, typ
+            has_last = True
+        state.update((session_idx, last_us, last_type))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "session_idx",
+                    "from_type",
+                    "to_type",
+                ],
+            )
+
+    return (
+        events.select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_SESSION_TR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -196,3 +196,90 @@ def test_net_hops_matches_bruteforce(spark, case, tmp_path_factory):
         )
     }
     assert got == _hops_ref(rows), (rows, c1, c2)
+
+
+# ---------------------------------------------------------------------------
+# session_transitions (the online sessionizer behind
+# stream_exec_session_rarity)
+# ---------------------------------------------------------------------------
+
+SESS_GAP = 100 * S
+
+
+def _transitions_ref(rows):
+    """Sorted transition list (user, session_idx, from, to) from the
+    batch definition: cumulative new-session sum in (us, eid) order,
+    transition per consecutive in-session pair."""
+    out = []
+    by_user: dict[int, list] = {}
+    for eid, u, typ, us in sorted(rows, key=lambda r: (r[3], r[0])):
+        by_user.setdefault(u, []).append((typ, us))
+    for u, evs in by_user.items():
+        idx, last_us, last_typ = 0, None, None
+        for typ, us in evs:
+            if last_us is None or us - last_us > SESS_GAP:
+                idx += 1
+            else:
+                out.append((u, idx, last_typ, typ))
+            last_us, last_typ = us, typ
+    return sorted(out)
+
+
+@st.composite
+def session_batches(draw):
+    rows = []
+    eid = 0
+    for u in range(draw(st.integers(1, 3))):
+        n = draw(st.integers(1, 15))
+        # pre-epoch starts pin that initialization does not ride on a
+        # timestamp sentinel
+        t = draw(st.sampled_from([0, -50 * SESS_GAP]))
+        for _ in range(n):
+            # 0-gaps (ties), sub-gap continuations, the exact gap
+            # boundary (> is the break test, so == continues), and
+            # clear session breaks
+            t += draw(
+                st.sampled_from(
+                    [0, 1, SESS_GAP // 2, SESS_GAP, SESS_GAP + 1, 5 * SESS_GAP]
+                )
+            )
+            rows.append(
+                (eid, u, draw(st.sampled_from(["a", "b", "c"])), t)
+            )
+            eid += 1
+    rows.sort(key=lambda r: (r[3], r[0]))
+    cuts = sorted(
+        [draw(st.integers(0, len(rows))), draw(st.integers(0, len(rows)))]
+    )
+    return rows, cuts
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=session_batches())
+def test_session_transitions_matches_bruteforce(spark, case, tmp_path_factory):
+    from kawa_spark.streaming.stateful import session_transitions
+
+    rows, (c1, c2) = case
+    src = tmp_path_factory.mktemp("st_src")
+    schema = "event_id long, user_id long, event_type string, us long"
+    batches = [
+        pd.DataFrame(b, columns=["event_id", "user_id", "event_type", "us"])
+        for b in (rows[:c1], rows[c1:c2], rows[c2:])
+        if b
+    ]
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["from_type"], r["to_type"])
+        for r in _drain_batches(
+            spark,
+            src,
+            schema,
+            batches,
+            lambda s: session_transitions(s, SESS_GAP),
+            f"stp_{uuid.uuid4().hex[:8]}",
+        )
+    )
+    assert got == _transitions_ref(rows), (rows, c1, c2)

@@ -309,3 +309,81 @@ def test_late_rows_do_not_corrupt_gap_kernels(spark, tmp_path):
     name2 = f"lh_{uuid.uuid4().hex[:8]}"
     _drain(net_hops(stream2, 1800 * S), name2)
     assert spark.table(name2).count() == 0
+
+
+def test_session_transitions_state_carries_across_batches(spark, tmp_path):
+    """The streaming sessionizer's (session_idx, last_us, last_type)
+    must survive the microbatch boundary: a batch-2 event within the
+    gap of batch 1's last event continues THAT session (emitting the
+    cross-batch transition), and a later one opens session 2."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import session_transitions
+
+    M = 1_000_000
+    GAP = 1800 * M
+    # batch 1: user 1 events at 0 s ("view") and 60 s ("click")
+    rows1 = [(1, 1, "view", 0), (2, 1, "click", 60 * M)]
+    # batch 2: 120 s ("buy") continues session 1 across the boundary;
+    # 7200 s ("view") breaks into session 2 (no transition)
+    rows2 = [(3, 1, "buy", 120 * M), (4, 1, "view", 7200 * M)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, us long"
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["event_id", "user_id", "event_type", "us"]
+            ),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    _drain(session_transitions(stream, GAP), name)
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["from_type"], r["to_type"])
+        for r in spark.table(name).collect()
+    )
+    assert got == [(1, 1, "click", "buy"), (1, 1, "view", "click")]
+
+
+def test_session_transitions_skips_late_rows(spark, tmp_path):
+    """Outside the time-ordered-batch contract a late event must be
+    SKIPPED: folded in, its negative gap would fabricate a transition
+    the batch form never saw and could shift session indexes."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import session_transitions
+
+    M = 1_000_000
+    GAP = 1800 * M
+    rows1 = [(1, 1, "view", 0), (2, 1, "click", 60 * M)]
+    # eid 3 is LATE (behind the 60 s mark); eid 4 continues in-order
+    rows2 = [(3, 1, "buy", 30 * M), (4, 1, "pay", 120 * M)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, us long"
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["event_id", "user_id", "event_type", "us"]
+            ),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"sl_{uuid.uuid4().hex[:8]}"
+    _drain(session_transitions(stream, GAP), name)
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["from_type"], r["to_type"])
+        for r in spark.table(name).collect()
+    )
+    # the late "buy" is absent; "pay" transitions from "click"
+    assert got == [(1, 1, "click", "pay"), (1, 1, "view", "click")]
