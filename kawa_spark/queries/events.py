@@ -901,3 +901,147 @@ def cooccurrence_lift(inc: DataFrame, min_support: int = 0) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) volume anomaly
+# ---------------------------------------------------------------------------
+
+# A deterministic spike planted in BOTH engines (the PLANTS_SQL /
+# embedding-dedup discipline): the synthetic stream's daily counts are
+# Poisson-flat, so without planting, is_spike could verify only the
+# all-false complement — the vacuous-flag class VERDICT r8 closed.
+# Type 'planted_spike' gets a 100-events/day baseline over 30 days
+# plus a 1000-event burst on day index 7.
+MAD_PLANT_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+MAD_PLANT_N = 4_000  # 30 days x 100 baseline + 1000 burst
+
+MAD_PLANT_SQL = f"""
+      SELECT 'planted_spike' AS event_type,
+             {MAD_PLANT_BASE_US}
+               + (CASE WHEN i < 3000 THEN i % 30 ELSE 7 END) * {DAY_US}
+               + i AS ts_us
+      FROM generate_series(0, {MAD_PLANT_N - 1}) AS t(i)
+"""
+
+
+def _mad_planted(spark: SparkSession) -> DataFrame:
+    """Spark twin of MAD_PLANT_SQL (value-identical rows)."""
+    i = F.col("id")
+    return spark.range(MAD_PLANT_N).select(
+        F.lit("planted_spike").alias("event_type"),
+        (
+            F.lit(MAD_PLANT_BASE_US)
+            + F.when(i < 3000, i % 30).otherwise(F.lit(7)) * F.lit(DAY_US)
+            + i
+        ).alias("ts_us"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS ts_us FROM events
+      UNION ALL {MAD_PLANT_SQL}
+    ), daily AS (
+      SELECT event_type, ts_us // {DAY_US} AS day, COUNT(*) AS n
+      FROM ev GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, quantile_disc(n, 0.5) AS med
+      FROM daily GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS dev
+      FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_disc(dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n,
+           CAST(d.med AS BIGINT) AS med, CAST(d.dev AS BIGINT) AS dev,
+           CAST(a.mad AS BIGINT) AS mad,
+           (d.n - d.med) > 3 * a.mad AS is_spike
+    FROM dev d JOIN mad a USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection — events_anomaly_zscore's
+    resistant sibling: each (event_type, day)'s count is scored
+    against the type's MEDIAN daily volume, with spread measured by
+    the median absolute deviation (MAD) instead of a stddev. The
+    median/MAD pair is the estimator security teams reach for when
+    the baseline itself contains bursts: a single huge day drags a
+    mean/stddev baseline (masking the very anomaly that moved it) but
+    leaves the median untouched (50% breakdown point vs 0%).
+
+    Exactness (why even the boolean hash-matches): counts are
+    integers; both medians are DISCRETE percentiles — the actual data
+    value at sorted index floor((n-1)/2), the stats.percentile_disc
+    machinery that matches DuckDB quantile_disc — so med, dev, and
+    mad are all exact int64 and the spike test (n − med) > 3·mad
+    never touches a float. (A zscore needs the Σx/Σx² power-sum
+    discipline for the same guarantee; the MAD form gets it for
+    free.)
+
+    Scale: ONE full-stream shuffle (the daily aggregate, map-side
+    combined, output ∝ types × days). Everything downstream runs on
+    that tiny table: two rank windows per type (|days| rows per
+    partition) and two broadcast joins of |types|-row medians.
+
+    kawa parity: none (no aggregation surface in the reference —
+    SURVEY.md §1.1); mandate (M) security-analytics extension."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev = e.unionByName(_mad_planted(spark))
+    daily = ev.groupBy(
+        "event_type", floordiv(F.col("ts_us"), DAY_US).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return mad_scores(daily)
+
+
+def disc_median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Per-``key`` discrete median of ``val``: the actual data value
+    at sorted 0-based index floor((n-1)/2) — the stats.percentile_disc
+    machinery (matches DuckDB quantile_disc), rank-based so it scales
+    like any window query. Tie order among equal values cannot change
+    the picked VALUE, so the row_number is hash-safe."""
+    w = Window.partitionBy(key).orderBy(val)
+    wg = Window.partitionBy(key)
+    ranked = df.select(
+        key,
+        F.col(val),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("cnt"),
+    )
+    return ranked.groupBy(key).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("cnt") - 1) * 0.5) + 1,
+                F.col(val),
+            )
+        ).alias(out)
+    )
+
+
+def mad_scores(daily: DataFrame) -> DataFrame:
+    """Core scorer over any (event_type, day, n) count table —
+    events_anomaly_mad binds it to the events table + planted spike;
+    the property test (tests/test_mad_property.py) drives it on
+    random count tables against a brute-force Python reference."""
+    med = disc_median(daily, "event_type", "n", "med")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = disc_median(
+        dev.select("event_type", "dev"), "event_type", "dev", "mad"
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "med",
+        "dev",
+        "mad",
+        ((F.col("n") - F.col("med")) > 3 * F.col("mad")).alias("is_spike"),
+    )

@@ -833,3 +833,174 @@ def net_hop_matrix(attributed: DataFrame, window_us: int) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.min("d_us").alias("min_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DGA-style domain scoring
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic domain per event (the testdata has no
+# domain column), planted in BOTH engines: most events resolve one of
+# five dictionary-word corporate domains keyed on user_id; every 17th
+# event_id instead "resolves" an algorithmically generated domain —
+# 16 hex chars from md5(event_id), the classic DGA shape (both
+# engines produce the identical lowercase hex digest for the
+# identical decimal string). Like the beacon plants, this guarantees
+# the is_dga flag verifies BOTH classes, never the all-false
+# complement.
+DGA_VOCAB = [
+    "mail.example.com",
+    "www.acme.org",
+    "api.shop.net",
+    "cdn.media.io",
+    "sso.corp.com",
+]
+
+_DGA_DOMAIN_SQL = (
+    "CASE WHEN event_id % 17 = 0 THEN "
+    "substring(md5(CAST(event_id AS VARCHAR)), 1, 16) || '.bad' "
+    "ELSE CASE user_id % 5 "
+    + " ".join(
+        f"WHEN {i} THEN '{d}'" for i, d in enumerate(DGA_VOCAB)
+    )
+    + " END END"
+)
+
+# The integer-exact feature set over the domain's first label
+# (entropy's hash-safe surrogates — a float Shannon entropy is a
+# transcendental-and-float-sum double no cross-engine hash survives):
+#   label_len      length of the label
+#   n_distinct     distinct characters
+#   coll           Sigma c_i*(c_i-1) over character frequencies — the
+#                  unnormalized Simpson collision index; coll/(n(n-1))
+#                  is the repeat probability, LOW for random strings
+#   n_digits       digit characters
+# is_dga is the cross-multiplied integer rule: long label AND at
+# least one digit AND high char diversity (2*n_distinct >= label_len).
+
+DGA_SCORE_SQL = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, {_DGA_DOMAIN_SQL} AS domain FROM events
+    ), agg AS (
+      SELECT domain, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM ev GROUP BY domain
+    ), lab AS (
+      SELECT domain, n_events, n_users,
+             split_part(domain, '.', 1) AS label
+      FROM agg
+    ), chars AS (
+      SELECT domain, n_events, n_users, label,
+             list_transform(range(1, length(label) + 1),
+                            i -> substring(label, i, 1)) AS cs
+      FROM lab
+    )
+    SELECT domain, n_events, n_users,
+           CAST(length(label) AS BIGINT) AS label_len,
+           CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(list_distinct(cs),
+                c -> len(list_filter(cs, x -> x = c))
+                     * (len(list_filter(cs, x -> x = c)) - 1)))
+                AS BIGINT) AS coll,
+           CAST(length(label)
+                - length(regexp_replace(label, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           (length(label) >= 12
+            AND length(label) - length(regexp_replace(label, '[0-9]', '', 'g')) >= 1
+            AND 2 * len(list_distinct(cs)) >= length(label)) AS is_dga
+    FROM chars
+    """
+
+
+@register("logs_dga_score", oracle=DGA_SCORE_SQL)
+def logs_dga_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithmically-generated-domain (DGA) scoring — the
+    SIEM detection that flags malware callback domains by their
+    STRING SHAPE, not a blocklist: long, digit-bearing, high-entropy
+    labels. The textbook feature is Shannon entropy of the character
+    distribution, but a float entropy (transcendental log + float
+    sum) can never be cross-engine hash-stable, so the emitted
+    features are its exact integer surrogates (the
+    events_session_rarity trick): the Simpson collision count
+    Σ c·(c−1) — whose normalized form coll/(n(n−1)) is the repeat
+    probability, low exactly when entropy is high — plus label
+    length, distinct-character count, and digit count; is_dga is a
+    pure integer rule over those. A deployment wanting bits/char
+    divides OUTSIDE the hash-checked surface.
+
+    Per-character statistics WITHOUT exploding rows: the label is
+    split via transform(sequence(1, len)) (labels are non-empty by
+    construction — the bigram sequence(1,0) guard class doesn't
+    arise), frequencies via nested higher-order filter — all JVM
+    expression-tree work, zero Python UDFs, zero extra shuffles.
+
+    Scale: the only full-stream work is the per-domain aggregate —
+    the countDistinct expands to the standard two-level plan (partial
+    (domain, user) dedup, then domain), both exchanges keyed on the
+    rollup and map-side combined, output ∝ |distinct domains|
+    (plan-pinned: no exchange carries event_id, no Python UDF). The
+    char math runs on the aggregated rows only — at 10⁹ events/day
+    with 10⁵ real domains, the string work is 10⁵ rows, not 10⁹. The synthetic-domain CASE
+    is map-side codegen like ip_col().
+
+    kawa parity: none (no analytics surface in the reference);
+    mandate (M) security-analytics extension, the natural sibling of
+    logs_cidr_enrich's <IP> masks for the <DOMAIN> class."""
+    e = table(spark, sf_dir, "events")
+    vocab = F.array(*[F.lit(d) for d in DGA_VOCAB])
+    domain = F.when(
+        F.col("event_id") % 17 == 0,
+        F.concat(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+            F.lit(".bad"),
+        ),
+    ).otherwise(vocab[(F.col("user_id") % 5).cast("int")])
+    agg = (
+        e.select("event_id", "user_id", domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return dga_features(agg)
+
+
+def dga_features(agg: DataFrame) -> DataFrame:
+    """Feature core over any (domain, n_events, n_users) frame —
+    logs_dga_score binds it to the events-derived domains; the
+    property test (tests/test_dga_property.py) drives it on random
+    labels against a collections.Counter reference."""
+    label = F.substring_index(F.col("domain"), ".", 1)
+    lab = agg.select("domain", "n_events", "n_users", label.alias("label"))
+    # per-char array without exploding: substring at a COLUMN start
+    # position is Column.substr (F.substring only takes literals)
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length("label")),
+        lambda i: F.col("label").substr(i, F.lit(1)),
+    )
+    labeled = lab.withColumn("cs", cs)
+    cnt = lambda c: F.size(F.filter(F.col("cs"), lambda x: x == c))
+    coll = F.aggregate(
+        F.array_distinct(F.col("cs")),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + cnt(c).cast("long") * (cnt(c) - 1).cast("long"),
+    )
+    n_digits = F.length("label") - F.length(
+        F.regexp_replace(F.col("label"), "[0-9]", "")
+    )
+    n_distinct = F.size(F.array_distinct(F.col("cs")))
+    return labeled.select(
+        "domain",
+        "n_events",
+        "n_users",
+        F.length("label").cast("long").alias("label_len"),
+        n_distinct.cast("long").alias("n_distinct"),
+        coll.alias("coll"),
+        n_digits.cast("long").alias("n_digits"),
+        (
+            (F.length("label") >= 12)
+            & (n_digits >= 1)
+            & (2 * n_distinct >= F.length("label"))
+        ).alias("is_dga"),
+    )

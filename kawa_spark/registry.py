@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # power sums in the state store, prefix-window oracle),
 # stream_exec_impossible_travel (the hop detector ONLINE — per-user
 # (last_net, last_us) state, batch-matrix oracle shared verbatim).
-# Then 22 of the 42 r6-evidence keys — all but 20 deferred on family-
+# Then 20 of the 42 r6-evidence keys — all but 22 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc (twin percentile_cont in this window),
@@ -118,14 +118,24 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # banked r9 candidates from docs/STATUS.md: stratified_sample's
 # deterministic-hash-sampling family twin corpus_split stays in this
 # window, and keeper_corpus's normalization/dedup-summary family twin
-# pipeline_dedup_corpus stays in this window. THOSE TWENTY deferred
-# keys MUST lead r10's window. Exactly 50. Max evidence age after
-# this round: deferred 20 = r6 evidence = 3 rounds at r9; everything
-# else <= 3 rounds.
+# pipeline_dedup_corpus stays in this window; and agg_bitwise_bool
+# plus agg_string_collect, displaced by the fourteenth and fifteenth
+# new keys logs_dga_score (DGA-domain scoring — integer-exact Simpson
+# collision / length / digit features over the label, the session-
+# rarity entropy surrogate applied to strings) and events_anomaly_mad
+# (robust median/MAD daily-volume anomaly with a planted spike, the
+# integer-exact sibling of events_anomaly_zscore r8): both displaced
+# keys are trivially-stable single-aggregate ops whose
+# implementations are untouched since registration, the
+# null_handling grounds, with their aggregate-family twins
+# agg_argminmax + agg_stats_moments staying in this window. THOSE
+# TWENTY-TWO deferred keys MUST lead r10's window. Exactly 50. Max
+# evidence age after this round: deferred 22 = r6 evidence = 3
+# rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 13 new keys (never driver-checked) ---
+    # --- 15 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -139,6 +149,8 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_impossible_travel",
     "stream_exec_session_rarity",
     "stream_exec_template_drift",
+    "logs_dga_score",
+    "events_anomaly_mad",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -156,11 +168,9 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 22 of the 42 r6-evidence keys ---
+    # --- 20 of the 42 r6-evidence keys ---
     "agg_argminmax",
-    "agg_bitwise_bool",
     "agg_stats_moments",
-    "agg_string_collect",
     "corpus_decontaminate",
     "corpus_split",
     "corpus_tfidf",

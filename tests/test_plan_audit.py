@@ -516,3 +516,35 @@ def test_kmv_family_never_caches(spark):
         assert "InMemoryTableScan" not in plan, key
         if key == "agg_kmv_distinct":
             assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_mad_daily_agg_reused_across_branches(spark):
+    """events_anomaly_mad's full-stream daily aggregate feeds three
+    branches (median rank, dev join, final select) — it must compute
+    ONCE and be shared via runtime AQE exchange reuse, not persist()
+    (the ADVICE r8 cache-leak class) and not three re-aggregations of
+    the stream. Reuse only materializes post-execution."""
+    df = registry.QUERIES["events_anomaly_mad"](spark, SF)
+    assert audit_plan(df) == []
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
+    assert "InMemoryRelation" not in plan
+    # both model joins are broadcast (|types| rows), never SMJ
+    assert "SortMergeJoin" not in plan
+
+
+def test_dga_char_math_has_no_python_udf_and_one_rollup_key(spark):
+    """logs_dga_score's per-character statistics must stay JVM
+    expression-tree work (higher-order functions, no Python UDF), and
+    every exchange must be keyed on the domain rollup — the string
+    math runs on aggregated rows only, so no exchange may carry
+    event_id."""
+    df = registry.QUERIES["logs_dga_score"](spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_id" not in line, line
