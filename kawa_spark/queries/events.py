@@ -938,9 +938,10 @@ def _mad_planted(spark: SparkSession) -> DataFrame:
     )
 
 
-@register(
-    "events_anomaly_mad",
-    oracle=f"""
+# Shared verbatim by the batch key below and the online twin's
+# oracle (streaming_mode.py::stream_exec_anomaly_mad) so the two can
+# never drift — the security.py FIRST_SEEN_SQL convention.
+ANOMALY_MAD_SQL = f"""
     WITH ev AS (
       SELECT event_type, epoch_us(ts) AS ts_us FROM events
       UNION ALL {MAD_PLANT_SQL}
@@ -962,8 +963,10 @@ def _mad_planted(spark: SparkSession) -> DataFrame:
            CAST(a.mad AS BIGINT) AS mad,
            (d.n - d.med) > 3 * a.mad AS is_spike
     FROM dev d JOIN mad a USING (event_type)
-    """,
-)
+    """
+
+
+@register("events_anomaly_mad", oracle=ANOMALY_MAD_SQL)
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust volume-anomaly detection — events_anomaly_zscore's
     resistant sibling: each (event_type, day)'s count is scored

@@ -497,7 +497,8 @@ def _beacon_oracle() -> str:
     SELECT user_id, event_type, event_id, CAST(n AS BIGINT) AS n_gaps,
            CAST(sd AS DOUBLE) / n AS period_s,
            ({BEACON_CV2_DEN} * (n * sd2 - sd * sd)
-              <= {BEACON_CV2_NUM} * (sd * sd)) AS is_beacon
+              <= {BEACON_CV2_NUM} * (sd * sd)) AS is_beacon,
+           CAST(0 AS BIGINT) AS late_count
     FROM s WHERE n >= {BEACON_MIN_GAPS}
     """
 
@@ -517,9 +518,13 @@ def stream_exec_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned as a second file source) — a batch-side union is not
     expressible in a streaming query.
 
-    Scale: state is four int64s per (user, type) key; output is
+    Scale: state is five int64s per (user, type) key; output is
     bounded by events on keys past min_gaps. Same time-ordered-batch
-    contract as stream_exec_rate_limit (kernel docstring)."""
+    contract as stream_exec_rate_limit (kernel docstring) — and the
+    contract is now DRIVER-CHECKED, not just documented: every output
+    row carries the kernel's cumulative late-row counter and the
+    oracle pins it to 0, so a drain that ever exercised the late-row
+    guard would hash-mismatch (the banked r9 observability item)."""
     from kawa_spark.queries.security import (
         BEACON_CV2_DEN,
         BEACON_CV2_NUM,

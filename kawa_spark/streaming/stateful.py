@@ -322,9 +322,9 @@ def rate_limited(
 
 BEACON_SCHEMA = (
     "user_id long, event_type string, event_id long, "
-    "n_gaps long, period_s double, is_beacon boolean"
+    "n_gaps long, period_s double, is_beacon boolean, late_count long"
 )
-_BEACON_STATE_SCHEMA = "last_us long, n long, sd long, sd2 long"
+_BEACON_STATE_SCHEMA = "last_us long, n long, sd long, sd2 long, late long"
 
 
 def beacon_scores(
@@ -358,8 +358,14 @@ def beacon_scores(
     late event (timestamp behind the key's high-water mark) is
     EXCLUDED from the gap sequence and does not move the mark — a
     negative "gap" folded into Σd/Σd² would corrupt the key's stats
-    permanently, which is strictly worse than missing one gap. Inside
-    the contract the guard never fires. Chunks are materialized
+    permanently, which is strictly worse than missing one gap. The
+    exclusion is OBSERVABLE, not silent (the banked r9 late-row
+    observability item): every emitted row carries ``late_count``,
+    the key's cumulative count of excluded late rows, so an operator
+    sees contract violations in the output stream itself — and the
+    registered key's oracle pins the column to 0, turning "the guard
+    never fires inside the contract" from a docstring claim into a
+    driver-checked invariant. Chunks are materialized
     concat-then-sort like rate_limited (a hot key's microbatch
     arrives as multiple Arrow chunks in no particular order)."""
 
@@ -371,13 +377,13 @@ def beacon_scores(
         # pre-epoch events as late and drops them)
         has_last = state.exists
         if has_last:
-            last_us, n, sd, sd2 = (int(x) for x in state.get)
+            last_us, n, sd, sd2, late = (int(x) for x in state.get)
         else:
-            last_us, n, sd, sd2 = 0, 0, 0, 0
+            last_us, n, sd, sd2, late = 0, 0, 0, 0, 0
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             if has_last:
-                state.update((last_us, n, sd, sd2))
+                state.update((last_us, n, sd, sd2, late))
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -389,7 +395,8 @@ def beacon_scores(
         for eid, t in zip(pdf["event_id"], pdf["us"]):
             t = int(t)
             if has_last and t < last_us:
-                continue  # late row: see docstring guard
+                late += 1  # excluded AND counted: see docstring guard
+                continue
             if has_last:
                 d = (t - last_us) // 1_000_000
                 n += 1
@@ -400,11 +407,11 @@ def beacon_scores(
                         cv2_den * (n * sd2 - sd * sd) <= cv2_num * sd * sd
                     )
                     rows.append(
-                        (key[0], key[1], int(eid), n, sd / n, beacon)
+                        (key[0], key[1], int(eid), n, sd / n, beacon, late)
                     )
             last_us = t
             has_last = True
-        state.update((last_us, n, sd, sd2))
+        state.update((last_us, n, sd, sd2, late))
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -415,6 +422,7 @@ def beacon_scores(
                     "n_gaps",
                     "period_s",
                     "is_beacon",
+                    "late_count",
                 ],
             )
 

@@ -283,12 +283,19 @@ def test_late_rows_do_not_corrupt_gap_kernels(spark, tmp_path):
     name = f"lb_{uuid.uuid4().hex[:8]}"
     _drain(beacon_scores(stream, min_gaps=2, cv2_num=1, cv2_den=4), name)
     got = {
-        r["event_id"]: (r["n_gaps"], r["period_s"], r["is_beacon"])
+        r["event_id"]: (
+            r["n_gaps"],
+            r["period_s"],
+            r["is_beacon"],
+            r["late_count"],
+        )
         for r in spark.table(name).collect()
     }
     # the late eid 4 is absent AND eid 5's stats see gaps 10,10,10
-    # (20 s -> 30 s), untouched by the late row
-    assert got == {3: (2, 10.0, True), 5: (3, 10.0, True)}
+    # (20 s -> 30 s), untouched by the late row — but the exclusion
+    # is OBSERVABLE: eid 5's row carries the key's cumulative late
+    # counter (eid 3 emitted before the violation, so 0)
+    assert got == {3: (2, 10.0, True, 0), 5: (3, 10.0, True, 1)}
 
     src2 = tmp_path / "h"
     src2.mkdir()
