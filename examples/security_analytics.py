@@ -7,7 +7,7 @@ reference exists to shuttle security logs, /root/reference/README.md:
     → debounce            (adjacent-duplicate suppression — the
                            at-least-once ingest cleanup)
     → template extraction (drain-style masking → pattern id)
-    → seven detectors over the clean stream:
+    → nine detectors over the clean stream:
         * rate limiter    (trailing-window per-user flood flag)
         * heavy hitters   (top-K users per event type)
         * template drift  (new-pattern / growth alerting)
@@ -20,6 +20,11 @@ reference exists to shuttle security logs, /root/reference/README.md:
                            the detector demonstrably fires)
         * impossible travel (r9: same actor on two networks inside
                            the hop window — the net-to-net matrix)
+        * DGA domains     (r9: algorithmically generated callback
+                           domains by string shape — integer entropy
+                           surrogates, dga_features core)
+        * volume spikes   (r9: per-type daily counts vs the robust
+                           median/MAD baseline, mad_scores core)
     → one alert relation  (union of detector verdicts, severity-coded)
 
 Every detector calls the SAME core the oracle-verified registry
@@ -28,7 +33,7 @@ top_k_by_count, logs.daily_template_counts / drift_enrich) — a
 predicate or constant fix in the verified operators flows into this
 pipeline automatically; nothing is re-implemented here (code review
 r8). The example's contribution is the COMPOSITION: one debounced,
-templated stream feeds all seven detectors without re-reading the
+templated stream feeds all nine detectors without re-reading the
 source, and the alert union is a narrow column-aligned unionByName.
 
 Run directly (`python examples/security_analytics.py [sf_dir]`) or
@@ -64,6 +69,8 @@ from kawa_spark.queries.security import (
     HOP_WINDOW_US,
     _planted_beacons,
     beaconing_stats,
+    dga_features,
+    domain_col,
     ip_col,
     longest_prefix_match,
     net_hop_matrix,
@@ -257,8 +264,66 @@ def travel_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
     )
 
 
+def dga_alerts(clean: DataFrame) -> DataFrame:
+    """Domains whose label shape is DGA-like (dga_features core — the
+    logs_dga_score semantics) over the debounced stream's resolved
+    domains."""
+    agg = (
+        clean.select(
+            "event_id", "user_id", domain_col().alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    feats = dga_features(agg)
+    return feats.filter(F.col("is_dga")).select(
+        F.lit("dga_domain").alias("alert"),
+        F.lit(3).alias("severity"),
+        F.col("domain").alias("subject"),
+        F.concat(
+            F.lit("len="), F.col("label_len").cast("string"),
+            F.lit(" distinct="), F.col("n_distinct").cast("string"),
+            F.lit(" digits="), F.col("n_digits").cast("string"),
+            F.lit(" hits="), F.col("n_events").cast("string"),
+        ).alias("detail"),
+    )
+
+
+def spike_alerts(clean: DataFrame) -> DataFrame:
+    """Days whose per-type volume spikes past the robust median/MAD
+    baseline (mad_scores core — the events_anomaly_mad semantics;
+    here over the live stream only, no planted burst: the demo data's
+    partial first/last days keep the output honest either way)."""
+    from kawa_spark.queries.events import DAY_US, mad_scores
+    from kawa_spark.functions.exact import floordiv
+
+    daily = (
+        clean.select(
+            "event_type", floordiv(F.col("us"), DAY_US).alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = mad_scores(daily)
+    return scored.filter(F.col("is_spike")).select(
+        F.lit("volume_spike").alias("alert"),
+        F.lit(1).alias("severity"),
+        F.concat(
+            F.col("event_type"), F.lit("@d"), F.col("day").cast("string")
+        ).alias("subject"),
+        F.concat(
+            F.lit("n="), F.col("n").cast("string"),
+            F.lit(" med="), F.col("med").cast("string"),
+            F.lit(" mad="), F.col("mad").cast("string"),
+        ).alias("detail"),
+    )
+
+
 def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline: one cleaned stream, seven detectors,
+    """The composed pipeline: one cleaned stream, nine detectors,
     one severity-ordered alert table. No persist(): the detectors'
     plans share the debounce subtree byte-identically, so AQE
     exchange reuse serves the shared scan+shuffle from shuffle files
@@ -273,6 +338,8 @@ def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rarity_alerts(clean))
         .unionByName(beacon_alerts(spark, clean))
         .unionByName(travel_alerts(spark, clean))
+        .unionByName(dga_alerts(clean))
+        .unionByName(spike_alerts(clean))
     )
     return alerts.orderBy(F.col("severity").desc(), "alert", "subject", "detail")
 

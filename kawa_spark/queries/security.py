@@ -947,16 +947,8 @@ def logs_dga_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mandate (M) security-analytics extension, the natural sibling of
     logs_cidr_enrich's <IP> masks for the <DOMAIN> class."""
     e = table(spark, sf_dir, "events")
-    vocab = F.array(*[F.lit(d) for d in DGA_VOCAB])
-    domain = F.when(
-        F.col("event_id") % 17 == 0,
-        F.concat(
-            F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
-            F.lit(".bad"),
-        ),
-    ).otherwise(vocab[(F.col("user_id") % 5).cast("int")])
     agg = (
-        e.select("event_id", "user_id", domain.alias("domain"))
+        e.select("event_id", "user_id", domain_col().alias("domain"))
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -964,6 +956,20 @@ def logs_dga_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dga_features(agg)
+
+
+def domain_col() -> F.Column:
+    """The Spark twin of ``_DGA_DOMAIN_SQL`` — the one place the
+    synthetic-domain derivation lives (the ip_col() convention;
+    needs event_id + user_id in scope)."""
+    vocab = F.array(*[F.lit(d) for d in DGA_VOCAB])
+    return F.when(
+        F.col("event_id") % 17 == 0,
+        F.concat(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+            F.lit(".bad"),
+        ),
+    ).otherwise(vocab[(F.col("user_id") % 5).cast("int")])
 
 
 def dga_features(agg: DataFrame) -> DataFrame:

@@ -711,3 +711,87 @@ def stream_exec_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kawa_spark.queries.logs import drift_report
 
     return drift_report(counts)
+
+
+_MAD_PLANTS_DIR: str | None = None
+
+
+def _mad_plants_dir() -> str:
+    """Per-process scratch dir for the MAD spike plants (same
+    concurrent-session reasoning as _beacon_plants_dir)."""
+    global _MAD_PLANTS_DIR
+    if _MAD_PLANTS_DIR is None:
+        import tempfile
+
+        _MAD_PLANTS_DIR = tempfile.mkdtemp(prefix="kawa_mad_plants_")
+    return _MAD_PLANTS_DIR
+
+
+def _anomaly_mad_oracle() -> str:
+    from kawa_spark.queries.events import ANOMALY_MAD_SQL
+
+    return ANOMALY_MAD_SQL
+
+
+@register("stream_exec_anomaly_mad", oracle=_anomaly_mad_oracle())
+def stream_exec_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_anomaly_mad maintained ONLINE — the seventh
+    online/offline detection twin: the per-(event_type, day) counts
+    run as a streaming aggregation (exact floor-div day buckets are
+    stateless expressions), and the drained count table goes through
+    the SAME median/MAD scorer as the batch key (events.mad_scores,
+    shared verbatim). Oracle = the batch key's SQL verbatim (shared
+    ANOMALY_MAD_SQL constant), so the streaming aggregation path is
+    hash-checked. The planted spike rides the STREAM as a second file
+    source (the stream_exec_beaconing pattern — a batch-side union is
+    not expressible in a streaming query), so the true-spike case is
+    verified through the real runtime, not just the all-false
+    complement.
+
+    The medians are fitted on the drained counts themselves — the
+    operational shape: counts accumulate as events arrive; the
+    (cheap) median/MAD report reads the live aggregate on demand
+    instead of re-scanning the day. Streaming count is
+    order-insensitive (like stream_exec_first_seen's MIN, unlike the
+    gap kernels), so this twin is exact under ANY batch order — no
+    time-ordered-batch contract needed.
+
+    Scale: streaming state = |types| × |live days| counters; per-batch
+    work is the map-side partial count; the scorer's windows and
+    broadcast joins run on the tiny drained table."""
+    from kawa_spark.queries.events import (
+        DAY_US,
+        _mad_planted,
+        mad_scores,
+    )
+    from kawa_spark.functions.exact import floordiv
+
+    plants_dir = _mad_plants_dir()
+    _mad_planted(spark).coalesce(1).write.mode("overwrite").parquet(
+        plants_dir
+    )
+    p = (
+        spark.readStream.schema("event_type string, ts_us long")
+        .parquet(plants_dir)
+        .select("event_type", "ts_us")
+    )
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    daily = (
+        e.unionByName(p)
+        .groupBy(
+            "event_type", floordiv(F.col("ts_us"), DAY_US).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # state rows = types × days (~200): 2 stores (store count follows
+    # state volume — the stream_exec_tumbling reasoning).
+    # localCheckpoint: mad_scores self-joins the drained frame (daily
+    # ⋈ aggregates-of-daily), the memory-sink-View attribute-dedup
+    # INTERNAL_ERROR class stream_exec_session_rarity hit — truncate
+    # lineage first (here the frame is ~200 rows).
+    counts = _drain(
+        daily, spark, mode="complete", state_partitions=2
+    ).localCheckpoint()
+    return mad_scores(counts)

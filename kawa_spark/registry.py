@@ -81,10 +81,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # power sums in the state store, prefix-window oracle),
 # stream_exec_impossible_travel (the hop detector ONLINE — per-user
 # (last_net, last_us) state, batch-matrix oracle shared verbatim).
-# Then 20 of the 42 r6-evidence keys — all but 22 deferred on family-
+# Then 19 of the 42 r6-evidence keys — all but 23 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
-# percentile_disc (twin percentile_cont in this window),
+# percentile_disc + percentile_cont (the disc-percentile rank
+# machinery — row_number + value at floor((n-1)·q) — is exercised
+# in-window by events_anomaly_mad's two disc medians; cont was this
+# window's original percentile representative until displaced by the
+# sixteenth new key stream_exec_anomaly_mad, the MAD detector's
+# ONLINE twin — streaming daily counts through the real runtime into
+# the same shared scorer, spike plants riding the stream),
 # scalar_string_extra + interval_arithmetic (twin
 # scalar_string_date_math r8), array_map_ops (twin map_ops_extra in
 # this window), json_roundtrip (twin deser_json in this window),
@@ -129,13 +135,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # implementations are untouched since registration, the
 # null_handling grounds, with their aggregate-family twins
 # agg_argminmax + agg_stats_moments staying in this window. THOSE
-# TWENTY-TWO deferred keys MUST lead r10's window. Exactly 50. Max
-# evidence age after this round: deferred 22 = r6 evidence = 3
+# TWENTY-THREE deferred keys MUST lead r10's window. Exactly 50. Max
+# evidence age after this round: deferred 23 = r6 evidence = 3
 # rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 15 new keys (never driver-checked) ---
+    # --- 16 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -151,6 +157,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_template_drift",
     "logs_dga_score",
     "events_anomaly_mad",
+    "stream_exec_anomaly_mad",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -168,7 +175,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 20 of the 42 r6-evidence keys ---
+    # --- 19 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_stats_moments",
     "corpus_decontaminate",
@@ -178,7 +185,6 @@ DRIVER_WINDOW: list[str] = [
     "histogram_width_bucket",
     "join_asof",
     "multimodal_decode",
-    "percentile_cont",
     "pipeline_dedup_corpus",
     "pivot_wide",
     "rollup_multires",

@@ -209,3 +209,63 @@ def test_first_seen_min_converges_out_of_order(spark, tmp_path):
         ("click", 5): (1, 2),
         ("view", 3): (1, 1),
     }
+
+
+def test_anomaly_mad_counts_converge_out_of_order(spark, tmp_path):
+    """stream_exec_anomaly_mad's claim: a streaming COUNT is
+    order-insensitive (unlike the gap kernels), so a late microbatch
+    carrying events for an already-counted day must still converge to
+    the batch daily counts — and through mad_scores, to the same
+    median/MAD verdicts."""
+    import pandas as pd
+
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import DAY_US, mad_scores
+
+    DAY = 86_400
+    # batch 1: type 'a' has 2 events day 0, 1 event day 1
+    rows1 = [("a", 10), ("a", 20), ("a", DAY + 10)]
+    # batch 2: LATE events for day 0 (one more 'a') and a new type
+    rows2 = [("a", 30), ("b", DAY + 50)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_type string, ts_us long"
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(t, s * 1_000_000) for t, s in rows],
+                columns=["event_type", "ts_us"],
+            ),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    daily = (
+        stream.groupBy(
+            "event_type", floordiv(F.col("ts_us"), DAY_US).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"am_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["med"], r["is_spike"])
+        for r in mad_scores(
+            spark.table(name).localCheckpoint()
+        ).collect()
+    }
+    # day-0 'a' count = 3 (the late row folded in); 'a' median over
+    # [1,3] is 1 (value at index floor((2-1)*0.5)=0), its devs [0,2]
+    # give mad=0, so day 0 spikes: (3-1) > 3*0
+    assert got == {
+        ("a", 0): (3, 1, True),
+        ("a", 1): (1, 1, False),
+        ("b", 1): (1, 1, False),
+    }
