@@ -99,6 +99,10 @@ HEADLINE = [
     "events_first_seen",
     "events_impossible_travel",
     "agg_kmv_sliding_window",
+    # r9 continuation additions (batch detection keys; streaming
+    # drains stay out of the headline per the r9 convention)
+    "logs_dga_score",
+    "events_anomaly_mad",
 ]
 
 

@@ -238,9 +238,10 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_funnel",
-    oracle="""
+# Shared verbatim by the batch key below and the online twin's
+# oracle (streaming_mode.py::stream_exec_funnel) so the two can
+# never drift — the FIRST_SEEN_SQL convention.
+FUNNEL_SQL = """
     WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS us FROM events
     ), v AS (
@@ -264,8 +265,10 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v
     LEFT JOIN c ON v.user_id = c.user_id
     LEFT JOIN p ON v.user_id = p.user_id
-    """,
-)
+    """
+
+
+@register("events_funnel", oracle=FUNNEL_SQL)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel (view → click → purchase): per
     user, the first view, the first click strictly AFTER that view,

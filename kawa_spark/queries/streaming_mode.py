@@ -795,3 +795,50 @@ def stream_exec_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, spark, mode="complete", state_partitions=2
     ).localCheckpoint()
     return mad_scores(counts)
+
+
+def _funnel_oracle() -> str:
+    from kawa_spark.queries.events import FUNNEL_SQL
+
+    return FUNNEL_SQL
+
+
+@register("stream_exec_funnel", oracle=_funnel_oracle())
+def stream_exec_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_funnel maintained ONLINE — the eighth online/offline
+    detection twin, and a genuinely new state shape: the kernel
+    (streaming/stateful.py::funnel_states) holds each user's three
+    write-once funnel slots and emits a row the moment a slot fills,
+    so "user just converted" fires at arrival instead of the batch
+    sweep. The drained emissions roll up to one row per user — the
+    max-stage emission, whose slots are final because slots never
+    change once set — and that relation is hash-checked against the
+    batch key's oracle VERBATIM (shared FUNNEL_SQL constant).
+
+    Scale: state is four int64s + the late counter per user; the
+    streaming exchange is the user_id state partitioning; the rollup
+    shuffles at most three rows per converting user. Same
+    time-ordered-batch contract as the other gap kernels, with the
+    late-row guard counted in-state (the beacon observability
+    pattern — surfaced on kernel emissions; the rollup drops it to
+    keep the oracle shared verbatim)."""
+    from kawa_spark.streaming.stateful import funnel_states
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    drained = _drain(funnel_states(e), spark)
+    s = F.max(
+        F.struct("stage", "t_view", "t_click", "t_purchase")
+    ).alias("s")
+    return (
+        drained.groupBy("user_id")
+        .agg(s)
+        .select(
+            "user_id",
+            F.col("s.t_view").alias("t_view"),
+            F.col("s.t_click").alias("t_click"),
+            F.col("s.t_purchase").alias("t_purchase"),
+            F.col("s.stage").alias("stage"),
+        )
+    )

@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # power sums in the state store, prefix-window oracle),
 # stream_exec_impossible_travel (the hop detector ONLINE — per-user
 # (last_net, last_us) state, batch-matrix oracle shared verbatim).
-# Then 19 of the 42 r6-evidence keys — all but 23 deferred on family-
+# Then 18 of the 42 r6-evidence keys — all but 24 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc + percentile_cont (the disc-percentile rank
@@ -134,14 +134,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # keys are trivially-stable single-aggregate ops whose
 # implementations are untouched since registration, the
 # null_handling grounds, with their aggregate-family twins
-# agg_argminmax + agg_stats_moments staying in this window. THOSE
-# TWENTY-THREE deferred keys MUST lead r10's window. Exactly 50. Max
-# evidence age after this round: deferred 23 = r6 evidence = 3
-# rounds at r9; everything else <= 3 rounds.
+# agg_argminmax + agg_stats_moments staying in this window; and
+# stream_exec_session_totals, displaced by the seventeenth new key
+# stream_exec_funnel (the funnel's write-once slot kernel ONLINE —
+# max-stage rollup hash-checked against the shared FUNNEL_SQL):
+# session_totals' applyInPandasWithState sessionizer-state family is
+# represented in this window by stream_exec_session_rarity (the same
+# gap-boundary state shape) plus seven other stateful drains, and
+# its batch twin machinery carries r8 evidence
+# (stateful_running_total). THOSE TWENTY-FOUR deferred keys MUST
+# lead r10's window. Exactly 50. Max evidence age after this round:
+# deferred 24 = r6 evidence = 3 rounds at r9; everything else <= 3
+# rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 16 new keys (never driver-checked) ---
+    # --- 17 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -158,6 +166,7 @@ DRIVER_WINDOW: list[str] = [
     "logs_dga_score",
     "events_anomaly_mad",
     "stream_exec_anomaly_mad",
+    "stream_exec_funnel",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -175,7 +184,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 19 of the 42 r6-evidence keys ---
+    # --- 18 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_stats_moments",
     "corpus_decontaminate",
@@ -190,7 +199,6 @@ DRIVER_WINDOW: list[str] = [
     "rollup_multires",
     "sql_surface",
     "stream_exec_incremental_rollup",
-    "stream_exec_session_totals",
     "subquery_correlated",
     "text_edit_distance",
     "text_redact_pii",

@@ -624,3 +624,120 @@ def session_transitions(events: DataFrame, gap_us: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_STATE_SCHEMA = (
+    "t_view long, t_click long, t_purchase long, "
+    "last_us long, late long"
+)
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, t_view long, t_click long, t_purchase long, "
+    "stage int, late_count long"
+)
+
+
+def funnel_states(events: DataFrame) -> DataFrame:
+    """Streaming conversion funnel — the stateful form of
+    queries/events.funnel_stages run ONLINE: per user, the state is
+    the three monotone funnel slots (first view; first click strictly
+    after that view; first purchase strictly after that click), and a
+    row is emitted the MOMENT a slot fills — the "user just
+    converted" signal at arrival time instead of the batch sweep.
+    Each emitted row carries the user's current slots and stage, so
+    the LAST emission per user (= the max-stage row; slots never
+    change once set) equals the batch funnel row, which is how the
+    registered key's rollup hash-checks this kernel against the
+    batch oracle.
+
+    Processing events in time order makes the slot updates equal the
+    batch MIN-with-strict-inequality chain: when an event is
+    processed, every earlier event has been applied, so "first click
+    after t_view" is exactly "the first click processed while t_view
+    is set and us > t_view" (ties excluded by the strict test, same
+    as the batch form). State is four int64s + the late counter —
+    O(1) per user, never the event list.
+
+    Inherits the time-ordered-batch contract (rate_limited
+    docstring): a genuinely late event (behind the user's high-water
+    mark) is SKIPPED — folded in, a late early view could not rewind
+    t_view anyway (slots are write-once), so skipping keeps the state
+    consistent rather than half-applying it — and COUNTED in the
+    state's late counter, which rides on every emitted row
+    (beacon_scores' observability pattern). Inside the contract the
+    guard never fires. Chunks are concat-then-sorted like the other
+    kernels."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        has = state.exists
+        if has:
+            tv, tc, tp, last_us, late = state.get
+            last_us = int(last_us)
+            late = int(late)
+        else:
+            tv, tc, tp, last_us, late = None, None, None, 0, 0
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            if has:
+                state.update((tv, tc, tp, last_us, late))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        rows = []
+        for t, typ in zip(pdf["us"], pdf["event_type"]):
+            t = int(t)
+            if has and t < last_us:
+                late += 1  # excluded AND counted: see docstring
+                continue
+            changed = False
+            if typ == "view" and tv is None:
+                tv, changed = t, True
+            elif (
+                typ == "click"
+                and tc is None
+                and tv is not None
+                and t > tv
+            ):
+                tc, changed = t, True
+            elif (
+                typ == "purchase"
+                and tp is None
+                and tc is not None
+                and t > tc
+            ):
+                tp, changed = t, True
+            if changed:
+                stage = 1 + (tc is not None) + (tp is not None)
+                rows.append((key[0], tv, tc, tp, stage, late))
+            last_us = t
+            has = True
+        state.update((tv, tc, tp, last_us, late))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "t_view",
+                    "t_click",
+                    "t_purchase",
+                    "stage",
+                    "late_count",
+                ],
+            )
+
+    return (
+        events.select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

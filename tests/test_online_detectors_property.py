@@ -283,3 +283,104 @@ def test_session_transitions_matches_bruteforce(spark, case, tmp_path_factory):
         )
     )
     assert got == _transitions_ref(rows), (rows, c1, c2)
+
+
+# ---------------------------------------------------------------------------
+# funnel_states (the online funnel behind stream_exec_funnel)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_ref(rows):
+    """user -> final (t_view, t_click, t_purchase, stage) from the
+    batch definition (MIN chain with strict inequalities)."""
+    by_user: dict[int, list] = {}
+    for eid, u, typ, us in sorted(rows, key=lambda r: (r[3], r[0])):
+        by_user.setdefault(u, []).append((typ, us))
+    out = {}
+    for u, evs in by_user.items():
+        tv = min((t for ty, t in evs if ty == "view"), default=None)
+        tc = (
+            min(
+                (t for ty, t in evs if ty == "click" and t > tv),
+                default=None,
+            )
+            if tv is not None
+            else None
+        )
+        tp = (
+            min(
+                (t for ty, t in evs if ty == "purchase" and t > tc),
+                default=None,
+            )
+            if tc is not None
+            else None
+        )
+        if tv is not None:
+            out[u] = (
+                tv,
+                tc,
+                tp,
+                1 + (tc is not None) + (tp is not None),
+            )
+    return out
+
+
+@st.composite
+def funnel_batches(draw):
+    rows = []
+    eid = 0
+    for u in range(draw(st.integers(1, 3))):
+        n = draw(st.integers(1, 12))
+        t = draw(st.sampled_from([0, -1000 * S]))
+        for _ in range(n):
+            # 0-gaps create the tie case the strict > excludes
+            t += draw(st.sampled_from([0, 1, S, 50 * S]))
+            rows.append(
+                (
+                    eid,
+                    u,
+                    draw(st.sampled_from(["view", "click", "purchase"])),
+                    t,
+                )
+            )
+            eid += 1
+    rows.sort(key=lambda r: (r[3], r[0]))
+    cuts = sorted(
+        [draw(st.integers(0, len(rows))), draw(st.integers(0, len(rows)))]
+    )
+    return rows, cuts
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=funnel_batches())
+def test_funnel_states_matches_bruteforce(spark, case, tmp_path_factory):
+    from kawa_spark.streaming.stateful import funnel_states
+
+    rows, (c1, c2) = case
+    src = tmp_path_factory.mktemp("fn_src")
+    schema = "event_id long, user_id long, event_type string, us long"
+    batches = [
+        pd.DataFrame(b, columns=["event_id", "user_id", "event_type", "us"])
+        for b in (rows[:c1], rows[c1:c2], rows[c2:])
+        if b
+    ]
+    emitted = _drain_batches(
+        spark,
+        src,
+        schema,
+        batches,
+        funnel_states,
+        f"fnp_{uuid.uuid4().hex[:8]}",
+    )
+    # last emission per user = max stage (slots are write-once)
+    got = {}
+    for r in emitted:
+        cur = got.get(r["user_id"])
+        row = (r["t_view"], r["t_click"], r["t_purchase"], r["stage"])
+        if cur is None or row[3] > cur[3]:
+            got[r["user_id"]] = row
+    assert got == _funnel_ref(rows), (rows, c1, c2)

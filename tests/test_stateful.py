@@ -394,3 +394,59 @@ def test_session_transitions_skips_late_rows(spark, tmp_path):
     )
     # the late "buy" is absent; "pay" transitions from "click"
     assert got == [(1, 1, "click", "pay"), (1, 1, "view", "click")]
+
+
+def test_funnel_states_carry_and_late_count(spark, tmp_path):
+    """Funnel slots must survive the microbatch boundary (a click in
+    batch 2 converts against batch 1's view) and the late-row guard
+    must count, not fold: a late click behind the high-water mark is
+    excluded (it could otherwise fill t_click with a timestamp the
+    batch MIN chain never saw) and surfaces in late_count."""
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import funnel_states
+
+    S = 1_000_000
+    rows1 = [(1, 1, "view", 10 * S), (2, 1, "purchase", 20 * S)]
+    # batch 2: late click at 15 s (behind the 20 s mark) is SKIPPED;
+    # the in-order click at 30 s fills t_click, then purchase at 40 s
+    rows2 = [
+        (3, 1, "click", 15 * S),
+        (4, 1, "click", 30 * S),
+        (5, 1, "purchase", 40 * S),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string, us long"
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["event_id", "user_id", "event_type", "us"]
+            ),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"fc_{uuid.uuid4().hex[:8]}"
+    _drain(funnel_states(stream), name)
+    got = sorted(
+        (
+            r["stage"],
+            r["t_view"],
+            r["t_click"],
+            r["t_purchase"],
+            r["late_count"],
+        )
+        for r in spark.table(name).collect()
+    )
+    # emissions: stage 1 (view@10), stage 2 (click@30, late=1 by
+    # then), stage 3 (purchase@40). The batch-1 purchase@20 cannot
+    # fill (no click yet) — write-once ordering enforced.
+    assert got == [
+        (1, 10 * S, None, None, 0),
+        (2, 10 * S, 30 * S, None, 1),
+        (3, 10 * S, 30 * S, 40 * S, 1),
+    ]
