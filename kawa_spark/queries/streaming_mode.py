@@ -842,3 +842,43 @@ def stream_exec_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.stage").alias("stage"),
         )
     )
+
+
+def _dga_oracle() -> str:
+    from kawa_spark.queries.security import DGA_SCORE_SQL
+
+    return DGA_SCORE_SQL
+
+
+@register("stream_exec_dga_score", oracle=_dga_oracle())
+def stream_exec_dga_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logs_dga_score maintained ONLINE — the ninth online/offline
+    detection twin: the domain derivation is stateless map-side work
+    (md5 + CASE, stream-compatible as-is), and the per-domain
+    distinct-actor count — which streaming aggregation cannot express
+    directly (no COUNT DISTINCT on a stream) — uses the pair-drain
+    pattern from stream_exec_first_seen: the streaming aggregate
+    maintains (domain, user) pair counts, and the read-side batch
+    pass rolls pairs up to n_events/n_users and applies the SAME
+    feature core (security.dga_features). Oracle = the batch key's
+    SQL verbatim (shared DGA_SCORE_SQL constant). Streaming COUNT is
+    order-insensitive — exact under ANY batch order, no ordering
+    contract.
+
+    Scale: streaming state = live (domain, user) pairs — the same
+    inventory a first-seen detector holds; the rollup and char math
+    run on the drained pair table (≪ stream volume)."""
+    from kawa_spark.queries.security import dga_features, domain_col
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", domain_col().alias("domain")
+    )
+    pairs = e.groupBy("domain", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    drained = _drain(pairs, spark, mode="complete")
+    agg = drained.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return dga_features(agg)

@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # power sums in the state store, prefix-window oracle),
 # stream_exec_impossible_travel (the hop detector ONLINE — per-user
 # (last_net, last_us) state, batch-matrix oracle shared verbatim).
-# Then 18 of the 42 r6-evidence keys — all but 24 deferred on family-
+# Then 17 of the 42 r6-evidence keys — all but 25 deferred on family-
 # twin or triviality grounds: multimodal_meta/resize/frames (twin
 # multimodal_decode in this window + audio_features r7),
 # percentile_disc + percentile_cont (the disc-percentile rank
@@ -142,14 +142,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # represented in this window by stream_exec_session_rarity (the same
 # gap-boundary state shape) plus seven other stateful drains, and
 # its batch twin machinery carries r8 evidence
-# (stateful_running_total). THOSE TWENTY-FOUR deferred keys MUST
-# lead r10's window. Exactly 50. Max evidence age after this round:
-# deferred 24 = r6 evidence = 3 rounds at r9; everything else <= 3
-# rounds.
+# (stateful_running_total); and text_redact_pii, displaced by the
+# eighteenth new key stream_exec_dga_score (the DGA detector ONLINE
+# — the pair-drain distinct pattern over streaming domain counts,
+# shared dga_features core + DGA_SCORE_SQL): its regex-masking
+# family twin text_edit_distance stays in this window and the text
+# tier carries r8 evidence x4 (the text_fingerprint grounds). THOSE
+# TWENTY-FIVE deferred keys MUST lead r10's window. Exactly 50. Max
+# evidence age after this round: deferred 25 = r6 evidence = 3
+# rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 17 new keys (never driver-checked) ---
+    # --- 18 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -167,6 +172,7 @@ DRIVER_WINDOW: list[str] = [
     "events_anomaly_mad",
     "stream_exec_anomaly_mad",
     "stream_exec_funnel",
+    "stream_exec_dga_score",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -184,7 +190,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 18 of the 42 r6-evidence keys ---
+    # --- 17 of the 42 r6-evidence keys ---
     "agg_argminmax",
     "agg_stats_moments",
     "corpus_decontaminate",
@@ -201,7 +207,6 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_incremental_rollup",
     "subquery_correlated",
     "text_edit_distance",
-    "text_redact_pii",
     "udtf_lateral",
 ]
 

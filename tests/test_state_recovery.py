@@ -247,3 +247,151 @@ def test_net_hops_survives_restart(spark, tmp_path):
     emit(3, "net_b", 180 * M)
     drain()
     assert collected == {3: ("net_a", "net_b", 120 * M)}
+
+
+def test_funnel_states_survive_restart(spark, tmp_path):
+    """The online funnel's write-once slots resume from the
+    checkpoint: a conversion whose stages straddle the RESTART still
+    completes (the click after restart converts against the
+    pre-restart view), including null slots in the recovered state."""
+    from kawa_spark.streaming.stateful import funnel_states
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    collected: list = []
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value",
+                "event_id long, user_id long, event_type string, us long",
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            funnel_states(parsed)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.extend(
+                    (
+                        r["stage"],
+                        r["t_view"],
+                        r["t_click"],
+                        r["t_purchase"],
+                        r["late_count"],
+                    )
+                    for r in df.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json
+
+    def emit(eid, typ, us):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "user_id": 7,
+                        "event_type": typ,
+                        "us": us,
+                    }
+                )
+                + "\n"
+            )
+
+    S = 1_000_000
+    emit(1, "view", 10 * S)
+    drain()
+    assert collected == [(1, 10 * S, None, None, 0)]
+
+    # restart: the click converts against the CHECKPOINTED view slot
+    emit(2, "click", 20 * S)
+    emit(3, "purchase", 30 * S)
+    drain()
+    assert collected[1:] == [
+        (2, 10 * S, 20 * S, None, 0),
+        (3, 10 * S, 20 * S, 30 * S, 0),
+    ]
+
+
+def test_session_transitions_survive_restart(spark, tmp_path):
+    """The online sessionizer's (session_idx, last_us, last_type)
+    resumes from the checkpoint: a transition straddling the RESTART
+    is emitted in the pre-restart session, and a later gap opens
+    session 2 with the checkpointed index."""
+    from kawa_spark.streaming.stateful import session_transitions
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    collected: list = []
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value",
+                "event_id long, user_id long, event_type string, us long",
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            session_transitions(parsed, 1800 * 1_000_000)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.extend(
+                    (
+                        r["session_idx"],
+                        r["from_type"],
+                        r["to_type"],
+                    )
+                    for r in df.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json
+
+    def emit(eid, typ, us):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "user_id": 7,
+                        "event_type": typ,
+                        "us": us,
+                    }
+                )
+                + "\n"
+            )
+
+    S = 1_000_000
+    emit(1, "view", 0)
+    emit(2, "click", 60 * S)
+    drain()
+    assert collected == [(1, "view", "click")]
+
+    # restart: 120 s continues session 1 (needs last_us/last_type
+    # from the checkpoint); 2 h later opens session 2
+    emit(3, "buy", 120 * S)
+    emit(4, "view", 7800 * S)
+    emit(5, "click", 7860 * S)
+    drain()
+    assert collected[1:] == [(1, "click", "buy"), (2, "view", "click")]
