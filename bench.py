@@ -103,6 +103,8 @@ HEADLINE = [
     # drains stay out of the headline per the r9 convention)
     "logs_dga_score",
     "events_anomaly_mad",
+    "events_password_spray",
+    "logs_typosquat",
 ]
 
 

@@ -7,7 +7,7 @@ reference exists to shuttle security logs, /root/reference/README.md:
     → debounce            (adjacent-duplicate suppression — the
                            at-least-once ingest cleanup)
     → template extraction (drain-style masking → pattern id)
-    → nine detectors over the clean stream:
+    → eleven detectors over the clean stream:
         * rate limiter    (trailing-window per-user flood flag)
         * heavy hitters   (top-K users per event type)
         * template drift  (new-pattern / growth alerting)
@@ -25,6 +25,16 @@ reference exists to shuttle security logs, /root/reference/README.md:
                            surrogates, dga_features core)
         * volume spikes   (r9: per-type daily counts vs the robust
                            median/MAD baseline, mad_scores core)
+        * password spray  (r9: one network touching many distinct
+                           accounts in an hour — fan-in over the CIDR
+                           LPM; the planted spray simulates the
+                           credential-stuffing source so the detector
+                           demonstrably fires)
+        * typosquat       (r9: observed domains within edit distance
+                           1-2 of the legit vocabulary — the fuzzy
+                           dimension join, typosquat_matches core;
+                           planted look-alike domains simulate the
+                           phishing infrastructure)
     → one alert relation  (union of detector verdicts, severity-coded)
 
 Every detector calls the SAME core the oracle-verified registry
@@ -33,7 +43,7 @@ top_k_by_count, logs.daily_template_counts / drift_enrich) — a
 predicate or constant fix in the verified operators flows into this
 pipeline automatically; nothing is re-implemented here (code review
 r8). The example's contribution is the COMPOSITION: one debounced,
-templated stream feeds all nine detectors without re-reading the
+templated stream feeds all eleven detectors without re-reading the
 source, and the alert union is a narrow column-aligned unionByName.
 
 Run directly (`python examples/security_analytics.py [sf_dir]`) or
@@ -67,7 +77,12 @@ from kawa_spark.queries.security import (
     BEACON_CV2_NUM,
     BEACON_MIN_GAPS,
     HOP_WINDOW_US,
+    SPRAY_MIN_USERS,
+    TYPOSQUAT_MAX_DIST,
+    DGA_VOCAB,
     _planted_beacons,
+    _planted_spray,
+    _typo_plant_rows,
     beaconing_stats,
     dga_features,
     domain_col,
@@ -76,6 +91,7 @@ from kawa_spark.queries.security import (
     net_hop_matrix,
     nets_df,
     session_rarity_scores,
+    typosquat_matches,
 )
 
 
@@ -322,8 +338,72 @@ def spike_alerts(clean: DataFrame) -> DataFrame:
     )
 
 
+def spray_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Networks touching too many distinct accounts inside one hour
+    (events_password_spray semantics — fan-in over the shared CIDR
+    LPM; the planted spray simulates the stuffing source so the
+    detector demonstrably fires on the demo data)."""
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import HOUR_US
+
+    sign = clean.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("us").alias("ts_us"), "ip"
+    )
+    m = longest_prefix_match(
+        sign.unionByName(_planted_spray(spark)), nets_df(spark)
+    )
+    rolled = m.groupBy(
+        "net", floordiv(F.col("ts_us"), HOUR_US).alias("hour_slot")
+    ).agg(
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return rolled.filter(F.col("n_users") >= SPRAY_MIN_USERS).select(
+        F.lit("password_spray").alias("alert"),
+        F.lit(3).alias("severity"),
+        F.concat(
+            F.col("net"), F.lit("@h"), F.col("hour_slot").cast("string")
+        ).alias("subject"),
+        F.concat(
+            F.lit("users="), F.col("n_users").cast("string"),
+            F.lit(" attempts="), F.col("n_attempts").cast("string"),
+        ).alias("detail"),
+    )
+
+
+def typosquat_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Observed domains one or two edits from the legit vocabulary
+    (logs_typosquat semantics — typosquat_matches core; the planted
+    look-alike domains simulate the phishing infrastructure)."""
+    plants = spark.createDataFrame(
+        _typo_plant_rows(), "event_id long, user_id long, domain string"
+    )
+    agg = (
+        clean.select("event_id", "user_id", domain_col().alias("domain"))
+        .unionByName(plants)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    wl = spark.createDataFrame(
+        [(d,) for d in DGA_VOCAB], "wl_domain string"
+    )
+    return typosquat_matches(agg, wl, TYPOSQUAT_MAX_DIST).select(
+        F.lit("typosquat").alias("alert"),
+        F.lit(2).alias("severity"),
+        F.col("domain").alias("subject"),
+        F.concat(
+            F.lit("mimics "), F.col("wl_domain"),
+            F.lit(" dist="), F.col("edit_dist").cast("string"),
+            F.lit(" hits="), F.col("n_events").cast("string"),
+        ).alias("detail"),
+    )
+
+
 def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline: one cleaned stream, nine detectors,
+    """The composed pipeline: one cleaned stream, eleven detectors,
     one severity-ordered alert table. No persist(): the detectors'
     plans share the debounce subtree byte-identically, so AQE
     exchange reuse serves the shared scan+shuffle from shuffle files
@@ -340,6 +420,8 @@ def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(travel_alerts(spark, clean))
         .unionByName(dga_alerts(clean))
         .unionByName(spike_alerts(clean))
+        .unionByName(spray_alerts(spark, clean))
+        .unionByName(typosquat_alerts(spark, clean))
     )
     return alerts.orderBy(F.col("severity").desc(), "alert", "subject", "detail")
 

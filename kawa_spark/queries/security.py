@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from kawa_spark.io import table
 from kawa_spark.queries.events import (
     DAY_US,
+    HOUR_US,
     SESSION_GAP_US,
     funnel_stages,
 )
@@ -1009,4 +1010,265 @@ def dga_features(agg: DataFrame) -> DataFrame:
             & (n_digits >= 1)
             & (2 * n_distinct >= F.length("label"))
         ).alias("is_dga"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Password-spray detection (fan-in)
+# ---------------------------------------------------------------------------
+
+# Spray rule + plant: one source network touching MANY distinct
+# accounts inside one hour. The synthetic signup traffic is sparse
+# (~3 signups/hour at sf0.01 spread over the whole address plan), so
+# without planting, is_spray would verify only the all-false
+# complement — the vacuous-pass class VERDICT r8 closed. The plant is
+# one deterministic spray: SPRAY_PLANT_N signup events, all sourced
+# from the quarantine /14, one per distinct (synthetic) account, 80 s
+# apart — 40 accounts in 52 minutes from one net, the textbook
+# credential-stuffing shape.
+SPRAY_MIN_USERS = 20
+SPRAY_PLANT_N = 40
+_SPRAY_GAP_US = 80_000_000
+_SPRAY_PLANT_BASE_ID = 11_000_000
+_SPRAY_PLANT_BASE_USER = 9_910_000
+_QUAR_LO = next(lo for n, _, lo, _ in CIDR_NETS if n == "quarantine")
+
+# Shared verbatim by the batch oracle and the online twin
+# (streaming_mode.py::stream_exec_password_spray) — the PLANTS_SQL
+# convention, so the two can never drift.
+SPRAY_PLANTS_SQL = f"""
+      SELECT {_SPRAY_PLANT_BASE_ID} + i, {_SPRAY_PLANT_BASE_USER} + i,
+             {PLANT_BASE_US} + i*{_SPRAY_GAP_US}, {_QUAR_LO} + i
+      FROM range({SPRAY_PLANT_N}) t(i)"""
+
+PASSWORD_SPRAY_SQL = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, {_IP_EXPR_SQL} AS ip
+      FROM events WHERE event_type = 'signup'
+      UNION ALL{SPRAY_PLANTS_SQL}
+    ), nets(net, plen, lo, hi) AS (
+      VALUES {_nets_values_sql()}
+    ), matched AS (
+      SELECT e.event_id, e.user_id, e.ts_us, n.net,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY n.plen DESC, n.net DESC) AS rn
+      FROM ev e JOIN nets n ON e.ip BETWEEN n.lo AND n.hi
+    )
+    SELECT net, ts_us // {HOUR_US} AS hour_slot,
+           COUNT(*) AS n_attempts,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT user_id) >= {SPRAY_MIN_USERS} AS is_spray
+    FROM matched WHERE rn = 1
+    GROUP BY 1, 2
+    """
+
+
+@register("events_password_spray", oracle=PASSWORD_SPRAY_SQL)
+def events_password_spray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Password-spray / credential-stuffing detection — the FAN-IN
+    inverse of events_beaconing's fan-out periodicity: instead of one
+    actor's timing, flag one NETWORK touching many distinct accounts
+    in a short window. Per (net, hour): signup attempts, distinct
+    accounts, and the integer rule is_spray = n_users >=
+    SPRAY_MIN_USERS. The source network comes from the same map-side
+    CIDR longest-prefix match as logs_cidr_enrich (shared
+    longest_prefix_match core, broadcast plan array — zero pre-rollup
+    shuffle), the hour bucket from the exact floor-div convention.
+
+    One deterministic spray is planted in BOTH engines (the
+    events_beaconing discipline, shared SPRAY_PLANTS_SQL constant):
+    40 accounts from the quarantine /14 inside 52 minutes — so the
+    true class is hash-verified, while natural signups (sparse across
+    the plan) verify the false class.
+
+    Scale: the only full-stream work is the (net, hour) rollup —
+    countDistinct expands to the standard two-level plan (partial
+    (net, hour, user) dedup, then (net, hour)), both exchanges keyed
+    on the rollup with map-side combine; output ∝ |nets|·|hours|, and
+    no exchange carries event_id (plan-pinned). At 10^9 auth
+    events/day the shuffle carries one row per (net, hour, user)
+    triple, not per attempt.
+
+    Float discipline: counts and a boolean only — nothing to drift.
+
+    kawa parity: none (no analytics surface in the reference);
+    mandate (M) security-analytics extension — the auth-log detection
+    a SIEM runs on the stream kawa ships
+    (/root/reference/README.md:7-16)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            ip_col(),
+        )
+    )
+    ev = e.unionByName(_planted_spray(spark))
+    m = longest_prefix_match(ev, nets_df(spark))
+    return (
+        m.groupBy(
+            "net", floordiv(F.col("ts_us"), HOUR_US).alias("hour_slot")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_attempts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn(
+            "is_spray", F.col("n_users") >= F.lit(SPRAY_MIN_USERS)
+        )
+    )
+
+
+def _planted_spray(spark: SparkSession) -> DataFrame:
+    """The Spark twin of SPRAY_PLANTS_SQL — one spray: SPRAY_PLANT_N
+    distinct accounts from consecutive quarantine addresses, 80 s
+    apart starting at PLANT_BASE_US."""
+    return spark.range(SPRAY_PLANT_N).select(
+        (F.lit(_SPRAY_PLANT_BASE_ID) + F.col("id")).alias("event_id"),
+        (F.lit(_SPRAY_PLANT_BASE_USER) + F.col("id")).alias("user_id"),
+        (F.lit(PLANT_BASE_US) + F.col("id") * F.lit(_SPRAY_GAP_US)).alias(
+            "ts_us"
+        ),
+        (F.lit(_QUAR_LO) + F.col("id")).alias("ip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typosquat detection (fuzzy dimension join)
+# ---------------------------------------------------------------------------
+
+TYPOSQUAT_MAX_DIST = 2
+
+# Planted typo domains (the legit DGA_VOCAB is the whitelist; each
+# plant is edit-distance 1 from one vocab entry). Natural traffic can
+# never produce a match — observed domains are either EXACTLY a vocab
+# entry (distance 0, excluded by the >= 1 bound) or a 16-hex-char
+# .bad label (length differs from every vocab entry by >= 4, pruned
+# by the length band) — so without planting this key would be a
+# 0-row vacuous match, the class VERDICT r8 closed.
+TYPO_PLANTS: list[tuple[str, int]] = [
+    ("mail.examp1e.com", 7),  # l -> 1 homoglyph
+    ("www.acne.org", 5),  # m -> n fat-finger
+    ("api-shop.net", 3),  # dot -> dash separator swap
+]
+_TYPO_PLANT_BASE_ID = 12_000_000
+_TYPO_PLANT_BASE_USER = 9_920_000
+
+
+def _typo_plant_rows() -> list[tuple[int, int, str]]:
+    """Deterministic plant rows shared by both engines: domain i gets
+    its configured event count; every second event reuses the prior
+    synthetic account so n_users < n_events (both aggregates carry
+    signal)."""
+    rows: list[tuple[int, int, str]] = []
+    j = 0
+    for dom, k in TYPO_PLANTS:
+        for _ in range(k):
+            rows.append(
+                (_TYPO_PLANT_BASE_ID + j, _TYPO_PLANT_BASE_USER + j // 2, dom)
+            )
+            j += 1
+    return rows
+
+
+def _typo_values_sql() -> str:
+    return ", ".join(
+        f"({eid}, {uid}, '{dom}')" for eid, uid, dom in _typo_plant_rows()
+    )
+
+
+TYPOSQUAT_SQL = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, {_DGA_DOMAIN_SQL} AS domain FROM events
+      UNION ALL
+      SELECT * FROM (VALUES {_typo_values_sql()})
+        t(event_id, user_id, domain)
+    ), agg AS (
+      SELECT domain, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM ev GROUP BY 1
+    ), wl(wl_domain) AS (
+      VALUES {", ".join(f"('{d}')" for d in DGA_VOCAB)}
+    )
+    SELECT a.domain, w.wl_domain,
+           CAST(levenshtein(a.domain, w.wl_domain) AS BIGINT) AS edit_dist,
+           a.n_events, a.n_users
+    FROM agg a JOIN wl w
+      ON abs(length(a.domain) - length(w.wl_domain)) <= {TYPOSQUAT_MAX_DIST}
+     AND levenshtein(a.domain, w.wl_domain)
+         BETWEEN 1 AND {TYPOSQUAT_MAX_DIST}
+    """
+
+
+@register("logs_typosquat", oracle=TYPOSQUAT_SQL)
+def logs_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat / homoglyph detection — observed domains within
+    edit distance 1..TYPOSQUAT_MAX_DIST of a whitelist entry but not
+    equal to it: the phishing-infrastructure detection that catches
+    mail.examp1e.com impersonating mail.example.com. A genuinely new
+    JOIN SHAPE for the engine: a FUZZY dimension join — non-equi on a
+    string metric — where every other dim join here is exact-key or
+    range. The whitelist is the DGA_VOCAB itself (the legit domains
+    the synthetic traffic visits).
+
+    Distances are levenshtein (unit-cost edits) in both engines —
+    integer, hash-exact (the text_edit_distance precedent). Three
+    typo domains are planted in BOTH engines (TYPO_PLANTS; see the
+    comment for why natural traffic can never match).
+
+    Scale: the metric join runs AFTER the per-domain rollup, so its
+    left side is |distinct domains|, not event volume; the whitelist
+    broadcasts and the join is BroadcastNestedLoopJoin by
+    construction (plan-pinned) — bounded at |domains| x |whitelist|
+    condition evaluations, with the cheap length-band conjunct
+    pruning before the O(len^2) distance. A production whitelist of
+    10^4+ entries would convert this to an equi-join on blocking keys
+    (length band x first char) before the distance filter — the
+    dedup_ngram_jaccard posting-list discipline; at this whitelist
+    size the broadcast loop is the better plan (no blocking-key
+    explosion of the domain side).
+
+    kawa parity: none; mandate (M) security-analytics extension —
+    the DNS-log sibling of logs_dga_score (shape-based flags) for
+    look-alike rather than machine-generated names."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", domain_col().alias("domain")
+    )
+    plants = spark.createDataFrame(
+        _typo_plant_rows(), "event_id long, user_id long, domain string"
+    )
+    ev = e.unionByName(plants)
+    agg = ev.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wl = spark.createDataFrame([(d,) for d in DGA_VOCAB], "wl_domain string")
+    return typosquat_matches(agg, wl, TYPOSQUAT_MAX_DIST)
+
+
+def typosquat_matches(
+    agg: DataFrame, wl: DataFrame, max_dist: int
+) -> DataFrame:
+    """Core fuzzy-dim join over any (domain, n_events, n_users) frame
+    and a (wl_domain) whitelist — logs_typosquat binds it to the
+    events-derived domains + DGA_VOCAB; the property test
+    (tests/test_typosquat_property.py) drives it on random labels and
+    random single-edit typos against a pure-Python Levenshtein DP."""
+    dist = F.levenshtein(F.col("domain"), F.col("wl_domain"))
+    return agg.join(
+        F.broadcast(wl),
+        (
+            F.abs(F.length("domain") - F.length("wl_domain"))
+            <= F.lit(max_dist)
+        )
+        & (dist >= F.lit(1))
+        & (dist <= F.lit(max_dist)),
+    ).select(
+        "domain",
+        "wl_domain",
+        dist.cast("long").alias("edit_dist"),
+        "n_events",
+        "n_users",
     )

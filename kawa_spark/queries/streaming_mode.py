@@ -882,3 +882,89 @@ def stream_exec_dga_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
     )
     return dga_features(agg)
+
+
+_SPRAY_PLANTS_DIR: str | None = None
+
+
+def _spray_plants_dir() -> str:
+    """Per-process scratch dir for the spray plant stream (the
+    _beacon_plants_dir concurrent-session reasoning)."""
+    global _SPRAY_PLANTS_DIR
+    if _SPRAY_PLANTS_DIR is None:
+        import tempfile
+
+        _SPRAY_PLANTS_DIR = tempfile.mkdtemp(prefix="kawa_spray_plants_")
+    return _SPRAY_PLANTS_DIR
+
+
+def _spray_oracle() -> str:
+    from kawa_spark.queries.security import PASSWORD_SPRAY_SQL
+
+    return PASSWORD_SPRAY_SQL
+
+
+@register("stream_exec_password_spray", oracle=_spray_oracle())
+def stream_exec_password_spray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_password_spray maintained ONLINE — the tenth
+    online/offline detection twin. The address attribution is
+    stateless map-side work (ip derivation + broadcast CIDR LPM,
+    stream-compatible as-is — the stream_exec_impossible_travel
+    front half), and the per-(net, hour) distinct-account count uses
+    the pair-drain pattern from stream_exec_dga_score: the streaming
+    aggregate maintains (net, hour, user) triple counts, the
+    read-side batch pass rolls triples up to n_attempts/n_users and
+    applies the SAME integer spray rule. Oracle = the batch key's SQL
+    verbatim (shared PASSWORD_SPRAY_SQL constant); the planted spray
+    rides the STREAM as a second file source (shared _planted_spray
+    constructor). Streaming COUNT is order-insensitive — exact under
+    ANY batch order, no ordering contract.
+
+    Scale: streaming state = live (net, hour, user) triples — one
+    row per account a network touched in an hour, the exact inventory
+    the detection needs and far below event volume; the rollup runs
+    on the drained triple table."""
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import HOUR_US
+    from kawa_spark.queries.security import (
+        SPRAY_MIN_USERS,
+        _planted_spray,
+        ip_col,
+        longest_prefix_match,
+        nets_df,
+    )
+
+    e = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            ip_col(),
+        )
+    )
+    plants_dir = _spray_plants_dir()
+    _planted_spray(spark).coalesce(1).write.mode("overwrite").parquet(
+        plants_dir
+    )
+    p = spark.readStream.schema(
+        "event_id long, user_id long, ts_us long, ip long"
+    ).parquet(plants_dir)
+    m = longest_prefix_match(e.unionByName(p), nets_df(spark))
+    triples = m.groupBy(
+        "net",
+        floordiv(F.col("ts_us"), HOUR_US).alias("hour_slot"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = _drain(triples, spark, mode="complete")
+    return (
+        drained.groupBy("net", "hour_slot")
+        .agg(
+            F.sum("n").cast("long").alias("n_attempts"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .withColumn(
+            "is_spray", F.col("n_users") >= F.lit(SPRAY_MIN_USERS)
+        )
+    )

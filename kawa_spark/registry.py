@@ -133,8 +133,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # integer-exact sibling of events_anomaly_zscore r8): both displaced
 # keys are trivially-stable single-aggregate ops whose
 # implementations are untouched since registration, the
-# null_handling grounds, with their aggregate-family twins
-# agg_argminmax + agg_stats_moments staying in this window; and
+# null_handling grounds, with their aggregate-family twin
+# agg_stats_moments staying in this window (agg_argminmax was the
+# second stated twin until the continuation pass displaced it — see
+# events_password_spray below; the family keeps one in-window
+# representative); and
 # stream_exec_session_totals, displaced by the seventeenth new key
 # stream_exec_funnel (the funnel's write-once slot kernel ONLINE —
 # max-stage rollup hash-checked against the shared FUNNEL_SQL):
@@ -147,14 +150,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # — the pair-drain distinct pattern over streaming domain counts,
 # shared dga_features core + DGA_SCORE_SQL): its regex-masking
 # family twin text_edit_distance stays in this window and the text
-# tier carries r8 evidence x4 (the text_fingerprint grounds). THOSE
-# TWENTY-FIVE deferred keys MUST lead r10's window. Exactly 50. Max
-# evidence age after this round: deferred 25 = r6 evidence = 3
+# tier carries r8 evidence x4 (the text_fingerprint grounds).
+# Then THREE MORE new keys from the r9 continuation pass, each
+# displacing an r6-evidence key: events_password_spray (fan-in
+# credential-stuffing detection — per-(net, hour) distinct-account
+# counts over the map-side CIDR LPM, one deterministic spray planted
+# in both engines) displaces agg_argminmax (trivially-stable
+# single-aggregate op untouched since registration — the
+# null_handling grounds — with its aggregate-family twin
+# agg_stats_moments staying in this window); logs_typosquat (fuzzy
+# dimension join — levenshtein 1..2 against the DGA_VOCAB whitelist
+# behind a length band, three planted typo domains) displaces
+# text_edit_distance (typosquat exercises the IDENTICAL cross-engine
+# levenshtein surface in-window, with plants + an independent DP
+# property test on top — strictly stronger evidence for the same
+# machinery); and stream_exec_password_spray (the spray detector
+# ONLINE — pair-drain (net, hour, user) triples through the real
+# runtime, shared PASSWORD_SPRAY_SQL oracle verbatim) displaces
+# pivot_wide (trivially-stable explicit-domain pivot untouched since
+# registration, the null_handling grounds; its groupBy-aggregate
+# family is represented in-window by agg_stats_moments +
+# histogram_width_bucket). THOSE
+# TWENTY-EIGHT deferred keys MUST lead r10's window. Exactly 50. Max
+# evidence age after this round: deferred 28 = r6 evidence = 3
 # rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 18 new keys (never driver-checked) ---
+    # --- 21 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -173,6 +196,9 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_anomaly_mad",
     "stream_exec_funnel",
     "stream_exec_dga_score",
+    "events_password_spray",
+    "logs_typosquat",
+    "stream_exec_password_spray",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -190,8 +216,7 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 17 of the 42 r6-evidence keys ---
-    "agg_argminmax",
+    # --- 14 of the 42 r6-evidence keys ---
     "agg_stats_moments",
     "corpus_decontaminate",
     "corpus_split",
@@ -201,12 +226,10 @@ DRIVER_WINDOW: list[str] = [
     "join_asof",
     "multimodal_decode",
     "pipeline_dedup_corpus",
-    "pivot_wide",
     "rollup_multires",
     "sql_surface",
     "stream_exec_incremental_rollup",
     "subquery_correlated",
-    "text_edit_distance",
     "udtf_lateral",
 ]
 

@@ -146,3 +146,23 @@ def test_security_analytics_composes(spark):
     for r in alerts:
         if r["alert"] == "impossible_travel":
             assert " -> " in r["subject"]
+
+
+def test_security_analytics_spray_and_typosquat_fire(spark):
+    """The two r9-continuation detectors fire on their plants: the
+    spray alert names the quarantine net with the full planted
+    account count, and the typosquat alerts are exactly the planted
+    look-alike domains."""
+    from security_analytics import alert_relation
+
+    from kawa_spark.queries.security import SPRAY_PLANT_N, TYPO_PLANTS
+
+    alerts = alert_relation(spark, "/root/testdata/sf0.001").collect()
+    sprays = [r for r in alerts if r["alert"] == "password_spray"]
+    assert len(sprays) == 1, sprays
+    assert sprays[0]["subject"].startswith("quarantine@h")
+    assert f"users={SPRAY_PLANT_N}" in sprays[0]["detail"]
+    typos = {
+        r["subject"] for r in alerts if r["alert"] == "typosquat"
+    }
+    assert typos == {dom for dom, _ in TYPO_PLANTS}

@@ -548,3 +548,49 @@ def test_dga_char_math_has_no_python_udf_and_one_rollup_key(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "event_id" not in line, line
+
+
+@pytest.mark.parametrize(
+    "key", ["events_password_spray", "logs_typosquat"]
+)
+def test_r9_spray_typo_plans_clean(spark, key):
+    """The spray/typosquat keys pass the mechanical scale audit
+    (typosquat's BroadcastNestedLoopJoin has a build side — the
+    broadcast whitelist — which the auditor accepts)."""
+    df = registry.QUERIES[key](spark, SF)
+    assert audit_plan(df) == []
+
+
+def test_password_spray_no_event_exchange(spark):
+    """events_password_spray's LPM must stay map-side (the
+    logs_cidr_enrich discipline): every exchange is keyed on the
+    (net, hour) rollup — incl. the count-distinct expand's
+    (net, hour, user) level — and never on event_id; the plan array
+    rides in as a broadcast higher-order argmax."""
+    import re
+
+    df = registry.QUERIES["events_password_spray"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys, plan
+    for k in keys:
+        assert "event_id" not in k and k.startswith("net"), keys
+    assert "array_max" in plan and "BatchEvalPython" not in plan
+
+
+def test_typosquat_is_broadcast_loop_after_rollup(spark):
+    """logs_typosquat's fuzzy metric join must (a) run as a
+    BroadcastNestedLoopJoin with the whitelist as the build side —
+    never a CartesianProduct, never a shuffled join — and (b) sit
+    ABOVE the per-domain rollup: no exchange may carry event_id, so
+    the O(|domains| x |whitelist|) distance work runs on aggregated
+    rows, not the event stream."""
+    import re
+
+    df = registry.QUERIES["logs_typosquat"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "event_id" not in k, k
