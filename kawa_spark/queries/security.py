@@ -1029,7 +1029,11 @@ def dga_features(agg: DataFrame) -> DataFrame:
 SPRAY_MIN_USERS = 20
 SPRAY_PLANT_N = 40
 _SPRAY_GAP_US = 80_000_000
-_SPRAY_PLANT_BASE_ID = 11_000_000
+# Plant event_ids are NEGATIVE: natural ids are >= 0 at every scale,
+# so the oracle's ROW_NUMBER-over-event_id LPM dedup can never merge
+# a plant with a natural signup (a positive base id collides once
+# natural ids pass it — e.g. the 100x probe's ~1e10 ids — dropping
+# the natural row in DuckDB but not in Spark; code review r9).
 _SPRAY_PLANT_BASE_USER = 9_910_000
 _QUAR_LO = next(lo for n, _, lo, _ in CIDR_NETS if n == "quarantine")
 
@@ -1037,7 +1041,7 @@ _QUAR_LO = next(lo for n, _, lo, _ in CIDR_NETS if n == "quarantine")
 # (streaming_mode.py::stream_exec_password_spray) — the PLANTS_SQL
 # convention, so the two can never drift.
 SPRAY_PLANTS_SQL = f"""
-      SELECT {_SPRAY_PLANT_BASE_ID} + i, {_SPRAY_PLANT_BASE_USER} + i,
+      SELECT -1 - i, {_SPRAY_PLANT_BASE_USER} + i,
              {PLANT_BASE_US} + i*{_SPRAY_GAP_US}, {_QUAR_LO} + i
       FROM range({SPRAY_PLANT_N}) t(i)"""
 
@@ -1126,7 +1130,7 @@ def _planted_spray(spark: SparkSession) -> DataFrame:
     distinct accounts from consecutive quarantine addresses, 80 s
     apart starting at PLANT_BASE_US."""
     return spark.range(SPRAY_PLANT_N).select(
-        (F.lit(_SPRAY_PLANT_BASE_ID) + F.col("id")).alias("event_id"),
+        (F.lit(-1) - F.col("id")).alias("event_id"),
         (F.lit(_SPRAY_PLANT_BASE_USER) + F.col("id")).alias("user_id"),
         (F.lit(PLANT_BASE_US) + F.col("id") * F.lit(_SPRAY_GAP_US)).alias(
             "ts_us"

@@ -445,21 +445,26 @@ def stream_exec_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_seen_curve(p)
 
 
-_PLANTS_DIR: str | None = None
+_PLANT_DIRS: dict[str, str] = {}
+
+
+def _plants_scratch_dir(prefix: str) -> str:
+    """Per-process scratch dir for a planted stream (code review: a
+    fixed shared path collides under concurrent sessions — one run's
+    overwrite deletes part files another run's file stream is
+    reading; and r9's third copy of this helper was the drift class
+    the ip_col() docstring warns about, so it is ONE helper now).
+    Serial overwrites within a process are safe; the dirs are ~KBs
+    and die with /tmp."""
+    if prefix not in _PLANT_DIRS:
+        import tempfile
+
+        _PLANT_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
+    return _PLANT_DIRS[prefix]
 
 
 def _beacon_plants_dir() -> str:
-    """Per-process scratch dir for the planted streams (code review:
-    a fixed shared path collides under concurrent sessions — one
-    run's overwrite deletes part files another run's file stream is
-    reading). Serial overwrites within a process are safe; the dir is
-    ~KBs and dies with /tmp."""
-    global _PLANTS_DIR
-    if _PLANTS_DIR is None:
-        import tempfile
-
-        _PLANTS_DIR = tempfile.mkdtemp(prefix="kawa_beacon_plants_")
-    return _PLANTS_DIR
+    return _plants_scratch_dir("kawa_beacon_plants_")
 
 
 def _beacon_oracle() -> str:
@@ -713,18 +718,8 @@ def stream_exec_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(counts)
 
 
-_MAD_PLANTS_DIR: str | None = None
-
-
 def _mad_plants_dir() -> str:
-    """Per-process scratch dir for the MAD spike plants (same
-    concurrent-session reasoning as _beacon_plants_dir)."""
-    global _MAD_PLANTS_DIR
-    if _MAD_PLANTS_DIR is None:
-        import tempfile
-
-        _MAD_PLANTS_DIR = tempfile.mkdtemp(prefix="kawa_mad_plants_")
-    return _MAD_PLANTS_DIR
+    return _plants_scratch_dir("kawa_mad_plants_")
 
 
 def _anomaly_mad_oracle() -> str:
@@ -884,18 +879,8 @@ def stream_exec_dga_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dga_features(agg)
 
 
-_SPRAY_PLANTS_DIR: str | None = None
-
-
 def _spray_plants_dir() -> str:
-    """Per-process scratch dir for the spray plant stream (the
-    _beacon_plants_dir concurrent-session reasoning)."""
-    global _SPRAY_PLANTS_DIR
-    if _SPRAY_PLANTS_DIR is None:
-        import tempfile
-
-        _SPRAY_PLANTS_DIR = tempfile.mkdtemp(prefix="kawa_spray_plants_")
-    return _SPRAY_PLANTS_DIR
+    return _plants_scratch_dir("kawa_spray_plants_")
 
 
 def _spray_oracle() -> str:

@@ -6,8 +6,6 @@ land."""
 
 from __future__ import annotations
 
-import pytest
-
 from kawa_spark import registry
 from kawa_spark.queries.security import (
     SPRAY_MIN_USERS,
@@ -59,15 +57,24 @@ def test_typosquat_finds_exactly_the_plants(spark):
         assert by_dom[dom]["n_users"] < by_dom[dom]["n_events"]
 
 
-@pytest.mark.parametrize(
-    "key", ["events_password_spray", "logs_typosquat"]
-)
-def test_vocab_and_bad_domains_never_match(spark, key):
-    """Whitelist hits are distance 0 (excluded by >= 1) and .bad
-    domains are length-pruned — natural traffic alone must produce
-    zero typosquat matches and zero sprays (asserted via the planted
-    rows being the only positives, covered above); here: the OUTPUT
-    schema carries no nulls (both engines agree on completeness)."""
-    df = registry.QUERIES[key](spark, SF)
-    n = df.count()
-    assert df.dropna().count() == n
+def test_natural_traffic_never_alerts(spark):
+    """The plants are the ONLY positives: every spray flag sits in
+    the plant's hour slot on the quarantine net (natural signups are
+    too sparse to trip the threshold), and every typosquat match is
+    a planted domain (vocab hits are distance 0, excluded by >= 1;
+    .bad labels differ in length from every vocab entry by >= 4, so
+    no natural domain can ever pass the band)."""
+    from kawa_spark.queries.events import HOUR_US
+    from kawa_spark.queries.security import PLANT_BASE_US
+
+    plant_slot = PLANT_BASE_US // HOUR_US
+    sprays = (
+        registry.QUERIES["events_password_spray"](spark, SF)
+        .filter("is_spray")
+        .collect()
+    )
+    assert {(r["net"], r["hour_slot"]) for r in sprays} == {
+        ("quarantine", plant_slot)
+    }
+    typos = registry.QUERIES["logs_typosquat"](spark, SF).collect()
+    assert {r["domain"] for r in typos} == {d for d, _ in TYPO_PLANTS}
