@@ -105,6 +105,8 @@ HEADLINE = [
     "events_anomaly_mad",
     "events_password_spray",
     "logs_typosquat",
+    "events_session_paths",
+    "agg_cms_freq",
 ]
 
 

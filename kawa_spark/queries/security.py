@@ -428,15 +428,14 @@ def events_session_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rarity_scores(e, SESSION_GAP_US)
 
 
-def session_rarity_scores(e: DataFrame, gap_us: int) -> DataFrame:
-    """Core scorer over any (user_id, event_id, event_type, ts_us)
-    frame — events_session_rarity binds it to the events table; the
-    property test (tests/test_session_rarity_property.py) drives it
-    on random event streams against a brute-force Python reference
-    (sessionize → global transition model → per-session Σ(n_from−n)
-    and min_p)."""
+def _sessionized(e: DataFrame, gap_us: int) -> DataFrame:
+    """The inactivity-gap sessionizer over any (user_id, event_id,
+    event_type, ts_us) frame — the ONE place the session_idx idiom
+    lives (single-point convention: session_rarity_scores and
+    session_trigram_paths both build on it; the SQL twin is the
+    shared ``sessions`` CTE text in their oracles)."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    sessions = e.withColumn(
+    return e.withColumn(
         "session_idx",
         F.sum(
             F.when(
@@ -446,6 +445,16 @@ def session_rarity_scores(e: DataFrame, gap_us: int) -> DataFrame:
             ).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def session_rarity_scores(e: DataFrame, gap_us: int) -> DataFrame:
+    """Core scorer over any (user_id, event_id, event_type, ts_us)
+    frame — events_session_rarity binds it to the events table; the
+    property test (tests/test_session_rarity_property.py) drives it
+    on random event streams against a brute-force Python reference
+    (sessionize → global transition model → per-session Σ(n_from−n)
+    and min_p)."""
+    sessions = _sessionized(e, gap_us)
     ws = Window.partitionBy("user_id", "session_idx").orderBy(
         "ts_us", "event_id"
     )
@@ -1276,3 +1285,107 @@ def typosquat_matches(
         "n_events",
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top-K trigram sequences)
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 20
+
+# The shared sessionize CTE text (the Spark twin is _sessionized);
+# SESSION_RARITY_SQL carries the same text inline from before the
+# helper was factored — both derive from the same idiom.
+_SESSIONS_CTE = f"""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_idx
+      FROM t
+    )"""
+
+SESSION_PATHS_SQL = f"""{_SESSIONS_CTE}, grams AS (
+      SELECT user_id,
+             event_type AS t0,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id, session_idx
+                   ORDER BY ts_us, event_id)
+    ), paths AS (
+      SELECT t0, t1, t2, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM grams WHERE t2 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT t0, t1, t2, n, n_users
+    FROM paths
+    ORDER BY n DESC, t0, t1, t2
+    LIMIT {PATH_TOP_K}
+    """
+
+
+@register("events_session_paths", oracle=SESSION_PATHS_SQL)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the top-K three-step event-type
+    sequences users actually walk WITHIN a session ("view → click →
+    purchase" vs "view → error → view"): the product-analytics /
+    threat-hunting report that generalizes events_markov_transitions
+    from first-order pairs to order-2 paths, on the same sessionized
+    ordering events_session_rarity builds (shared _sessionized core).
+
+    Determinism under the top-K cut: paths are ordered by n DESC with
+    the full (t0, t1, t2) lexicographic tie-break — a total order, so
+    the LIMIT cut selects the identical set in both engines (the
+    sort_limit_topk discipline).
+
+    Scale: sessionize + the two leads are windows on the SAME user_id
+    partitioning — one full-stream shuffle, reused (plan-pinned: no
+    exchange keyed on session_idx). The path rollup shuffles onto
+    |types|³ keys at most (map-side combined; the count-distinct
+    expand dedups (path, user) first), and the global top-K is a
+    TakeOrdered over |paths| aggregated rows — never a global sort of
+    the stream. Nothing holds per-session event lists.
+
+    kawa parity: none; mandate (M) events-analytics extension — the
+    n-gram generalization of the Markov transition table.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return session_trigram_paths(e, SESSION_GAP_US, PATH_TOP_K)
+
+
+def session_trigram_paths(e: DataFrame, gap_us: int, k: int) -> DataFrame:
+    """Core miner over any (user_id, event_id, event_type, ts_us)
+    frame — events_session_paths binds it to the events table; the
+    property test (tests/test_session_paths_property.py) drives it on
+    random event streams against a brute-force Python reference."""
+    sessions = _sessionized(e, gap_us)
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts_us", "event_id"
+    )
+    grams = sessions.select(
+        "user_id",
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(ws).alias("t1"),
+        F.lead("event_type", 2).over(ws).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    paths = grams.groupBy("t0", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return paths.orderBy(F.col("n").desc(), "t0", "t1", "t2").limit(k)

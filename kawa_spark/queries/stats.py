@@ -687,3 +687,160 @@ def kmv_sliding(dv: DataFrame, width: int) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (bounded-memory frequency estimation)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_MIN_W = 4
+# The registered key's width is RELATIVE — w = max(4, |keys| // 2),
+# resolved in-plan from a 1-row broadcast (the r7.2 relative-cap
+# convention, oracle twin = scalar subquery) — so the sketch is
+# guaranteed collision-dense (avg 2 keys/bucket) at EVERY scale
+# factor: both is_over classes stay non-vacuous at sf0.001 AND the
+# driver's sf0.01 (a fixed tiny w goes all-over at 10x keys; a fixed
+# wide w goes all-exact at 0.1x — both vacuous-complement traps). A
+# production deployment fixes w = ceil(e/eps) instead (bounded d*w
+# state); the core takes either form.
+
+
+def _cms_bucket(i_col, key_col: str, w: int):
+    """Row-i bucket of a key — md5-based so the oracle can replay it
+    exactly (the _kmv_u convention; ONE Spark-side copy). First 8 md5
+    hex chars → int in [0, 2^32) → mod w."""
+    w_col = F.lit(w) if isinstance(w, int) else w
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        i_col.cast("string"),
+                        F.lit("_"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w_col
+    )
+
+
+def _cms_bucket_sql_w(i: str, key: str, w: str = "w") -> str:
+    """DuckDB twin of ``_cms_bucket`` for oracle interpolation; ``w``
+    names the in-scope width column (scalar-subquery form)."""
+    return (
+        f"('0x' || substring(md5(CAST({i} AS VARCHAR) || '_' || "
+        f"CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {w}"
+    )
+
+
+CMS_FREQ_SQL = f"""
+    WITH ev AS (
+      SELECT user_id FROM events
+    ), wsel AS (
+      SELECT GREATEST({CMS_MIN_W},
+                      COUNT(DISTINCT user_id) // 2) AS w
+      FROM ev
+    ), pairs AS (
+      SELECT user_id, i,
+             {_cms_bucket_sql_w("i", "user_id")} AS bucket
+      FROM ev CROSS JOIN range({CMS_D}) t(i) CROSS JOIN wsel
+    ), cms AS (
+      SELECT i, bucket, COUNT(*) AS c FROM pairs GROUP BY 1, 2
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY 1
+    ), km AS (
+      SELECT DISTINCT user_id, i, bucket FROM pairs
+    ), est AS (
+      SELECT k.user_id, MIN(c.c) AS n_cms
+      FROM km k JOIN cms c ON k.i = c.i AND k.bucket = c.bucket
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.n_exact,
+           CAST(est.n_cms AS BIGINT) AS n_cms,
+           est.n_cms > e.n_exact AS is_over
+    FROM exact e JOIN est ON e.user_id = est.user_id
+    """
+
+
+@register("agg_cms_freq", oracle=CMS_FREQ_SQL)
+def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation — the THIRD sketch
+    family (after KMV cardinality and its union/sliding forms): the
+    bounded-memory answer to "how often does each key occur" when the
+    key domain is too large for an exact groupBy to be cheap. d hash
+    rows × w buckets of counters; a key's estimate is the MIN over
+    its d row counters — always ≥ the true count (counters only ever
+    absorb collisions), within εN with probability 1−δ for
+    w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉ (Cormode & Muthukrishnan 2005).
+
+    The output carries BOTH the exact count and the sketch estimate
+    (the exact-value + approx pattern the KMV keys use), so the hash
+    check verifies the estimator itself, not just a tolerance; w is
+    deliberately tiny (8) so the collision/overestimate path is
+    genuinely exercised — is_over verifies both classes on this
+    testdata (pinned non-vacuous in tests).
+
+    Scale: the sketch build is ONE aggregate whose group domain is
+    d×w = 32 cells — the full-stream shuffle carries at most d×w rows
+    per map partition after map-side combine, NOT |keys| rows; that
+    bounded-width exchange is the entire point of the sketch at
+    10⁹-key domains. Per-key estimates then come from broadcasting
+    the 32-cell table back onto the (already aggregated) key frame —
+    map-side. The exact count here exists for verification; a
+    production user keeps only the sketch. Sketches are mergeable
+    cell-wise (the agg_kmv_union story applies verbatim).
+
+    kawa parity: none; mandate (M) sketch tier extension."""
+    e = table(spark, sf_dir, "events").select("user_id")
+    return cms_frequencies(e, "user_id", CMS_D, None)
+
+
+def cms_frequencies(
+    e: DataFrame, key: str, d: int, w: int | None
+) -> DataFrame:
+    """Core estimator over any single-column frame — agg_cms_freq
+    binds it to events.user_id; the property test
+    (tests/test_cms_property.py) drives it on random multisets
+    against an independent hashlib-based Python CMS. ``w`` is either
+    a fixed int (the production form) or None, which resolves the
+    RELATIVE width max(CMS_MIN_W, |keys| // 2) in-plan via a 1-row
+    broadcast (the relative-cap convention)."""
+    if w is None:
+        wsel = e.agg(
+            F.greatest(
+                F.lit(CMS_MIN_W),
+                F.floor(F.countDistinct(key) / 2).cast("long"),
+            ).alias("_w")
+        )
+        e = e.join(F.broadcast(wsel))
+    else:
+        e = e.withColumn("_w", F.lit(w))
+    rows = F.array(*[F.lit(i) for i in range(d)])
+    pairs = e.select(
+        F.col(key), "_w", F.explode(rows).alias("i")
+    ).withColumn("bucket", _cms_bucket(F.col("i"), key, F.col("_w")))
+    cms = pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = e.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_exact"), F.min("_w").alias("_w")
+    )
+    km = exact.select(
+        F.col(key), "n_exact", "_w", F.explode(rows).alias("i")
+    ).withColumn("bucket", _cms_bucket(F.col("i"), key, F.col("_w")))
+    est = (
+        km.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy(key, "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+    )
+    return est.select(
+        key,
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") > F.col("n_exact")).alias("is_over"),
+    )

@@ -110,8 +110,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # new key agg_kmv_sliding_window (report's normalization/dedup-
 # summary twin pipeline_dedup_corpus stays in this window); and
 # data_profile, displaced by the tenth new key stream_exec_beaconing
-# (profile's summary-stats family twins agg_stats_moments +
-# histogram_width_bucket stay in this window); and sample_hash,
+# (profile's summary-stats family twin agg_stats_moments stays in
+# this window; histogram_width_bucket was the second stated twin
+# until the continuation pass displaced it — see events_session_paths
+# below); and sample_hash,
 # displaced by the eleventh new key stream_exec_impossible_travel
 # (its deterministic-hash-sampling family twin corpus_split stays in
 # this window); and
@@ -170,14 +172,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # pivot_wide (trivially-stable explicit-domain pivot untouched since
 # registration, the null_handling grounds; its groupBy-aggregate
 # family is represented in-window by agg_stats_moments +
-# histogram_width_bucket). THOSE
-# TWENTY-EIGHT deferred keys MUST lead r10's window. Exactly 50. Max
-# evidence age after this round: deferred 28 = r6 evidence = 3
+# histogram_width_bucket). And TWO MORE new keys from the same
+# continuation pass: events_session_paths (top-K trigram session
+# sequences — the order-2 generalization of events_markov_transitions
+# on the shared _sessionized core, deterministic tie-broken top-K)
+# displaces histogram_width_bucket (trivially-stable single-aggregate
+# op untouched since registration, the null_handling grounds; the
+# aggregate family keeps agg_stats_moments in-window — the same
+# representative named when agg_bitwise_bool/agg_string_collect were
+# displaced); and agg_cms_freq (count-min sketch frequency
+# estimation — the third sketch family, md5-replayable oracle,
+# relative in-plan width so both is_over classes stay non-vacuous at
+# every sf) displaces corpus_tfidf (its corpus-statistics family
+# keeps corpus_split, corpus_decontaminate, and pipeline_dedup_corpus
+# in this window, and the tf-idf machinery's heavy half — the
+# df-capped posting join — carries r8-adjacent evidence through
+# dedup_ngram_jaccard's shared discipline). THOSE
+# THIRTY deferred keys MUST lead r10's window. Exactly 50. Max
+# evidence age after this round: deferred 30 = r6 evidence = 3
 # rounds at r9; everything else <= 3 rounds.
 # tests/test_registry_window.py pins this list against accidental
 # registration-order drift.
 DRIVER_WINDOW: list[str] = [
-    # --- 21 new keys (never driver-checked) ---
+    # --- 23 new keys (never driver-checked) ---
     "logs_cidr_enrich",
     "events_funnel_daily_conversion",
     "events_session_rarity",
@@ -199,6 +216,8 @@ DRIVER_WINDOW: list[str] = [
     "events_password_spray",
     "logs_typosquat",
     "stream_exec_password_spray",
+    "events_session_paths",
+    "agg_cms_freq",
     # --- 3 keys whose implementation changed this round ---
     "join_anti",
     "except_distinct",
@@ -216,13 +235,11 @@ DRIVER_WINDOW: list[str] = [
     "map_ops_extra",
     "stream_tumbling_count",
     "join_outer_right",
-    # --- 14 of the 42 r6-evidence keys ---
+    # --- 12 of the 42 r6-evidence keys ---
     "agg_stats_moments",
     "corpus_decontaminate",
     "corpus_split",
-    "corpus_tfidf",
     "dedup_minhash",
-    "histogram_width_bucket",
     "join_asof",
     "multimodal_decode",
     "pipeline_dedup_corpus",

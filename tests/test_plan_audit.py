@@ -594,3 +594,33 @@ def test_typosquat_is_broadcast_loop_after_rollup(spark):
     assert "SortMergeJoin" not in plan
     for k in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "event_id" not in k, k
+
+
+def test_session_paths_single_user_exchange_and_takeordered(spark):
+    """events_session_paths: sessionize + the two leads share ONE
+    user_id partitioning (no exchange keyed on session_idx), the path
+    rollup is the only other full exchange family, and the top-K cut
+    is a TakeOrdered over aggregated rows — never a global Sort
+    exchange of the stream."""
+    import re
+
+    df = registry.QUERIES["events_session_paths"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys
+    for k in keys:
+        assert "session_idx" not in k, keys
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_cms_freq_broadcasts_sketch_and_width(spark):
+    """agg_cms_freq: the d x w cell table and the 1-row relative
+    width ride in as broadcasts (no SortMergeJoin, no
+    CartesianProduct); the only hash exchanges are the cell rollup
+    and the per-key exact count."""
+    df = registry.QUERIES["agg_cms_freq"](spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
