@@ -20,8 +20,8 @@ D = 4
 
 
 def _bucket(i: int, key: int, w: int) -> int:
-    h = hashlib.md5(f"{i}_{key}".encode()).hexdigest()[:8]
-    return int(h, 16) % w
+    h = hashlib.md5(str(key).encode()).hexdigest()
+    return int(h[8 * i : 8 * i + 8], 16) % w
 
 
 def _ref(keys: list[int], w: int):
