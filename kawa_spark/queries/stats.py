@@ -710,11 +710,14 @@ def _cms_buckets(key_col: str, w_col, d: int):
     """The d row-buckets of a key as ONE array — md5-based so the
     oracle can replay it exactly (the _kmv_u convention; ONE
     Spark-side copy). A single md5 per row supplies all d hashes:
-    row i reads hex chars [1+8i, 8+8i) → int in [0, 2^32) → mod w
+    row i reads the 8 hex chars at positions [1+8i, 8+8i] (1-based,
+    inclusive) → int in [0, 2^32) → mod w
     (d ≤ 4 — md5 has 32 hex chars). One digest instead of d is the
     difference between 4x and 1x hashing CPU on the map side — the
     10x probe of the first cut read 3.7x on exactly that cost."""
-    assert d <= 4
+    if d > 4:  # a stripped assert (python -O) would silently yield
+        # NULL buckets past row 3 and drop those rows in the join
+        raise ValueError(f"md5 supplies at most 4 8-hex-char rows, got d={d}")
     h = F.md5(F.col(key_col).cast("string"))
     return F.array(
         *[
