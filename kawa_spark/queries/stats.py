@@ -779,20 +779,29 @@ def agg_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The output carries BOTH the exact count and the sketch estimate
     (the exact-value + approx pattern the KMV keys use), so the hash
-    check verifies the estimator itself, not just a tolerance; w is
-    deliberately tiny (8) so the collision/overestimate path is
-    genuinely exercised — is_over verifies both classes on this
-    testdata (pinned non-vacuous in tests).
+    check verifies the estimator itself, not just a tolerance. The
+    registered width is RELATIVE — w = max(4, |keys| // 2), resolved
+    in-plan (see cms_frequencies) — keeping the sketch collision-
+    dense (avg 2 keys/bucket) at every scale factor, so is_over
+    verifies BOTH classes at sf0.001 and sf0.01 alike (pinned
+    non-vacuous in tests); any fixed w goes vacuous at some sf.
 
     Scale: the sketch build is ONE aggregate whose group domain is
-    d×w = 32 cells — the full-stream shuffle carries at most d×w rows
-    per map partition after map-side combine, NOT |keys| rows; that
-    bounded-width exchange is the entire point of the sketch at
-    10⁹-key domains. Per-key estimates then come from broadcasting
-    the 32-cell table back onto the (already aggregated) key frame —
-    map-side. The exact count here exists for verification; a
-    production user keeps only the sketch. Sketches are mergeable
-    cell-wise (the agg_kmv_union story applies verbatim).
+    d×w cells — the full-stream exchange carries at most d×w rows
+    per map partition after map-side combine, NOT one row per input;
+    with the production FIXED width (w = ⌈e/ε⌉, the core's int form)
+    that bound is a constant independent of the key domain, which is
+    the entire point of the sketch at 10⁹-key domains (the relative
+    width used HERE trades that constant bound for verification
+    density — d×w still ≪ |keys| rows, 4×75 cells vs 150 keys at
+    sf0.01). Per-key estimates then come from broadcasting the cell
+    table back onto the (already aggregated) key frame — map-side.
+    The per-row digest is computed ONCE (all d row-buckets read
+    disjoint substrings of a single md5 — the 100× probe read 39.8×
+    on the d-digests-per-row first cut, 17.0× shipped). The exact
+    count here exists for verification; a production user keeps only
+    the sketch. Sketches are mergeable cell-wise (the agg_kmv_union
+    story applies verbatim).
 
     kawa parity: none; mandate (M) sketch tier extension."""
     e = table(spark, sf_dir, "events").select("user_id")
