@@ -74,3 +74,21 @@ def test_relative_width_equals_fixed_at_resolved_width(spark):
         for r in cms_frequencies(df, "user_id", D, resolved).collect()
     }
     assert rel == fixed
+
+
+def test_cms_d_contract(spark):
+    """d < 4 works (fewer rows = looser delta, same invariant); d > 4
+    raises loudly — md5 only supplies 4 disjoint 8-hex-char rows, and
+    a silently truncated sketch would report confidence the caller
+    doesn't have (the stripped-assert trap under python -O)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(k % 5,) for k in range(40)], "user_id long")
+    got = {
+        r["user_id"]: (r["n_exact"], r["n_cms"])
+        for r in cms_frequencies(df, "user_id", 2, 4).collect()
+    }
+    assert len(got) == 5
+    assert all(est >= exact for exact, est in got.values())
+    with _pytest.raises(ValueError, match="at most 4"):
+        cms_frequencies(df, "user_id", 5, 4)
