@@ -210,7 +210,7 @@ def longest_prefix_match_bucketed(
     Construction: every net explodes to the address buckets it
     covers (a /p route covers 2^(bucket_bits-p) buckets when
     p < bucket_bits, else exactly one — so the exploded dimension is
-    ≤ \|nets\| + 2^bucket_bits rows, still broadcastable or a
+    <= |nets| + 2^bucket_bits rows, still broadcastable or a
     fine shuffle side); each address maps to its bucket with one
     shift. The bucket equi-join hands every event ONLY its bucket's
     candidate routes (tens, not 1M), the containment filter and the
@@ -1166,7 +1166,13 @@ TYPO_PLANTS: list[tuple[str, int]] = [
     ("www.acne.org", 5),  # m -> n fat-finger
     ("api-shop.net", 3),  # dot -> dash separator swap
 ]
-_TYPO_PLANT_BASE_ID = 12_000_000
+# Plant event_ids are NEGATIVE (the SPRAY_PLANTS_SQL convention):
+# natural ids are >= 0 at every scale, so no future oracle edit that
+# dedups on event_id (the ROW_NUMBER-per-event_id LPM idiom) can ever
+# merge a plant with a natural row — a positive base collides at the
+# 100x probe's ~1e10 ids (ADVICE r9). Base -12e6 keeps the range
+# disjoint from the spray plants' -1..-{SPRAY_PLANT_N}.
+_TYPO_PLANT_BASE_ID = -12_000_000
 _TYPO_PLANT_BASE_USER = 9_920_000
 
 
@@ -1180,7 +1186,7 @@ def _typo_plant_rows() -> list[tuple[int, int, str]]:
     for dom, k in TYPO_PLANTS:
         for _ in range(k):
             rows.append(
-                (_TYPO_PLANT_BASE_ID + j, _TYPO_PLANT_BASE_USER + j // 2, dom)
+                (_TYPO_PLANT_BASE_ID - j, _TYPO_PLANT_BASE_USER + j // 2, dom)
             )
             j += 1
     return rows

@@ -567,9 +567,17 @@ def stream_exec_beaconing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _impossible_travel_oracle() -> str:
+    # The shared batch matrix plus the pinned-to-0 late counter: the
+    # kernel's late-row guard is OBSERVABLE (beacon pattern), and the
+    # drain runs in time order, so MAX(late_count) over every hop
+    # feeding a cell must be 0 — hash-checked, not documented.
     from kawa_spark.queries.security import IMPOSSIBLE_TRAVEL_SQL
 
-    return IMPOSSIBLE_TRAVEL_SQL
+    return (
+        "SELECT m.*, CAST(0 AS BIGINT) AS late_count FROM ("
+        + IMPOSSIBLE_TRAVEL_SQL
+        + ") m"
+    )
 
 
 @register(
@@ -587,10 +595,13 @@ def stream_exec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     verbatim (shared IMPOSSIBLE_TRAVEL_SQL constant), so the online
     path is hash-checked against the offline audit.
 
-    Scale: state is two scalars per user; the streaming exchange is
+    Scale: state is three scalars per user; the streaming exchange is
     the user_id state partitioning; the post-drain rollup shuffles
     only surviving hops onto |nets|^2 keys. Same time-ordered-batch
-    contract as the other kernels."""
+    contract as the other kernels — now DRIVER-CHECKED (VERDICT r9
+    item 6): each hop carries the kernel's cumulative late-row
+    counter, the rollup emits MAX(late_count) per cell, and the
+    oracle pins it to 0."""
     from kawa_spark.queries.security import (
         HOP_WINDOW_US,
         ip_col,
@@ -611,13 +622,22 @@ def stream_exec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_hops"),
         F.countDistinct("user_id").alias("n_users"),
         F.min("gap_us").alias("min_gap_us"),
+        F.max("late_count").alias("late_count"),
     )
 
 
 def _session_rarity_oracle() -> str:
+    # The shared batch scorer plus the pinned-to-0 late counter: the
+    # sessionizer kernel's late-row guard is OBSERVABLE (beacon
+    # pattern), and the drain runs in time order, so the per-session
+    # MAX(late_count) must be 0 — hash-checked, not documented.
     from kawa_spark.queries.security import SESSION_RARITY_SQL
 
-    return SESSION_RARITY_SQL
+    return (
+        "SELECT s.*, CAST(0 AS BIGINT) AS late_count FROM ("
+        + SESSION_RARITY_SQL
+        + ") s"
+    )
 
 
 @register(
@@ -641,12 +661,14 @@ def stream_exec_session_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a deployment scoring against YESTERDAY's model broadcasts a
     static pairs/totals table instead — same plan, no refit).
 
-    Scale: state is two int64s + a type string per user — the O(1)
+    Scale: state is three int64s + a type string per user — the O(1)
     sessionizer minimum; the streaming exchange is the user_id state
     partitioning; the scorer's joins are broadcast (|types|² model)
     and the final aggregate shuffles only transitions onto session
-    keys. Same time-ordered-batch contract as the other kernels
-    (kernel docstring)."""
+    keys. Same time-ordered-batch contract as the other kernels —
+    now DRIVER-CHECKED (VERDICT r9 item 6): each transition carries
+    the kernel's cumulative late-row counter, the key emits the
+    per-session MAX, and the oracle pins it to 0."""
     from kawa_spark.queries.security import (
         SESSION_GAP_US,
         score_transitions,
@@ -668,7 +690,17 @@ def stream_exec_session_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = _drain(
         session_transitions(e, SESSION_GAP_US), spark
     ).localCheckpoint()
-    return score_transitions(drained)
+    # The shared scorer stays untouched; the late-row observability
+    # column (VERDICT r9 item 6) rides a second aggregate on the SAME
+    # (user_id, session_idx) key and joins back — every scored session
+    # has >= 1 transition, so the inner join preserves rows, and the
+    # oracle pins the column to 0.
+    late = drained.groupBy("user_id", "session_idx").agg(
+        F.max("late_count").alias("late_count")
+    )
+    return score_transitions(drained).join(
+        late, ["user_id", "session_idx"]
+    )
 
 
 def _template_drift_oracle() -> str:

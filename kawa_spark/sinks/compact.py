@@ -63,6 +63,21 @@ def _is_scratch(path: str) -> bool:
 _LOCK_NAME = _COMPACT_TAG + "lock"  # matches _is_scratch by prefix
 
 
+def _proc_start(pid: int) -> str | None:
+    """The process's kernel start time (clock ticks since boot) from
+    ``/proc/<pid>/stat`` field 22 — the stable identity that survives
+    pid reuse. None when the process is gone or /proc is unavailable
+    (non-Linux), in which case callers fall back to liveness-only."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens; parse after the
+        # LAST ')' — the canonical procfs idiom.
+        return stat[stat.rindex(b")") + 2 :].split()[19].decode()
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _acquire_lock(root: str) -> str:
     """Per-root mutual exclusion for compaction runs (ADVICE r8).
 
@@ -70,21 +85,37 @@ def _acquire_lock(root: str) -> str:
     run's age-expired ``.__compact_*`` between its write and its swap;
     the live run would then rename a partially-deleted tmp over the
     leaf and delete its backup — a data-loss interleaving. An
-    O_CREAT|O_EXCL lock file holding the owner's pid closes it: the
-    swap is driver-side ``os.rename``, so competing runs are
-    same-host by construction and a pid liveness probe is a sound
+    O_CREAT|O_EXCL lock file holding the owner's identity closes it:
+    the swap is driver-side ``os.rename``, so competing runs are
+    same-host by construction and a local process probe is a sound
     staleness test (a crashed run's lock is reaped, a live run's
-    raises)."""
+    raises).
+
+    The lock records ``pid:starttime`` (kernel start-time ticks from
+    /proc), not pid alone: after a crash, the pid can be reused by an
+    unrelated process, and a pid-only probe would report the lock
+    live forever (ADVICE r9). A recorded starttime that no longer
+    matches the current occupant of that pid means the owner is dead
+    — the lock is stale and reaped. Locks written without a
+    starttime (older format, or non-Linux) degrade to the
+    liveness-only probe, documented as possibly needing manual
+    removal after pid reuse."""
     path = os.path.join(root, _LOCK_NAME)
     for _ in range(2):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
-                f.write(str(os.getpid()))
+                me = os.getpid()
+                start = _proc_start(me)
+                f.write(f"{me}:{start}" if start is not None else str(me))
             return path
         except FileExistsError:
+            pid, rec_start = 0, None
             try:
-                pid = int(open(path).read().strip() or "0")
+                raw = open(path).read().strip()
+                pid_s, _, start_s = raw.partition(":")
+                pid = int(pid_s or "0")
+                rec_start = start_s or None
             except (OSError, ValueError):
                 pid = 0
             alive = False
@@ -96,6 +127,10 @@ def _acquire_lock(root: str) -> str:
                     alive = False
                 except PermissionError:
                     alive = True  # exists, owned elsewhere
+            if alive and rec_start is not None:
+                cur_start = _proc_start(pid)
+                if cur_start is not None and cur_start != rec_start:
+                    alive = False  # pid reused by an unrelated process
             if alive:
                 raise RuntimeError(
                     f"compaction of {root!r} already running (pid {pid})"

@@ -324,7 +324,17 @@ BEACON_SCHEMA = (
     "user_id long, event_type string, event_id long, "
     "n_gaps long, period_s double, is_beacon boolean, late_count long"
 )
-_BEACON_STATE_SCHEMA = "last_us long, n long, sd long, sd2 long, late long"
+_BEACON_STATE_SCHEMA = (
+    "last_us long, n long, sd long, sd2_hi long, sd2_lo long, late long"
+)
+# Σd² splits across two longs at this radix (lo holds the low 62
+# bits): kernel arithmetic is exact unbounded Python int; only the
+# state-store slots are int64-typed, and hi/lo bounds the storable
+# sum at 2^125 — a long-lived sparse key (large gaps) can no longer
+# overflow the slot at serialization time (ADVICE r9; the batch twin
+# uses DECIMAL(38,0) for the same quantity).
+_SD2_RADIX_BITS = 62
+_SD2_LO_MASK = (1 << _SD2_RADIX_BITS) - 1
 
 
 def beacon_scores(
@@ -344,11 +354,12 @@ def beacon_scores(
     correctly-rounded true division == CAST(sd AS DOUBLE)/n for
     sd < 2^53).
 
-    State is four int64s per key. Σd² stores in an int64 state slot:
-    that bounds per-key span²·n at ~9.2e18 (a key would need e.g. a
-    30-year gap squared times ten to overflow) — the batch twin's
-    DECIMAL(38,0) route is the audit path without that bound; a
-    deployment needing it online splits sd2 into hi/lo longs.
+    State is five int64s per key. Σd² is held as an exact unbounded
+    Python int inside the kernel and serialized across TWO int64
+    state slots (hi/lo at a 2^62 radix, bound 2^125) — a single-slot
+    int64 would overflow at serialization for a long-lived sparse key
+    (large gaps squared; ADVICE r9), where the batch twin's
+    DECIMAL(38,0) absorbs the same quantity.
 
     TIME-ORDERED-BATCH ASSUMPTION (same contract as rate_limited,
     ADVICE r8): each gap is measured against the key's previous
@@ -377,13 +388,27 @@ def beacon_scores(
         # pre-epoch events as late and drops them)
         has_last = state.exists
         if has_last:
-            last_us, n, sd, sd2, late = (int(x) for x in state.get)
+            last_us, n, sd, sd2_hi, sd2_lo, late = (
+                int(x) for x in state.get
+            )
+            sd2 = (sd2_hi << _SD2_RADIX_BITS) | sd2_lo
         else:
             last_us, n, sd, sd2, late = 0, 0, 0, 0, 0
+
+        def pack():
+            return (
+                last_us,
+                n,
+                sd,
+                sd2 >> _SD2_RADIX_BITS,
+                sd2 & _SD2_LO_MASK,
+                late,
+            )
+
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             if has_last:
-                state.update((last_us, n, sd, sd2, late))
+                state.update(pack())
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -411,7 +436,7 @@ def beacon_scores(
                     )
             last_us = t
             has_last = True
-        state.update((last_us, n, sd, sd2, late))
+        state.update(pack())
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -448,9 +473,9 @@ def beacon_scores(
 
 HOP_SCHEMA = (
     "user_id long, event_id long, from_net string, to_net string, "
-    "gap_us long"
+    "gap_us long, late_count long"
 )
-_HOP_STATE_SCHEMA = "last_net string, last_us long"
+_HOP_STATE_SCHEMA = "last_net string, last_us long, late long"
 
 
 def net_hops(events: DataFrame, window_us: int) -> DataFrame:
@@ -463,7 +488,7 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
     LPM-attributed rows (user_id, event_id, us, net) — the CIDR match
     itself is stateless map-side work that needs no state store.
 
-    State is (last_net, last_us) per user — two scalars, O(1)
+    State is (last_net, last_us, late) per user — three scalars, O(1)
     regardless of volume. Inherits the time-ordered-batch contract
     (rate_limited docstring): hops are measured against the previous
     event in arrival order; exact for the single availableNow drain
@@ -471,7 +496,11 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
     (timestamp behind the key's high-water mark) is skipped and does
     not move the mark — without the guard its negative "gap" would
     trivially satisfy ``<= window_us`` and emit a spurious hop.
-    Inside the contract the guard never fires. Chunks are
+    Inside the contract the guard never fires — and the exclusion is
+    OBSERVABLE, not silent (the beacon_scores pattern, VERDICT r9
+    item 6): every emitted hop carries ``late_count``, the user's
+    cumulative excluded-late-row count, so the registered key's
+    rollup can pin the contract in its oracle. Chunks are
     materialized concat-then-sort like the other kernels."""
 
     def fn(key, pdfs, state):
@@ -481,11 +510,15 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
         # sentinel (code review: a -1 sentinel misclassifies
         # pre-epoch events as late and drops them)
         has_last = state.exists
-        last_net, last_us = state.get if has_last else (None, 0)
+        if has_last:
+            last_net, last_us, late = state.get
+            last_us, late = int(last_us), int(late)
+        else:
+            last_net, last_us, late = None, 0, 0
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             if has_last:
-                state.update((last_net, last_us))
+                state.update((last_net, last_us, late))
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -497,18 +530,19 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
         for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
             t = int(t)
             if has_last and t < last_us:
-                continue  # late row: see docstring guard
+                late += 1  # excluded AND counted: see docstring guard
+                continue
             if (
                 has_last
                 and net != last_net
                 and t - last_us <= window_us
             ):
                 rows.append(
-                    (key[0], int(eid), last_net, net, t - last_us)
+                    (key[0], int(eid), last_net, net, t - last_us, late)
                 )
             last_net, last_us = net, t
             has_last = True
-        state.update((last_net, last_us))
+        state.update((last_net, last_us, late))
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -518,6 +552,7 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
                     "from_net",
                     "to_net",
                     "gap_us",
+                    "late_count",
                 ],
             )
 
@@ -535,10 +570,11 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
 
 
 TRANSITION_SCHEMA = (
-    "user_id long, session_idx long, from_type string, to_type string"
+    "user_id long, session_idx long, from_type string, to_type string, "
+    "late_count long"
 )
 _SESSION_TR_STATE_SCHEMA = (
-    "session_idx long, last_us long, last_type string"
+    "session_idx long, last_us long, last_type string, late long"
 )
 
 
@@ -563,7 +599,11 @@ def session_transitions(events: DataFrame, gap_us: int) -> DataFrame:
     the key's high-water mark) is SKIPPED and does not move the mark
     — folding it in would measure a negative gap and could both miss
     a boundary and fabricate a transition the batch form never saw.
-    Inside the contract the guard never fires. Chunks are
+    Inside the contract the guard never fires — and the exclusion is
+    OBSERVABLE, not silent (the beacon_scores pattern, VERDICT r9
+    item 6): every emitted transition carries ``late_count``, the
+    user's cumulative excluded-late-row count, so the registered
+    key can pin the contract per session in its oracle. Chunks are
     materialized concat-then-sort like the other kernels (a hot key's
     microbatch arrives as multiple Arrow chunks in no order)."""
 
@@ -575,14 +615,18 @@ def session_transitions(events: DataFrame, gap_us: int) -> DataFrame:
         # pre-epoch events as late and drops them)
         has_last = state.exists
         if has_last:
-            session_idx, last_us, last_type = state.get
-            session_idx, last_us = int(session_idx), int(last_us)
+            session_idx, last_us, last_type, late = state.get
+            session_idx, last_us, late = (
+                int(session_idx),
+                int(last_us),
+                int(late),
+            )
         else:
-            session_idx, last_us, last_type = 0, 0, None
+            session_idx, last_us, last_type, late = 0, 0, None, 0
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             if has_last:
-                state.update((session_idx, last_us, last_type))
+                state.update((session_idx, last_us, last_type, late))
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -594,14 +638,15 @@ def session_transitions(events: DataFrame, gap_us: int) -> DataFrame:
         for t, typ in zip(pdf["us"], pdf["event_type"]):
             t = int(t)
             if has_last and t < last_us:
-                continue  # late row: see docstring guard
+                late += 1  # excluded AND counted: see docstring guard
+                continue
             if not has_last or t - last_us > gap_us:
                 session_idx += 1
             else:
-                rows.append((key[0], session_idx, last_type, typ))
+                rows.append((key[0], session_idx, last_type, typ, late))
             last_us, last_type = t, typ
             has_last = True
-        state.update((session_idx, last_us, last_type))
+        state.update((session_idx, last_us, last_type, late))
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -610,6 +655,7 @@ def session_transitions(events: DataFrame, gap_us: int) -> DataFrame:
                     "session_idx",
                     "from_type",
                     "to_type",
+                    "late_count",
                 ],
             )
 

@@ -161,3 +161,42 @@ def test_stale_lock_of_dead_run_is_reaped(spark, tmp_path):
     res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
     assert len(res["compacted"]) == 1
     assert not os.path.exists(lock)  # released after the run
+
+
+def test_lock_pid_reuse_detected_by_starttime(spark, tmp_path):
+    """A crashed run's pid can be REUSED by an unrelated live process;
+    a pid-only probe would call the lock live forever (ADVICE r9). The
+    lock records pid:starttime, so a starttime mismatch against the
+    pid's current occupant marks the lock stale and it is reaped."""
+    from kawa_spark.sinks.compact import _LOCK_NAME, _proc_start
+
+    assert _proc_start(os.getpid()) is not None  # Linux container
+
+    path = str(tmp_path / "tbl8")
+    _write_fragmented(spark, path)
+    lock = os.path.join(path, _LOCK_NAME)
+    # "crashed owner": our own live pid (the reuser) but a starttime
+    # that cannot match any real process
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()}:0")
+    res = compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    assert len(res["compacted"]) == 1
+    assert not os.path.exists(lock)
+
+
+def test_lock_same_starttime_still_excludes(spark, tmp_path):
+    """The inverse of the pid-reuse case: a recorded starttime that
+    MATCHES the pid's current occupant is a live owner — raise."""
+    import pytest
+
+    from kawa_spark.sinks.compact import _LOCK_NAME, _proc_start
+
+    path = str(tmp_path / "tbl9")
+    _write_fragmented(spark, path)
+    lock = os.path.join(path, _LOCK_NAME)
+    me = os.getpid()
+    with open(lock, "w") as f:
+        f.write(f"{me}:{_proc_start(me)}")
+    with pytest.raises(RuntimeError, match="already running"):
+        compact_parquet(spark, path, target_bytes=1 << 30, min_files=4)
+    os.unlink(lock)

@@ -302,7 +302,8 @@ def test_late_rows_do_not_corrupt_gap_kernels(spark, tmp_path):
     schema2 = "event_id long, user_id long, net string, us long"
     hrows1 = [(1, 7, "net_a", 0), (2, 7, "net_a", 60 * S)]
     hrows2 = [(3, 7, "net_b", 30 * S),  # LATE + different net
-              (4, 7, "net_a", 90 * S)]  # same net as the mark: no hop
+              (4, 7, "net_a", 90 * S),  # same net as the mark: no hop
+              (5, 7, "net_b", 120 * S)]  # in-order hop carries late=1
     for rows in [hrows1, hrows2]:
         spark.createDataFrame(
             pd.DataFrame(rows, columns=["event_id", "user_id", "net", "us"]),
@@ -315,7 +316,14 @@ def test_late_rows_do_not_corrupt_gap_kernels(spark, tmp_path):
     )
     name2 = f"lh_{uuid.uuid4().hex[:8]}"
     _drain(net_hops(stream2, 1800 * S), name2)
-    assert spark.table(name2).count() == 0
+    got2 = [
+        (r["event_id"], r["from_net"], r["to_net"], r["late_count"])
+        for r in spark.table(name2).collect()
+    ]
+    # the late eid 3 emitted NO hop (a negative gap would trivially
+    # pass the window test) — and the exclusion is observable: the
+    # next in-order hop (eid 5) carries the cumulative late counter
+    assert got2 == [(5, "net_a", "net_b", 1)]
 
 
 def test_session_transitions_state_carries_across_batches(spark, tmp_path):
@@ -389,11 +397,22 @@ def test_session_transitions_skips_late_rows(spark, tmp_path):
     name = f"sl_{uuid.uuid4().hex[:8]}"
     _drain(session_transitions(stream, GAP), name)
     got = sorted(
-        (r["user_id"], r["session_idx"], r["from_type"], r["to_type"])
+        (
+            r["user_id"],
+            r["session_idx"],
+            r["from_type"],
+            r["to_type"],
+            r["late_count"],
+        )
         for r in spark.table(name).collect()
     )
-    # the late "buy" is absent; "pay" transitions from "click"
-    assert got == [(1, 1, "click", "pay"), (1, 1, "view", "click")]
+    # the late "buy" is absent; "pay" transitions from "click" — and
+    # the exclusion is observable: the post-violation transition
+    # carries the cumulative late counter (the pre-violation one 0)
+    assert got == [
+        (1, 1, "click", "pay", 1),
+        (1, 1, "view", "click", 0),
+    ]
 
 
 def test_funnel_states_carry_and_late_count(spark, tmp_path):
