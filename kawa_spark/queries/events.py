@@ -907,6 +907,163 @@ def cooccurrence_lift(inc: DataFrame, min_support: int = 0) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event-type x day-of-week association (time-of-week structure)
+# ---------------------------------------------------------------------------
+
+# lift > DOW_NUM/DOW_DEN flags a cell as over-represented; evaluated
+# as the cross-multiplied integer inequality
+#   DEN·n_obs·n_total > NUM·n_type·n_dow
+# in DECIMAL(38,0)/HUGEINT-safe casts (the beaconing discipline), so
+# the boolean never touches a float and survives 100-TB marginals
+# (n_obs·n_total ~ 1e24 wraps int64, fits 38 digits).
+DOW_NUM, DOW_DEN = 3, 2
+
+# A deterministic weekly-periodic stream planted in BOTH engines (the
+# MAD_PLANT_SQL convention): DOW_PLANT_N events of a synthetic type,
+# exactly 7 days apart, so ONE (type, dow) cell concentrates the
+# type's whole mass (lift ≈ 7 ≫ 3/2 — the true class), while the
+# Poisson-uniform natural types sit at lift ≈ 1 (the false class).
+DOW_PLANT_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+DOW_PLANT_N = 70
+DOW_PLANT_SQL = f"""
+      SELECT 'planted_dowpeak' AS event_type,
+             {DOW_PLANT_BASE_US} + i * 7 * {DAY_US} AS ts_us
+      FROM generate_series(0, {DOW_PLANT_N - 1}) AS t(i)"""
+
+
+def _dow_planted(spark: SparkSession) -> DataFrame:
+    """Spark twin of DOW_PLANT_SQL (value-identical rows)."""
+    return spark.range(DOW_PLANT_N).select(
+        F.lit("planted_dowpeak").alias("event_type"),
+        (F.lit(DOW_PLANT_BASE_US) + F.col("id") * (7 * DAY_US)).alias(
+            "ts_us"
+        ),
+    )
+
+
+# Shared verbatim by the batch key below and the online twin's oracle
+# (streaming_mode.py::stream_exec_dow_association) — the FIRST_SEEN_SQL
+# convention, so the two can never drift.
+DOW_ASSOC_SQL = f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS ts_us FROM events
+      UNION ALL{DOW_PLANT_SQL}
+    ), cells AS (
+      SELECT event_type,
+             (((ts_us // {DAY_US}) % 7) + 7) % 7 AS dow,
+             COUNT(*) AS n_obs
+      FROM ev GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type, SUM(n_obs) AS n_type FROM cells GROUP BY 1
+    ), per_dow AS (
+      SELECT dow, SUM(n_obs) AS n_dow FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_obs) AS n_total FROM cells
+    )
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.n_obs,
+           CAST(t.n_type AS BIGINT) AS n_type,
+           CAST(d.n_dow AS BIGINT) AS n_dow,
+           CAST(x.n_total AS BIGINT) AS n_total,
+           (CAST(c.n_obs AS DOUBLE) / t.n_type)
+             * (CAST(x.n_total AS DOUBLE) / d.n_dow) AS lift,
+           {DOW_DEN} * CAST(c.n_obs AS DECIMAL(38,0))
+                     * CAST(x.n_total AS DECIMAL(38,0))
+             > {DOW_NUM} * CAST(t.n_type AS DECIMAL(38,0))
+                         * CAST(d.n_dow AS DECIMAL(38,0)) AS is_over
+    FROM cells c
+    JOIN per_type t USING (event_type)
+    JOIN per_dow d USING (dow)
+    CROSS JOIN tot x
+    """
+
+
+@register("events_dow_association", oracle=DOW_ASSOC_SQL)
+def events_dow_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-week association — "does this event type cluster on
+    particular weekdays?": the cooccurrence_lift discipline applied to
+    temporal structure instead of co-incidence. Each (event_type,
+    day-of-week) cell is scored against independence — lift =
+    (n_obs/n_type)·(n_total/n_dow), the observed share of the type's
+    events on that weekday over the weekday's share of all traffic —
+    the contingency-table reading a SOC uses to spot cron-driven
+    malware (activity pinned to one weekday) and a product team uses
+    for weekly seasonality. A chi-square test statistic is Σ over
+    these same cells of (obs−exp)²/exp; the per-cell lift + integer
+    flag IS that table with the float math kept out of the
+    hash-checked surface.
+
+    Exactness: dow comes from the exact floor-div day (pre-1970-safe
+    pmod in Spark, the ((d%7)+7)%7 twin in DuckDB); counts and
+    marginals are integers; lift is the cooccurrence form (two exact
+    single divisions, never an integer cross-product in doubles); the
+    is_over flag is the DECIMAL(38,0) cross-multiplication (the
+    beaconing discipline — n_obs·n_total wraps int64 at 100-TB
+    marginals). One weekly-periodic stream is planted in BOTH engines
+    (DOW_PLANT_SQL) so the true class is verified, not just the
+    uniform-traffic false class.
+
+    Scale: ONE full-stream shuffle (the (type, dow) cell rollup,
+    map-side combined, output ≤ |types|·7 rows). All three marginals
+    derive from the CELLS, never rescan events, and join back as
+    broadcasts — the same tiny-table reuse shape as
+    events_cooccurrence_lift.
+
+    kawa parity: none (no aggregation surface in the reference —
+    SURVEY.md §1.1); mandate (M) security-analytics extension."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev = e.unionByName(_dow_planted(spark))
+    cells = ev.groupBy(
+        "event_type",
+        F.pmod(floordiv(F.col("ts_us"), DAY_US), F.lit(7)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    return dow_association(cells)
+
+
+def dow_association(cells: DataFrame) -> DataFrame:
+    """Core contingency scorer over any (event_type, dow, n_obs) cell
+    frame — events_dow_association binds it to the events table +
+    planted stream; the online twin feeds it drained streaming cell
+    counts. Marginals are aggregates OF THE CELLS (≤ |types|·7 rows),
+    broadcast back; the property test
+    (tests/test_dow_assoc_property.py) drives it against a
+    brute-force Python contingency table."""
+
+    def d38(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n_type")
+    )
+    per_dow = cells.groupBy("dow").agg(
+        F.sum("n_obs").cast("long").alias("n_dow")
+    )
+    tot = cells.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    return (
+        cells.join(F.broadcast(per_type), "event_type")
+        .join(F.broadcast(per_dow), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            "n_obs",
+            "n_type",
+            "n_dow",
+            "n_total",
+            (
+                (F.col("n_obs").cast("double") / F.col("n_type"))
+                * (F.col("n_total").cast("double") / F.col("n_dow"))
+            ).alias("lift"),
+            (
+                F.lit(DOW_DEN) * d38("n_obs") * d38("n_total")
+                > F.lit(DOW_NUM) * d38("n_type") * d38("n_dow")
+            ).alias("is_over"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # robust (median/MAD) volume anomaly
 # ---------------------------------------------------------------------------
 

@@ -1268,13 +1268,42 @@ def logs_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def typosquat_matches(
-    agg: DataFrame, wl: DataFrame, max_dist: int
+    agg: DataFrame, wl: DataFrame, max_dist: int, blocked: bool = False
 ) -> DataFrame:
     """Core fuzzy-dim join over any (domain, n_events, n_users) frame
     and a (wl_domain) whitelist — logs_typosquat binds it to the
     events-derived domains + DGA_VOCAB; the property test
     (tests/test_typosquat_property.py) drives it on random labels and
-    random single-edit typos against a pure-Python Levenshtein DP."""
+    random single-edit typos against a pure-Python Levenshtein DP.
+
+    Two physically different plans, one semantics (property-tested
+    equal, tests/test_typosquat_property.py):
+
+    * ``blocked=False`` (default): BroadcastNestedLoopJoin with the
+      whitelist as build side, the length-band conjunct pruning
+      before the O(len²) distance. |domains| x |whitelist| condition
+      evaluations — the right plan while the whitelist fits a
+      broadcast and the product stays small (a routing-table-scale
+      dimension).
+    * ``blocked=True``: the 10⁴+-entry production form the BNLJ
+      docstring used to only promise — segment blocking keys turn
+      the metric join into an EQUI-join (PassJoin's pigeonhole, Li,
+      Deng & Feng, VLDB 2012 — public): partition each whitelist
+      entry into max_dist+1 contiguous segments; any string within
+      edit distance max_dist must contain at least one segment
+      EXACTLY (each edit disturbs at most one segment), starting
+      within ±max_dist of the segment's own position (net indels
+      before it). Probe side explodes each domain into the
+      (wl_len, seg_idx, substring) keys of every whitelist length
+      inside the band — a bounded (2k+1)·(k+1)·|lens in band|
+      fan-out per domain, NOT |whitelist| — the candidate equi-join
+      hands each domain only whitelist entries it shares a segment
+      with, and the exact levenshtein filter runs on the DISTINCT
+      surviving pairs. Candidates scale with real near-matches, not
+      the cross product; the whitelist-segment side shuffles/
+      broadcasts at (k+1)·|whitelist| rows."""
+    if blocked:
+        return _typosquat_matches_blocked(agg, wl, max_dist)
     dist = F.levenshtein(F.col("domain"), F.col("wl_domain"))
     return agg.join(
         F.broadcast(wl),
@@ -1285,6 +1314,117 @@ def typosquat_matches(
         & (dist >= F.lit(1))
         & (dist <= F.lit(max_dist)),
     ).select(
+        "domain",
+        "wl_domain",
+        dist.cast("long").alias("edit_dist"),
+        "n_events",
+        "n_users",
+    )
+
+
+def _segment_exprs(k: int):
+    """The PassJoin even-split segment geometry as Column expressions
+    over (wl_len, seg_idx): with L = wl_len, base = L//(k+1) and
+    rem = L%(k+1), the first k+1-rem segments have length base, the
+    rest base+1; positions are 1-based and cumulative. Pure integer
+    arithmetic — identical on the whitelist side (segment extraction)
+    and the probe side (candidate-window enumeration), so the two
+    sides can never disagree about where a segment lives."""
+    kp1 = k + 1
+    L = F.col("wl_len")
+    base = F.floor(L / kp1).cast("int")
+    short_n = F.lit(kp1) - (L % kp1).cast("int")  # count of len-`base` segs
+    i = F.col("seg_idx")
+    seg_len = F.when(i < short_n, base).otherwise(base + 1).cast("int")
+    seg_pos = (
+        1 + i * base + F.when(i < short_n, F.lit(0)).otherwise(i - short_n)
+    ).cast("int")
+    return seg_len, seg_pos
+
+
+def _typosquat_matches_blocked(
+    agg: DataFrame, wl: DataFrame, max_dist: int
+) -> DataFrame:
+    """The segment-blocked plan behind typosquat_matches(blocked=True)
+    — see that docstring for the pigeonhole argument and when to pick
+    it. Property-tested row-identical to the BNLJ form on random
+    whitelists/typos including length-1 labels and all-edit strings
+    (tests/test_typosquat_property.py)."""
+    k = max_dist
+    seg_len, seg_pos = _segment_exprs(k)
+
+    # whitelist side: one row per segment, keyed (wl_len, seg_idx, seg)
+    wl_segs = (
+        wl.withColumn("wl_len", F.length("wl_domain").cast("int"))
+        .withColumn("seg_idx", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("seg", F.substring("wl_domain", seg_pos, seg_len))
+    ).select("wl_domain", "wl_len", "seg_idx", "seg")
+
+    # probe side: every substring of `domain` that could BE one of
+    # those segments — for each whitelist length inside the band and
+    # each segment slot, the starts within ±k of the segment's own
+    # position (net indels before an untouched segment shift it by
+    # at most k). specs is |distinct wl lengths| x (k+1) rows —
+    # broadcast by construction.
+    specs = (
+        wl.select(F.length("wl_domain").cast("int").alias("wl_len"))
+        .distinct()
+        .withColumn("seg_idx", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .select(
+            "wl_len",
+            "seg_idx",
+            seg_len.alias("spec_len"),
+            seg_pos.alias("spec_pos"),
+        )
+    )
+    probes = (
+        agg.select("domain", F.length("domain").cast("int").alias("dlen"))
+        .join(
+            F.broadcast(specs),
+            F.abs(F.col("dlen") - F.col("wl_len")) <= F.lit(k),
+        )
+        .withColumn(
+            "start",
+            F.explode(
+                # sequence(a, b) counts DOWN when a > b — guard with
+                # an empty array so impossible windows emit nothing
+                F.when(
+                    F.greatest(F.lit(1), F.col("spec_pos") - k)
+                    <= F.least(
+                        F.col("dlen") - F.col("spec_len") + 1,
+                        F.col("spec_pos") + k,
+                    ),
+                    F.sequence(
+                        F.greatest(F.lit(1), F.col("spec_pos") - k),
+                        F.least(
+                            F.col("dlen") - F.col("spec_len") + 1,
+                            F.col("spec_pos") + k,
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ),
+        )
+        .select(
+            "domain",
+            "wl_len",
+            "seg_idx",
+            F.substring("domain", F.col("start"), F.col("spec_len")).alias(
+                "seg"
+            ),
+        )
+    )
+
+    # candidate equi-join on the blocking key, distinct pairs, then
+    # the exact metric filter — the expensive O(len²) distance runs
+    # once per surviving pair, never per cross-product cell.
+    dist = F.levenshtein(F.col("domain"), F.col("wl_domain"))
+    pairs = (
+        probes.join(wl_segs, ["wl_len", "seg_idx", "seg"])
+        .select("domain", "wl_domain")
+        .distinct()
+        .filter((dist >= F.lit(1)) & (dist <= F.lit(k)))
+    )
+    return pairs.join(agg, "domain").select(
         "domain",
         "wl_domain",
         dist.cast("long").alias("edit_dist"),

@@ -985,3 +985,131 @@ def stream_exec_password_spray(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spray", F.col("n_users") >= F.lit(SPRAY_MIN_USERS)
         )
     )
+
+
+def _typo_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_typo_plants_")
+
+
+def _typosquat_oracle() -> str:
+    from kawa_spark.queries.security import TYPOSQUAT_SQL
+
+    return TYPOSQUAT_SQL
+
+
+@register("stream_exec_typosquat", oracle=_typosquat_oracle())
+def stream_exec_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logs_typosquat maintained ONLINE — the eleventh online/offline
+    detection twin (the banked r10 candidate exactly as STATUS
+    sketched it): the domain derivation is stateless map-side work,
+    the per-domain event/distinct-actor counts — COUNT DISTINCT is
+    inexpressible on a stream — use the pair-drain pattern from
+    stream_exec_dga_score (streaming (domain, user) pair counts,
+    read-side rollup), and the drained per-domain aggregate goes
+    through the SAME fuzzy-dimension-join core as the batch key
+    (security.typosquat_matches, the levenshtein 1..2 whitelist join
+    behind the length band). Oracle = the batch key's SQL verbatim
+    (shared TYPOSQUAT_SQL constant, plants included); the three
+    planted look-alike domains ride the STREAM as a second file
+    source (shared _typo_plant_rows constructor). Streaming COUNT is
+    order-insensitive — exact under ANY batch order, no ordering
+    contract.
+
+    Scale: streaming state = live (domain, user) pairs — the
+    first-seen inventory, far below event volume; the metric join
+    runs on the drained per-domain rollup (|domains| x |whitelist|),
+    never on the stream itself."""
+    from kawa_spark.queries.security import (
+        DGA_VOCAB,
+        TYPOSQUAT_MAX_DIST,
+        _typo_plant_rows,
+        domain_col,
+        typosquat_matches,
+    )
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", domain_col().alias("domain")
+    )
+    plants_dir = _typo_plants_dir()
+    spark.createDataFrame(
+        _typo_plant_rows(), "event_id long, user_id long, domain string"
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = spark.readStream.schema(
+        "event_id long, user_id long, domain string"
+    ).parquet(plants_dir)
+    pairs = (
+        e.unionByName(p)
+        .groupBy("domain", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained = _drain(pairs, spark, mode="complete")
+    agg = drained.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    wl = spark.createDataFrame([(d,) for d in DGA_VOCAB], "wl_domain string")
+    return typosquat_matches(agg, wl, TYPOSQUAT_MAX_DIST)
+
+
+def _dow_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_dow_plants_")
+
+
+def _dow_assoc_oracle() -> str:
+    from kawa_spark.queries.events import DOW_ASSOC_SQL
+
+    return DOW_ASSOC_SQL
+
+
+@register("stream_exec_dow_association", oracle=_dow_assoc_oracle())
+def stream_exec_dow_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_dow_association maintained ONLINE — the twelfth
+    online/offline twin: the day-of-week derivation is stateless
+    map-side work (exact floor-div day + pmod, stream-compatible
+    as-is), the (event_type, dow) cell counts run as a streaming
+    aggregation in complete mode, and the drained cell table goes
+    through the SAME contingency scorer as the batch key
+    (events.dow_association). Oracle = the batch key's SQL verbatim
+    (shared DOW_ASSOC_SQL constant); the planted weekly-periodic
+    stream rides the STREAM as a second file source (shared
+    _dow_planted constructor). Streaming COUNT is order-insensitive —
+    exact under ANY batch order, no ordering contract.
+
+    Scale: streaming state = live (type, dow) cells — at most
+    |types|·7 rows regardless of volume, the cheapest state any twin
+    here holds; the scorer runs on the drained cell table with
+    broadcast marginals."""
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import (
+        DAY_US,
+        _dow_planted,
+        dow_association,
+    )
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    plants_dir = _dow_plants_dir()
+    _dow_planted(spark).coalesce(1).write.mode("overwrite").parquet(
+        plants_dir
+    )
+    p = spark.readStream.schema(
+        "event_type string, ts_us long"
+    ).parquet(plants_dir)
+    cells = (
+        e.unionByName(p)
+        .groupBy(
+            "event_type",
+            F.pmod(floordiv(F.col("ts_us"), DAY_US), F.lit(7)).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # localCheckpoint: the scorer joins the drained frame with three
+    # aggregates OF ITSELF (the memory-sink self-join trap — Spark's
+    # conflicting-attribute dedup fails on View(MemoryPlan); the
+    # stream_exec_session_rarity precedent). The frame is ≤ |types|·7
+    # rows, so the materialization is free.
+    drained = _drain(
+        cells, spark, mode="complete", state_partitions=2
+    ).localCheckpoint()
+    return dow_association(drained)

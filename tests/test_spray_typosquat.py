@@ -57,6 +57,23 @@ def test_typosquat_finds_exactly_the_plants(spark):
         assert by_dom[dom]["n_users"] < by_dom[dom]["n_events"]
 
 
+def test_typosquat_online_twin_equals_batch(spark):
+    """The eleventh online/offline twin: the pair-drain streaming form
+    must reproduce the batch fuzzy-join output exactly (COUNT-only
+    state, order-insensitive — no ordering contract to violate)."""
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["logs_typosquat"](spark, SF).collect()
+    }
+    online = {
+        tuple(r)
+        for r in registry.QUERIES["stream_exec_typosquat"](
+            spark, SF
+        ).collect()
+    }
+    assert batch == online and batch
+
+
 def test_natural_traffic_never_alerts(spark):
     """The plants are the ONLY positives: every spray flag sits in
     the plant's hour slot on the quarantine net (natural signups are

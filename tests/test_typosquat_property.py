@@ -102,3 +102,53 @@ def test_typosquat_matches_brute_force(spark):
     want = _ref_matches(sorted(domains), WHITELIST, MAX_DIST)
     assert got == want
     assert want, "degenerate run: no near-matches generated"
+
+
+def test_blocked_form_equals_bnlj_form(spark):
+    """typosquat_matches(blocked=True) — the PassJoin segment-blocked
+    equi-join for 10^4+ whitelists — must be ROW-IDENTICAL to the
+    BNLJ form on adversarial inputs: random multi-edit typos, junk
+    labels, distance-0 collisions, short whitelist entries (len <=
+    max_dist forces zero-length segments, the trivial-match
+    pigeonhole case), and repeated-character strings where a naive
+    blocking scheme double-counts."""
+    rng = random.Random(0xB10C)
+    wl_entries = sorted(
+        set(WHITELIST)
+        | {"a", "ab", "aaa", "a-b.c", "0000000000"}
+        | {
+            "".join(rng.choice(ALPHABET) for _ in range(rng.randrange(1, 18)))
+            for _ in range(30)
+        }
+    )
+    domains = set(wl_entries)  # distance-0 rows must NOT match
+    for w in wl_entries:
+        for n_edits in (1, 2, 3):
+            for _ in range(4):
+                domains.add(_random_edit(rng, w, n_edits))
+    domains.update(
+        "".join(rng.choice(ALPHABET) for _ in range(rng.randrange(1, 25)))
+        for _ in range(40)
+    )
+    rows = [(d, i + 1, 1) for i, d in enumerate(sorted(domains))]
+    agg = spark.createDataFrame(
+        rows, "domain string, n_events long, n_users long"
+    )
+    wl = spark.createDataFrame(
+        [(w,) for w in wl_entries], "wl_domain string"
+    )
+    bnlj = {
+        tuple(r)
+        for r in typosquat_matches(agg, wl, MAX_DIST).collect()
+    }
+    blocked = {
+        tuple(r)
+        for r in typosquat_matches(
+            agg, wl, MAX_DIST, blocked=True
+        ).collect()
+    }
+    assert blocked == bnlj
+    assert bnlj, "degenerate run: no near-matches generated"
+    # and both agree with the unbanded DP reference
+    want = _ref_matches(sorted(domains), wl_entries, MAX_DIST)
+    assert {(d, w, dist) for d, w, dist, _, _ in bnlj} == want
