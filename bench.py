@@ -107,6 +107,10 @@ HEADLINE = [
     "logs_typosquat",
     "events_session_paths",
     "agg_cms_freq",
+    # r10 additions (batch detection keys; streaming drains stay out
+    # of the headline per the r9 convention)
+    "events_dow_association",
+    "events_lateral_movement",
 ]
 
 

@@ -846,6 +846,212 @@ def net_hop_matrix(attributed: DataFrame, window_us: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lateral movement (2-hop chains through the network plan)
+# ---------------------------------------------------------------------------
+
+# A chain is two CONSECUTIVE hops of one user where the second hop
+# leaves the network the first one landed on (continuity — a slow
+# off-window drift between them breaks the chain even when a later
+# drift returns) and the whole traversal fits the chain window.
+CHAIN_WINDOW_US = 2 * HOP_WINDOW_US
+
+# Deterministic chains planted in BOTH engines (the PLANTS_SQL
+# discipline), ips given EXPLICITLY (plants must land on chosen nets,
+# not the event_id hash): two users walk quarantine → corp-east-dc1 →
+# corp-guest (the true lateral-movement class), one user bounces
+# quarantine → corp-east-dc1 → quarantine (the roundtrip class), all
+# on 60 s gaps. Negative event_ids (spray convention), base -13e6
+# disjoint from the other plant families.
+_LM_PLANT_BASE_ID = -13_000_000
+_LM_PLANT_BASE_USER = 9_940_000
+_LM_HOP_GAP_US = 60_000_000
+_LM_NET_LOS = {n: lo for n, _, lo, _ in CIDR_NETS}
+LM_PLANT_WALKS: list[list[str]] = [
+    ["quarantine", "corp-east-dc1", "corp-guest"],
+    ["quarantine", "corp-east-dc1", "corp-guest"],
+    ["quarantine", "corp-east-dc1", "quarantine"],
+]
+
+
+def _lm_plant_rows() -> list[tuple[int, int, int, int]]:
+    """(event_id, user_id, ts_us, ip) rows shared by both engines."""
+    rows = []
+    j = 0
+    for u, walk in enumerate(LM_PLANT_WALKS):
+        for s, net in enumerate(walk):
+            rows.append(
+                (
+                    _LM_PLANT_BASE_ID - j,
+                    _LM_PLANT_BASE_USER + u,
+                    PLANT_BASE_US + s * _LM_HOP_GAP_US,
+                    _LM_NET_LOS[net],
+                )
+            )
+            j += 1
+    return rows
+
+
+def _lm_values_sql() -> str:
+    return ", ".join(
+        f"({e}, {u}, {t}, {ip})" for e, u, t, ip in _lm_plant_rows()
+    )
+
+
+# Shared verbatim by the batch key below and the online twin's oracle
+# (streaming_mode.py::stream_exec_lateral_movement).
+LATERAL_MOVEMENT_SQL = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             {_IP_EXPR_SQL} AS ip
+      FROM events
+      UNION ALL
+      SELECT * FROM (VALUES {_lm_values_sql()})
+        t(event_id, user_id, ts_us, ip)
+    ), nets(net, plen, lo, hi) AS (
+      VALUES {_nets_values_sql()}
+    ), matched AS (
+      SELECT e.user_id, e.event_id, e.ts_us, n.net,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY n.plen DESC, n.net DESC) AS rn
+      FROM ev e JOIN nets n ON e.ip BETWEEN n.lo AND n.hi
+    ), seq AS (
+      SELECT user_id, event_id, ts_us, net,
+             LAG(net) OVER w AS prev_net,
+             LAG(ts_us) OVER w AS prev_us
+      FROM matched WHERE rn = 1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), hops AS (
+      SELECT user_id, event_id, prev_net AS from_net, net AS to_net,
+             prev_us AS start_us, ts_us AS end_us
+      FROM seq
+      WHERE prev_net IS NOT NULL AND prev_net <> net
+        AND ts_us - prev_us <= {HOP_WINDOW_US}
+    ), chains AS (
+      SELECT user_id,
+             LAG(from_net) OVER hw AS net_a,
+             LAG(to_net) OVER hw AS prev_to,
+             from_net AS net_b,
+             to_net AS net_c,
+             end_us - LAG(start_us) OVER hw AS span_us
+      FROM hops
+      WINDOW hw AS (PARTITION BY user_id ORDER BY end_us, event_id)
+    )
+    SELECT net_a, net_b, net_c,
+           COUNT(*) AS n_chains,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(span_us) AS min_span_us,
+           net_a = net_c AS is_roundtrip
+    FROM chains
+    WHERE net_a IS NOT NULL AND prev_to = net_b
+      AND span_us <= {CHAIN_WINDOW_US}
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("events_lateral_movement", oracle=LATERAL_MOVEMENT_SQL)
+def events_lateral_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-movement detection — the 2-hop generalization of
+    events_impossible_travel: one actor traversing net A → B → C
+    through the address plan inside a bounded window, the attack
+    pattern (compromise a quarantined host, pivot through a DC
+    subnet, land on the guest network) that single-hop matrices can't
+    see because each hop looks routine alone. Chains are CONSECUTIVE
+    per-user hops with CONTINUITY (the second hop must leave the net
+    the first landed on — an off-window drift in between breaks the
+    chain) and total span ≤ CHAIN_WINDOW_US; the output is the
+    (A, B, C) chain-shape inventory with counts, distinct actors,
+    fastest traversal, and the A==C roundtrip flag separating
+    bounce-back noise from true lateral movement.
+
+    Three deterministic walks are planted in BOTH engines
+    (LM_PLANT_WALKS, explicit ips onto chosen nets): two true
+    lateral-movement chains and one roundtrip, so BOTH flag classes
+    verify at every SF regardless of natural hop density.
+
+    Exactness: net names, integer microsecond spans, counts, and a
+    string-equality flag — nothing floats.
+
+    Scale: the CIDR match is the same broadcast-plan map-side LPM as
+    the single-hop key (zero pre-window shuffle); ONE user_id
+    exchange serves BOTH lag windows (the hop lag and the chain lag
+    share the partitioning — the second window adds a sort, not a
+    shuffle; plan-pinned); the final rollup shuffles only chain rows
+    onto |nets|³-bounded keys. At 100 TB the chain table is bounded
+    by the address plan, not the stream.
+
+    kawa parity: none (no analytics surface in the reference);
+    mandate (M) security-analytics extension — composes the shared
+    longest_prefix_match core with the session_paths trigram idea."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        ip_col(),
+    )
+    plants = spark.createDataFrame(
+        _lm_plant_rows(),
+        "event_id long, user_id long, ts_us long, ip long",
+    )
+    m = longest_prefix_match(e.unionByName(plants), nets_df(spark)).drop(
+        "plen", "ip"
+    )
+    return lateral_chains(m, HOP_WINDOW_US, CHAIN_WINDOW_US)
+
+
+def lateral_chains(
+    attributed: DataFrame, hop_window_us: int, chain_window_us: int
+) -> DataFrame:
+    """Chain-inventory core over any LPM-attributed frame (user_id,
+    event_id, ts_us, net) — events_lateral_movement binds it to
+    events + plants; the property test
+    (tests/test_lateral_movement_property.py) drives it on random
+    walks against a brute-force Python chain miner."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = attributed.select(
+        "user_id",
+        "event_id",
+        "net",
+        F.lag("net").over(w).alias("prev_net"),
+        F.lag("ts_us").over(w).alias("prev_us"),
+        "ts_us",
+    )
+    hops = seq.filter(
+        F.col("prev_net").isNotNull()
+        & (F.col("prev_net") != F.col("net"))
+        & (F.col("ts_us") - F.col("prev_us") <= hop_window_us)
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("prev_net").alias("from_net"),
+        F.col("net").alias("to_net"),
+        F.col("prev_us").alias("start_us"),
+        F.col("ts_us").alias("end_us"),
+    )
+    hw = Window.partitionBy("user_id").orderBy("end_us", "event_id")
+    chains = hops.select(
+        "user_id",
+        F.lag("from_net").over(hw).alias("net_a"),
+        F.lag("to_net").over(hw).alias("prev_to"),
+        F.col("from_net").alias("net_b"),
+        F.col("to_net").alias("net_c"),
+        (F.col("end_us") - F.lag("start_us").over(hw)).alias("span_us"),
+    ).filter(
+        F.col("net_a").isNotNull()
+        & (F.col("prev_to") == F.col("net_b"))
+        & (F.col("span_us") <= chain_window_us)
+    )
+    return (
+        chains.groupBy("net_a", "net_b", "net_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("span_us").alias("min_span_us"),
+        )
+        .withColumn("is_roundtrip", F.col("net_a") == F.col("net_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # DGA-style domain scoring
 # ---------------------------------------------------------------------------
 

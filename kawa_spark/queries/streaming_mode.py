@@ -1051,6 +1051,90 @@ def stream_exec_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typosquat_matches(agg, wl, TYPOSQUAT_MAX_DIST)
 
 
+def _lm_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_lm_plants_")
+
+
+def _lateral_movement_oracle() -> str:
+    # Shared batch inventory + the pinned-to-0 late counter (the
+    # impossible-travel precedent).
+    from kawa_spark.queries.security import LATERAL_MOVEMENT_SQL
+
+    return (
+        "SELECT m.*, CAST(0 AS BIGINT) AS late_count FROM ("
+        + LATERAL_MOVEMENT_SQL
+        + ") m"
+    )
+
+
+@register(
+    "stream_exec_lateral_movement", oracle=_lateral_movement_oracle()
+)
+def stream_exec_lateral_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_lateral_movement's stateful half run ONLINE — the
+    thirteenth online/offline twin: the broadcast CIDR LPM attributes
+    each event map-side (stream-compatible as-is), then
+    streaming/stateful.py::net_hop_chains keeps each user's last
+    attributed net AND most recent completed hop in the state store,
+    emitting the (A → B → C) chain row the moment the second hop
+    lands — the pivot alert at arrival time. The drained chain rows
+    roll up to the same (net_a, net_b, net_c) inventory as the batch
+    key; oracle = the batch key's SQL verbatim (shared
+    LATERAL_MOVEMENT_SQL constant) plus the pinned-to-0 late counter;
+    the planted walks ride the STREAM as a second file source (shared
+    _lm_plant_rows constructor).
+
+    Scale: state is two (net, interval) pairs + a counter per user;
+    the streaming exchange is the user_id state partitioning; the
+    post-drain rollup shuffles only surviving chains onto
+    |nets|³-bounded keys. Same time-ordered-batch contract as the
+    other gap kernels, DRIVER-CHECKED via late_count."""
+    from kawa_spark.queries.security import (
+        CHAIN_WINDOW_US,
+        HOP_WINDOW_US,
+        _lm_plant_rows,
+        ip_col,
+        longest_prefix_match,
+        nets_df,
+    )
+    from kawa_spark.streaming.stateful import net_hop_chains
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        ip_col(),
+    )
+    plants_dir = _lm_plants_dir()
+    spark.createDataFrame(
+        _lm_plant_rows(),
+        "event_id long, user_id long, us long, ip long",
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = (
+        spark.readStream.schema(
+            "event_id long, user_id long, us long, ip long"
+        )
+        .parquet(plants_dir)
+        .select("user_id", "event_id", "us", "ip")
+    )
+    m = longest_prefix_match(e.unionByName(p), nets_df(spark)).drop(
+        "plen", "ip"
+    )
+    drained = _drain(
+        net_hop_chains(m, HOP_WINDOW_US, CHAIN_WINDOW_US), spark
+    )
+    return (
+        drained.groupBy("net_a", "net_b", "net_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("span_us").alias("min_span_us"),
+            F.max("late_count").alias("late_count"),
+        )
+        .withColumn("is_roundtrip", F.col("net_a") == F.col("net_c"))
+    )
+
+
 def _dow_plants_dir() -> str:
     return _plants_scratch_dir("kawa_dow_plants_")
 

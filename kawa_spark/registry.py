@@ -40,215 +40,130 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The driver's correctness gate checks the FIRST 50 registered keys
 # only (measured round 1: CORRECTNESS_r01.json == the first 50 keys
 # of registration order). Rounds therefore ROTATE which keys occupy
-# the window: r1 verified the relational/join/window/stream/dedup/
-# similarity/text tier; r2 the tpch(6)/udf/stats/extras/corpus tier;
-# r4 the 35 then-unseen keys (whose latest driver evidence is
-# therefore r4, not r3 — fixed per VERDICT r6); r5 led with the 10 driver-red keys
-# (HUGEINT oracle casts + NTZ victims — all flipped green, making
-# latest-driver-status 132/132 green) plus that round's changed
-# implementations (similarity_ivf centroid cap, dedup_clusters
-# self-loop contract; the decontaminate hash swap and posting-table
-# persist had landed earlier, in r2) and the 34 r1-only keys.
+# the window. Rotation provenance for rounds 1-9 lives in git
+# history (this file @ 4445769 carries the full r9 narrative); since
+# r10 the deferral record is DATA, not prose: the DEFERRED dict below
+# names every key displaced from this round's window together with
+# its grounds, and tests/test_registry_window.py pins that (a) the
+# deferred set is exactly the oldest-evidence tier outside the
+# window, and (b) window + deferred are disjoint and registered.
 #
-# Round 9's window (below), per VERDICT r8 item 1: first the 4 NEW
-# keys (never driver-checked — must lead): logs_cidr_enrich
-# (longest-prefix CIDR match via broadcast plan-array + higher-order
-# filter/array_max — zero pre-rollup shuffle),
-# events_funnel_daily_conversion (funnel_stages rolled up on the
-# exact floor-div day of t_view), events_session_rarity (sessionize →
-# in-session transitions scored against the global Markov model;
-# integer-exact rarity score), ts_resample_ffill_clamped (the
-# max_span_hours=168 production gapfill, oracle GREATEST clamp —
-# VERDICT r8 item 4). Then the 3 keys whose implementations changed
-# this round: join_anti (anti-join retargeted to URGENT orders — was
-# a 0-row vacuous match at r1/r5/r8, q22's own fix; 203 rows at
-# sf0.01), except_distinct (subtrahend narrowed to s_nationkey < 10 —
-# the other 0-row vacuous key; 15 rows), events_cooccurrence_lift
-# (persist() dropped for AQE exchange reuse; lift recomputed as
-# (n_ab/n_a)*(n/n_b) in doubles, oracle mirrored — ADVICE r8).
-# Then ALL 12 remaining r5-evidence keys (the 13 VERDICT r8 committed
-# to, minus except_distinct which moved to the changed tier above).
-# Then SEVEN more new keys added later in r9 (same never-checked
-# tier): events_beaconing (integer-exact CV^2 periodicity test with
-# two planted callback streams), events_first_seen (per-day new-
-# entity emergence + running pair inventory), events_impossible_travel
-# (map-side LPM + per-user lag — different nets within 30 min),
-# stream_exec_first_seen (the pair inventory maintained ONLINE —
-# complete-mode streaming MIN drain feeding the same curve core),
-# agg_kmv_sliding_window (trailing-7-day sketch-union DAU — the
-# windowed COUNT DISTINCT answered from per-day sketches),
-# stream_exec_beaconing (the beacon detector ONLINE — per-event gap
-# power sums in the state store, prefix-window oracle),
-# stream_exec_impossible_travel (the hop detector ONLINE — per-user
-# (last_net, last_us) state, batch-matrix oracle shared verbatim).
-# Then 17 of the 42 r6-evidence keys — all but 25 deferred on family-
-# twin or triviality grounds: multimodal_meta/resize/frames (twin
-# multimodal_decode in this window + audio_features r7),
-# percentile_disc + percentile_cont (the disc-percentile rank
-# machinery — row_number + value at floor((n-1)·q) — is exercised
-# in-window by events_anomaly_mad's two disc medians; cont was this
-# window's original percentile representative until displaced by the
-# sixteenth new key stream_exec_anomaly_mad, the MAD detector's
-# ONLINE twin — streaming daily counts through the real runtime into
-# the same shared scorer, spike plants riding the stream),
-# scalar_string_extra + interval_arithmetic (twin
-# scalar_string_date_math r8), array_map_ops (twin map_ops_extra in
-# this window), json_roundtrip (twin deser_json in this window),
-# null_handling (trivially-stable single-op, untouched since r1),
-# text_normalize (normalization core exercised by dedup_exact_norm
-# r8), text_chunking (tokenizer core shared with text_tokens r8);
-# displaced by the three late-r9 keys, on the same grounds:
-# stream_exec_running_total (twins stream_exec_session_totals +
-# stream_exec_incremental_rollup stay in this window; batch twin
-# stateful_running_total is r8 evidence), udf_python (twin
-# udtf_lateral stays; udf_grouped_agg r7), text_fingerprint
-# (text_edit_distance + text_redact_pii stay; the text tier carries
-# r8 evidence x4); and dedup_simhash, displaced by the eighth new
-# key stream_exec_first_seen (simhash's banded-self-join family twin
-# dedup_minhash stays in this window; the hamming core is
-# property-covered); and corpus_dedup_report, displaced by the ninth
-# new key agg_kmv_sliding_window (report's normalization/dedup-
-# summary twin pipeline_dedup_corpus stays in this window); and
-# data_profile, displaced by the tenth new key stream_exec_beaconing
-# (profile's summary-stats family twin agg_stats_moments stays in
-# this window; histogram_width_bucket was the second stated twin
-# until the continuation pass displaced it — see events_session_paths
-# below); and sample_hash,
-# displaced by the eleventh new key stream_exec_impossible_travel
-# (its deterministic-hash-sampling family twin corpus_split stays in
-# this window); and
-# corpus_stratified_sample itself plus dedup_keeper_corpus, displaced
-# by the twelfth and thirteenth new keys stream_exec_session_rarity
-# (events_session_rarity's sessionizer run ONLINE through the state
-# store, scored by the SAME shared Markov scorer) and
-# stream_exec_template_drift (logs_template_drift's counts maintained
-# as a streaming aggregation, shared drift projection) — the two
-# banked r9 candidates from docs/STATUS.md: stratified_sample's
-# deterministic-hash-sampling family twin corpus_split stays in this
-# window, and keeper_corpus's normalization/dedup-summary family twin
-# pipeline_dedup_corpus stays in this window; and agg_bitwise_bool
-# plus agg_string_collect, displaced by the fourteenth and fifteenth
-# new keys logs_dga_score (DGA-domain scoring — integer-exact Simpson
-# collision / length / digit features over the label, the session-
-# rarity entropy surrogate applied to strings) and events_anomaly_mad
-# (robust median/MAD daily-volume anomaly with a planted spike, the
-# integer-exact sibling of events_anomaly_zscore r8): both displaced
-# keys are trivially-stable single-aggregate ops whose
-# implementations are untouched since registration, the
-# null_handling grounds, with their aggregate-family twin
-# agg_stats_moments staying in this window (agg_argminmax was the
-# second stated twin until the continuation pass displaced it — see
-# events_password_spray below; the family keeps one in-window
-# representative); and
-# stream_exec_session_totals, displaced by the seventeenth new key
-# stream_exec_funnel (the funnel's write-once slot kernel ONLINE —
-# max-stage rollup hash-checked against the shared FUNNEL_SQL):
-# session_totals' applyInPandasWithState sessionizer-state family is
-# represented in this window by stream_exec_session_rarity (the same
-# gap-boundary state shape) plus seven other stateful drains, and
-# its batch twin machinery carries r8 evidence
-# (stateful_running_total); and text_redact_pii, displaced by the
-# eighteenth new key stream_exec_dga_score (the DGA detector ONLINE
-# — the pair-drain distinct pattern over streaming domain counts,
-# shared dga_features core + DGA_SCORE_SQL): its regex-masking
-# family twin text_edit_distance stays in this window and the text
-# tier carries r8 evidence x4 (the text_fingerprint grounds).
-# Then THREE MORE new keys from the r9 continuation pass, each
-# displacing an r6-evidence key: events_password_spray (fan-in
-# credential-stuffing detection — per-(net, hour) distinct-account
-# counts over the map-side CIDR LPM, one deterministic spray planted
-# in both engines) displaces agg_argminmax (trivially-stable
-# single-aggregate op untouched since registration — the
-# null_handling grounds — with its aggregate-family twin
-# agg_stats_moments staying in this window); logs_typosquat (fuzzy
-# dimension join — levenshtein 1..2 against the DGA_VOCAB whitelist
-# behind a length band, three planted typo domains) displaces
-# text_edit_distance (typosquat exercises the IDENTICAL cross-engine
-# levenshtein surface in-window, with plants + an independent DP
-# property test on top — strictly stronger evidence for the same
-# machinery); and stream_exec_password_spray (the spray detector
-# ONLINE — pair-drain (net, hour, user) triples through the real
-# runtime, shared PASSWORD_SPRAY_SQL oracle verbatim) displaces
-# pivot_wide (trivially-stable explicit-domain pivot untouched since
-# registration, the null_handling grounds; its groupBy-aggregate
-# family is represented in-window by agg_stats_moments +
-# histogram_width_bucket). And TWO MORE new keys from the same
-# continuation pass: events_session_paths (top-K trigram session
-# sequences — the order-2 generalization of events_markov_transitions
-# on the shared _sessionized core, deterministic tie-broken top-K)
-# displaces histogram_width_bucket (trivially-stable single-aggregate
-# op untouched since registration, the null_handling grounds; the
-# aggregate family keeps agg_stats_moments in-window — the same
-# representative named when agg_bitwise_bool/agg_string_collect were
-# displaced); and agg_cms_freq (count-min sketch frequency
-# estimation — the third sketch family, md5-replayable oracle,
-# relative in-plan width so both is_over classes stay non-vacuous at
-# every sf) displaces corpus_tfidf (its corpus-statistics family
-# keeps corpus_split, corpus_decontaminate, and pipeline_dedup_corpus
-# in this window, and the tf-idf machinery's heavy half — the
-# df-capped posting join — carries r8-adjacent evidence through
-# dedup_ngram_jaccard's shared discipline). THOSE
-# THIRTY deferred keys MUST lead r10's window. Exactly 50. Max
-# evidence age after this round: deferred 30 = r6 evidence = 3
-# rounds at r9; everything else <= 3 rounds.
-# tests/test_registry_window.py pins this list against accidental
-# registration-order drift.
+# Round 10's window (VERDICT r9 item 1): the THIRTY deferred
+# r6-evidence keys lead (the oldest tier — 3 rounds stale — and the
+# r9 registry's standing commitment), then the FIVE new keys
+# registered this round (never driver-checked), then the FOUR keys
+# whose implementations changed this round (logs_typosquat: negative
+# plant ids; stream_exec_beaconing: sd2 hi/lo state split;
+# stream_exec_impossible_travel + stream_exec_session_rarity:
+# late_count observability columns + wrapped oracles), then ELEVEN of
+# the 44 r7-evidence keys — the next-oldest tier, complex/risky
+# implementations first (dedup/similarity/streaming kernels), leaving
+# the trivially-stable relational/tpch r7 keys in DEFERRED to lead
+# r11. Exactly 50. Max evidence age after this round's driver check:
+# deferred 33 = r7 evidence = 3 rounds at r10; everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- 23 new keys (never driver-checked) ---
-    "logs_cidr_enrich",
-    "events_funnel_daily_conversion",
-    "events_session_rarity",
-    "ts_resample_ffill_clamped",
-    "events_beaconing",
-    "events_first_seen",
-    "events_impossible_travel",
-    "stream_exec_first_seen",
-    "agg_kmv_sliding_window",
+    # --- the 30 deferred r6-evidence keys (VERDICT r9 item 1) ---
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frames",
+    "percentile_cont",
+    "percentile_disc",
+    "scalar_string_extra",
+    "interval_arithmetic",
+    "array_map_ops",
+    "json_roundtrip",
+    "null_handling",
+    "text_normalize",
+    "text_chunking",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_edit_distance",
+    "stream_exec_running_total",
+    "stream_exec_session_totals",
+    "udf_python",
+    "dedup_simhash",
+    "corpus_dedup_report",
+    "data_profile",
+    "sample_hash",
+    "corpus_stratified_sample",
+    "dedup_keeper_corpus",
+    "agg_bitwise_bool",
+    "agg_string_collect",
+    "agg_argminmax",
+    "pivot_wide",
+    "histogram_width_bucket",
+    "corpus_tfidf",
+    # --- 5 new keys this round (never driver-checked) ---
+    "stream_exec_typosquat",
+    "events_dow_association",
+    "stream_exec_dow_association",
+    "events_lateral_movement",
+    "stream_exec_lateral_movement",
+    # --- 4 changed implementations this round ---
+    "logs_typosquat",
     "stream_exec_beaconing",
     "stream_exec_impossible_travel",
     "stream_exec_session_rarity",
-    "stream_exec_template_drift",
-    "logs_dga_score",
-    "events_anomaly_mad",
-    "stream_exec_anomaly_mad",
-    "stream_exec_funnel",
-    "stream_exec_dga_score",
-    "events_password_spray",
-    "logs_typosquat",
-    "stream_exec_password_spray",
-    "events_session_paths",
-    "agg_cms_freq",
-    # --- 3 keys whose implementation changed this round ---
-    "join_anti",
-    "except_distinct",
-    "events_cooccurrence_lift",
-    # --- the 12 remaining r5-evidence keys (VERDICT r8 item 1) ---
-    "scan_project",
-    "filter_predicate",
-    "union_all",
-    "union_distinct",
-    "intersect",
-    "sort_limit_topk",
-    "deser_json",
-    "flatmap_posexplode",
-    "window_rank_extra",
-    "map_ops_extra",
-    "stream_tumbling_count",
-    "join_outer_right",
-    # --- 12 of the 42 r6-evidence keys ---
-    "agg_stats_moments",
-    "corpus_decontaminate",
-    "corpus_split",
-    "dedup_minhash",
-    "join_asof",
-    "multimodal_decode",
-    "pipeline_dedup_corpus",
-    "rollup_multires",
-    "sql_surface",
-    "stream_exec_incremental_rollup",
-    "subquery_correlated",
-    "udtf_lateral",
+    # --- 11 of the 44 r7-evidence keys (oldest remaining tier) ---
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "kmeans_lloyd",
+    "similarity_ivf_kmeans",
+    "similarity_lsh_ann",
+    "similarity_topk",
+    "embedding_centroids",
+    "embedding_quantize",
+    "stream_passthrough",
+    "multimodal_audio_features",
 ]
+
+# Keys whose driver evidence is the OLDEST tier (r7) but which did
+# not fit this round's 50-slot window, with displacement grounds.
+# THESE MUST LEAD THE R11 WINDOW (plus any keys whose implementation
+# changes in r11). tests/test_registry_window.py pins that this dict
+# is exactly the oldest-evidence tier outside the window.
+DEFERRED: dict[str, str] = {
+    # stable SQL untouched since registration; the tpch tier's
+    # machinery (joins/aggs/windows) is exercised in-window by the
+    # dedup/similarity/streaming keys every round
+    "tpch_q1_pricing_summary": "stable SQL, untouched since r2",
+    "tpch_q2_best_supplier": "stable SQL, untouched since r2",
+    "tpch_q4_priority_check": "stable SQL, untouched since r2",
+    "tpch_q5_local_supplier": "stable SQL, untouched since r2",
+    "tpch_q7_volume_shipping": "stable SQL, untouched since r2",
+    "tpch_q8_market_share": "stable SQL, untouched since r2",
+    "tpch_q9_product_profit": "stable SQL, untouched since r2",
+    "tpch_q11_important_stock": "stable SQL, untouched since r2",
+    "tpch_q13_customer_distribution": "stable SQL, untouched since r2",
+    "tpch_q14_promo_revenue": "stable SQL, untouched since r2",
+    "tpch_q15_top_supplier": "stable SQL, untouched since r2",
+    "tpch_q16_supplier_relationship": "stable SQL, untouched since r2",
+    "tpch_q17_small_quantity": "stable SQL, untouched since r2",
+    "tpch_q18_large_volume": "stable SQL, untouched since r2",
+    "tpch_q19_discounted_revenue": "stable SQL, untouched since r2",
+    "tpch_q20_part_promotion": "stable SQL, untouched since r2",
+    "tpch_q21_waiting_supplier": "stable SQL, untouched since r2",
+    # single-op / family-twin displacements (the null_handling
+    # grounds: trivially-stable implementations whose family keeps an
+    # in-window representative this round)
+    "agg_hash_groupby": "family twin agg_stats_moments r9-green",
+    "agg_approx_distinct": "approx-sketch family twin agg_kmv_* r9",
+    "percentile_approx": "disc/cont percentile pair IS in-window",
+    "grouping_cube": "family twin rollup_multires r9-green",
+    "join_inner_hash": "join family r9-green x5 (anti/right/asof...)",
+    "window_rank": "family twin window_rank_extra r9-green",
+    "udf_grouped_agg": "family twins udf_python/udtf_lateral in-window",
+    "stream_dedup": "family twin stream_exec_dedup_watermark r8",
+    "stream_sliding": "windowed-agg family, stream_tumbling_count r9",
+    "events_funnel": "twins stream_exec_funnel r9 + daily_conversion r9",
+    "quality_repetition": "quality tier twin quality_gopher r7 equal-age; repetition untouched since r6",
+    "quality_gopher_filter": "quality tier; lm_commonness r8 in family",
+    "corpus_length_filter": "corpus tier keeps 4 in-window reps",
+    "corpus_domain_stats": "corpus tier keeps 4 in-window reps",
+    "corpus_shuffle_deterministic": "corpus tier keeps 4 in-window reps",
+    "corpus_vocab_coverage": "corpus tier keeps 4 in-window reps",
+}
 
 
 def load_all() -> None:

@@ -569,6 +569,152 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
     )
 
 
+CHAIN_SCHEMA = (
+    "user_id long, event_id long, net_a string, net_b string, "
+    "net_c string, span_us long, late_count long"
+)
+_CHAIN_STATE_SCHEMA = (
+    "hop_from string, hop_to string, hop_start long, hop_end long, "
+    "last_net string, last_us long, late long"
+)
+
+
+def net_hop_chains(
+    events: DataFrame, hop_window_us: int, chain_window_us: int
+) -> DataFrame:
+    """Streaming lateral-movement detector — the stateful half of
+    queries/security.py::events_lateral_movement run ONLINE: per user,
+    remember both the previous attributed (net, timestamp) — the
+    net_hops state — AND the most recent completed hop; when an event
+    completes a NEW hop whose origin equals the remembered hop's
+    landing net (continuity: an off-window drift in between changes
+    last_net without touching the hop slot, so the equality fails
+    exactly when the batch form's prev_to <> net_b filter does) and
+    the total traversal fits ``chain_window_us``, emit the
+    (net_a → net_b → net_c) chain row at arrival — the pivot alert
+    fires on the second hop, not at the batch sweep. The caller feeds
+    LPM-attributed rows; the CIDR match is stateless map-side work.
+
+    State is two (net, interval) pairs + the late counter per user —
+    O(1) regardless of volume, and exactly the information content of
+    the batch form's two LAG windows. Inherits the time-ordered-batch
+    contract (rate_limited docstring); a genuinely late event is
+    SKIPPED, counted, and surfaced on every emitted chain
+    (late_count, the beacon observability pattern — the registered
+    key's oracle pins it to 0)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        has_last = state.exists
+        if has_last:
+            (
+                hop_from,
+                hop_to,
+                hop_start,
+                hop_end,
+                last_net,
+                last_us,
+                late,
+            ) = state.get
+            hop_start = None if hop_from is None else int(hop_start)
+            hop_end = None if hop_from is None else int(hop_end)
+            last_us, late = int(last_us), int(late)
+        else:
+            hop_from = hop_to = last_net = None
+            hop_start = hop_end = None
+            last_us, late = 0, 0
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            if has_last:
+                state.update(
+                    (
+                        hop_from,
+                        hop_to,
+                        hop_start or 0,
+                        hop_end or 0,
+                        last_net,
+                        last_us,
+                        late,
+                    )
+                )
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        rows = []
+        for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
+            t = int(t)
+            if has_last and t < last_us:
+                late += 1  # excluded AND counted: see docstring guard
+                continue
+            if (
+                has_last
+                and net != last_net
+                and t - last_us <= hop_window_us
+            ):
+                # a hop completed: chain if the remembered hop feeds it
+                if (
+                    hop_from is not None
+                    and hop_to == last_net
+                    and t - hop_start <= chain_window_us
+                ):
+                    rows.append(
+                        (
+                            key[0],
+                            int(eid),
+                            hop_from,
+                            last_net,
+                            net,
+                            t - hop_start,
+                            late,
+                        )
+                    )
+                hop_from, hop_to = last_net, net
+                hop_start, hop_end = last_us, t
+            last_net, last_us = net, t
+            has_last = True
+        state.update(
+            (
+                hop_from,
+                hop_to,
+                hop_start or 0,
+                hop_end or 0,
+                last_net,
+                last_us,
+                late,
+            )
+        )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "net_a",
+                    "net_b",
+                    "net_c",
+                    "span_us",
+                    "late_count",
+                ],
+            )
+
+    return (
+        events.select("user_id", "event_id", "us", "net")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CHAIN_SCHEMA,
+            stateStructType=_CHAIN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 TRANSITION_SCHEMA = (
     "user_id long, session_idx long, from_type string, to_type string, "
     "late_count long"

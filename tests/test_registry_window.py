@@ -74,6 +74,39 @@ def test_every_key_still_registered_once():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
+def test_deferred_is_exactly_the_oldest_offwindow_tier():
+    """Rotation contract as DATA (VERDICT r9 item 4): registry.DEFERRED
+    must name exactly the keys whose latest driver evidence is the
+    OLDEST round among keys outside this round's window — the set the
+    next round's window MUST lead with. Computed from the committed
+    CORRECTNESS_r*.json artifacts, so the pin survives the next driver
+    run mechanically (in-window keys refresh their evidence; deferred
+    keys keep the old round and stay the oldest tier)."""
+    import glob
+    import json
+
+    latest: dict[str, int] = {}
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        with open(p) as f:
+            for k in json.load(f):
+                latest[k] = rnd
+    if not latest:  # fresh checkout without driver artifacts
+        return
+    assert set(registry.DEFERRED) <= set(registry.QUERIES)
+    assert not set(registry.DEFERRED) & set(registry.DRIVER_WINDOW)
+    off_window = {
+        k: r
+        for k, r in latest.items()
+        if k in registry.QUERIES and k not in registry.DRIVER_WINDOW
+    }
+    oldest = min(off_window.values())
+    oldest_tier = {k for k, r in off_window.items() if r == oldest}
+    assert set(registry.DEFERRED) == oldest_tier, (
+        sorted(set(registry.DEFERRED) ^ oldest_tier)
+    )
+
+
 def test_oracle_output_types_are_driver_safe():
     """VERDICT r04 item 2: the driver's typed canonicalizer
     hash-mismatches when the oracle emits a DuckDB HUGEINT (int128)

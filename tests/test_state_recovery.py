@@ -249,6 +249,76 @@ def test_net_hops_survives_restart(spark, tmp_path):
     assert collected == {3: ("net_a", "net_b", 120 * M)}
 
 
+def test_net_hop_chains_survive_restart(spark, tmp_path):
+    """The online chain detector's remembered hop AND (last_net,
+    last_us) both resume from the checkpoint: a chain whose two hops
+    straddle the RESTART is still emitted, including the null hop
+    slots of a fresh key surviving the round-trip."""
+    from kawa_spark.streaming.stateful import net_hop_chains
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    collected: dict[int, tuple] = {}
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value", "event_id long, user_id long, net string, us long"
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            net_hop_chains(parsed, 1800 * 1_000_000, 3600 * 1_000_000)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.update(
+                    {
+                        r["event_id"]: (
+                            r["net_a"],
+                            r["net_b"],
+                            r["net_c"],
+                            r["span_us"],
+                            r["late_count"],
+                        )
+                        for r in df.collect()
+                    }
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json
+
+    def emit(eid, net, us):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "user_id": 7, "net": net, "us": us}
+                )
+                + "\n"
+            )
+
+    M = 1_000_000
+    emit(1, "net_a", 0)
+    drain()  # fresh key: null hop slots checkpoint and restore
+    emit(2, "net_b", 600 * M)
+    drain()  # hop 1 (na->nb) lives only in the checkpoint now
+    assert collected == {}
+
+    # restart: the second hop completes the chain against the
+    # checkpointed first hop
+    emit(3, "net_c", 1200 * M)
+    drain()
+    assert collected == {3: ("net_a", "net_b", "net_c", 1200 * M, 0)}
+
+
 def test_funnel_states_survive_restart(spark, tmp_path):
     """The online funnel's write-once slots resume from the
     checkpoint: a conversion whose stages straddle the RESTART still
