@@ -1033,6 +1033,18 @@ def dow_association(cells: DataFrame) -> DataFrame:
     def d38(c: str):
         return F.col(c).cast("decimal(38,0)")
 
+    # No-op semantically (type and dow are never null), but load-
+    # bearing for the plan: the marginal joins push DIFFERENT
+    # isnotnull filters into their cell subplans (event_type for
+    # per_type, dow for per_dow, none for tot), making the four
+    # subplans byte-distinct — AQE exchange reuse needs identical
+    # subtrees, and without it the full stream is scanned and
+    # shuffled FOUR times. Pre-filtering both keys makes every branch
+    # identical: one scan, one cell exchange, 3 ReusedExchange nodes
+    # (plan-pinned by test_dow_association_marginals_reuse_cell_exchange).
+    cells = cells.filter(
+        F.col("event_type").isNotNull() & F.col("dow").isNotNull()
+    )
     per_type = cells.groupBy("event_type").agg(
         F.sum("n_obs").cast("long").alias("n_type")
     )

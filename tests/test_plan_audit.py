@@ -624,3 +624,39 @@ def test_cms_freq_broadcasts_sketch_and_width(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_lateral_movement_one_user_exchange_no_smj(spark):
+    """events_lateral_movement: the CIDR match is the broadcast
+    map-side LPM (no SortMergeJoin, no exchange carrying event_id),
+    and ONE user_id exchange serves BOTH lag windows — the chain lag
+    re-sorts within the hop lag's partitioning instead of
+    re-shuffling (the docstring's scale claim, asserted
+    mechanically)."""
+    import re
+
+    df = registry.QUERIES["events_lateral_movement"](spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys
+    for k in keys:
+        assert "event_id" not in k, keys
+    user_exchanges = [k for k in keys if k.startswith("user_id")]
+    assert len(user_exchanges) == 1, keys
+
+
+def test_dow_association_marginals_reuse_cell_exchange(spark):
+    """events_dow_association: ONE full-stream shuffle (the
+    (type, dow) cell rollup); all three marginals are aggregates OF
+    THE CELLS whose subplans AQE collapses onto that exchange
+    (ReusedExchange — the no-persist discipline), and they ride back
+    as broadcasts (no SortMergeJoin)."""
+    df = registry.QUERIES["events_dow_association"](spark, SF)
+    assert audit_plan(df) == []
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("ReusedExchange") >= 2, plan
