@@ -1131,7 +1131,16 @@ def stream_exec_lateral_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("span_us").alias("min_span_us"),
             F.max("late_count").alias("late_count"),
         )
-        .withColumn("is_roundtrip", F.col("net_a") == F.col("net_c"))
+        .select(  # oracle column order: is_roundtrip before late_count
+            "net_a",
+            "net_b",
+            "net_c",
+            "n_chains",
+            "n_users",
+            "min_span_us",
+            (F.col("net_a") == F.col("net_c")).alias("is_roundtrip"),
+            "late_count",
+        )
     )
 
 

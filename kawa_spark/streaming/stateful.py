@@ -574,7 +574,7 @@ CHAIN_SCHEMA = (
     "net_c string, span_us long, late_count long"
 )
 _CHAIN_STATE_SCHEMA = (
-    "hop_from string, hop_to string, hop_start long, hop_end long, "
+    "hop_from string, hop_to string, hop_start long, "
     "last_net string, last_us long, late long"
 )
 
@@ -595,9 +595,12 @@ def net_hop_chains(
     fires on the second hop, not at the batch sweep. The caller feeds
     LPM-attributed rows; the CIDR match is stateless map-side work.
 
-    State is two (net, interval) pairs + the late counter per user —
-    O(1) regardless of volume, and exactly the information content of
-    the batch form's two LAG windows. Inherits the time-ordered-batch
+    State is the remembered hop's (origin, landing, start) plus the
+    last (net, timestamp) and the late counter per user — O(1)
+    regardless of volume, and exactly the information the batch
+    form's two LAG windows carry forward (the hop's own end time is
+    never read again: the chain span measures to the SECOND hop's
+    end). Inherits the time-ordered-batch
     contract (rate_limited docstring); a genuinely late event is
     SKIPPED, counted, and surfaced on every emitted chain
     (late_count, the beacon observability pattern — the registered
@@ -608,35 +611,21 @@ def net_hop_chains(
 
         has_last = state.exists
         if has_last:
-            (
-                hop_from,
-                hop_to,
-                hop_start,
-                hop_end,
-                last_net,
-                last_us,
-                late,
-            ) = state.get
+            hop_from, hop_to, hop_start, last_net, last_us, late = (
+                state.get
+            )
             hop_start = None if hop_from is None else int(hop_start)
-            hop_end = None if hop_from is None else int(hop_end)
             last_us, late = int(last_us), int(late)
         else:
             hop_from = hop_to = last_net = None
-            hop_start = hop_end = None
+            hop_start = None
             last_us, late = 0, 0
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             if has_last:
                 state.update(
-                    (
-                        hop_from,
-                        hop_to,
-                        hop_start or 0,
-                        hop_end or 0,
-                        last_net,
-                        last_us,
-                        late,
-                    )
+                    (hop_from, hop_to, hop_start or 0, last_net,
+                     last_us, late)
                 )
             return
         pdf = (
@@ -674,19 +663,11 @@ def net_hop_chains(
                         )
                     )
                 hop_from, hop_to = last_net, net
-                hop_start, hop_end = last_us, t
+                hop_start = last_us
             last_net, last_us = net, t
             has_last = True
         state.update(
-            (
-                hop_from,
-                hop_to,
-                hop_start or 0,
-                hop_end or 0,
-                last_net,
-                last_us,
-                late,
-            )
+            (hop_from, hop_to, hop_start or 0, last_net, last_us, late)
         )
         if rows:
             yield pd.DataFrame(

@@ -16,6 +16,7 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import drain_batches as _drain_batches
 from kawa_spark.queries.security import lateral_chains
 from kawa_spark.streaming.stateful import net_hop_chains
 
@@ -122,28 +123,6 @@ def test_batch_chain_core_matches_bruteforce(spark, case):
         for r in lateral_chains(df, HOP_W, CHAIN_W).collect()
     }
     assert got == want_cells, rows
-
-
-def _drain_batches(spark, src, schema, batches, build, name):
-    for b in batches:
-        spark.createDataFrame(b, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(str(src))
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
-    q = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(120)
-    return spark.table(name).collect()
 
 
 @settings(

@@ -16,6 +16,7 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import drain_batches as _drain_batches
 from kawa_spark.streaming.stateful import beacon_scores, net_hops
 
 MIN_GAPS = 3
@@ -113,28 +114,6 @@ def hop_batches(draw):
         [draw(st.integers(0, len(rows))), draw(st.integers(0, len(rows)))]
     )
     return rows, cuts
-
-
-def _drain_batches(spark, src, schema, batches, build, name):
-    for b in batches:
-        spark.createDataFrame(b, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(str(src))
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
-    q = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(120)
-    return spark.table(name).collect()
 
 
 @settings(
