@@ -111,6 +111,7 @@ HEADLINE = [
     # of the headline per the r9 convention)
     "events_dow_association",
     "events_lateral_movement",
+    "dedup_span_fraction",
 ]
 
 

@@ -764,3 +764,157 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span fraction (ExactSubstr-style dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # words per span window
+
+# Two deterministic "contaminated" documents planted in BOTH engines:
+# they share an identical 24-word body (boilerplate copied across
+# pages — the thing span dedup exists to catch) but carry distinct
+# 12-word tails, so each plant has BOTH duplicated and unique windows
+# (0 < dup_fraction < 1, is_contaminated true), while natural docs
+# (near-random word streams) verify the false class. Negative doc_ids
+# (the plant-id convention: natural ids >= 0 at every scale).
+_SPAN_SHARED = (
+    "shared boilerplate license header text repeated across many "
+    "crawled pages word for word exactly the same every single time "
+    "without change"
+)
+_SPAN_TAILS = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu",
+    "one two three four five six seven eight nine ten eleven twelve",
+]
+SPAN_PLANTS: list[tuple[int, str]] = [
+    (-21_000_000 - i, _SPAN_SHARED + " " + tail)
+    for i, tail in enumerate(_SPAN_TAILS)
+]
+
+
+def _span_plants_values_sql() -> str:
+    return ", ".join(f"({d}, '{t}')" for d, t in SPAN_PLANTS)
+
+
+@register(
+    "dedup_span_fraction",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {{plants}}) t(doc_id, text)
+      )
+    ), w AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               generate_series(1, greatest(len(ws) - {SPAN_N - 1}, 0)),
+               i -> md5(array_to_string(ws[i:i+{SPAN_N - 1}], ' ')))) AS k
+      FROM d
+    ), per AS (
+      SELECT doc_id, k, COUNT(*) AS n_pos FROM w GROUP BY 1, 2
+    ), docs AS (
+      SELECT k, COUNT(*) AS n_docs FROM per GROUP BY k
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n_pos) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN x.n_docs >= 2 THEN p.n_pos ELSE 0 END)
+                AS BIGINT) AS dup_windows,
+           CAST(SUM(CASE WHEN x.n_docs >= 2 THEN p.n_pos ELSE 0 END)
+                AS DOUBLE) / SUM(p.n_pos) AS dup_fraction,
+           2 * SUM(CASE WHEN x.n_docs >= 2 THEN p.n_pos ELSE 0 END)
+             >= SUM(p.n_pos) AS is_contaminated
+    FROM per p JOIN docs x USING (k)
+    GROUP BY 1
+    """.replace("{plants}", _span_plants_values_sql()),
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN accounting — the span-level
+    (ExactSubstr-style) view of corpus duplication from the public
+    training-data dedup literature (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): instead
+    of flagging whole near-duplicate documents (the minhash tier),
+    measure, PER DOCUMENT, what fraction of its positional
+    SPAN_N-word windows also occur in at least one OTHER document —
+    the boilerplate/license-header/navigation-chrome contamination
+    that survives document-level dedup because the surrounding page
+    differs. A doc is contaminated when duplicated windows are at
+    least half its windows (integer cross-multiplication).
+
+    Windows are POSITIONAL (not distinct): a doc that repeats a
+    shared span five times has five contaminated positions — the
+    quantity a span-removal pass would actually delete.
+    quality_repetition covers WITHIN-doc repetition; this key is the
+    CROSS-doc complement. Docs shorter than SPAN_N words have no
+    windows and are absent (the oracle's empty generate_series).
+
+    Exactness: counts are integers, dup_fraction is one exact
+    division, the flag is cross-multiplied. The window keys are
+    INTERNAL (only counts reach the output), so the engines use
+    INDEPENDENT hashes deliberately — Spark xxhash64 (8-byte long
+    keys, 4× smaller shuffle rows than an md5 hex string; measured
+    the difference at the 100× probe), DuckDB md5 — and the hash
+    check still passes because equal counts from two unrelated
+    hash constructions also rule out the shared-construction error
+    class a mirrored digest could mask. (A collision would have to
+    happen in exactly one engine to diverge; ~2⁻⁶⁴ per pair.)
+
+    Scale: explode is map-side; the (digest) document-frequency
+    aggregate and the (doc_id, digest) positional count both
+    map-side combine; the df join keys on the digest exchange
+    already built. Nothing is quadratic — no pair join exists in
+    this plan at ANY duplication rate (unlike candidate-pair dedup,
+    which must be bucket-capped); total shuffled rows = total
+    windows, linear in corpus size. The 50-token-window production
+    form is this exact plan with SPAN_N raised.
+
+    kawa parity: none; mandate (M) LLM-pipeline extension."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(SPAN_PLANTS, "doc_id long, text string")
+    d = docs.unionByName(plants)
+
+    from kawa_spark.functions.hof import bind
+
+    words = F.split(F.lower(F.col("text")), r"\s+")
+
+    def windows(ws: F.Column) -> F.Column:
+        # when-guard: Spark's sequence(1, 0) infers step -1 and
+        # yields [1, 0] (slice start 0 then crashes) where DuckDB's
+        # generate_series(1, 0) is empty — the hof.bigrams short-doc
+        # lesson applied to SPAN_N-word windows.
+        n = F.size(ws)
+        return F.when(
+            n >= SPAN_N,
+            F.transform(
+                F.sequence(F.lit(1), n - (SPAN_N - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(ws, i, SPAN_N))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    w = d.select(
+        "doc_id", F.explode(bind(words, windows)).alias("k")
+    )
+    per = w.groupBy("doc_id", "k").agg(F.count(F.lit(1)).alias("n_pos"))
+    df_counts = per.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_pos = F.sum(
+        F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
+    )
+    return (
+        per.join(df_counts, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_windows"),
+            dup_pos.cast("long").alias("dup_windows"),
+            (dup_pos.cast("double") / F.sum("n_pos")).alias(
+                "dup_fraction"
+            ),
+            (F.lit(2) * dup_pos >= F.sum("n_pos")).alias(
+                "is_contaminated"
+            ),
+        )
+    )

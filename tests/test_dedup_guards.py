@@ -96,3 +96,67 @@ def test_ngram_jaccard_survives_boilerplate_corpus(spark, tmp_path):
     assert set(got) == {(100_000, 100_001)}
     # both docs have 8 distinct 3-shingles, 7 shared → 7/9
     assert abs(got[(100_000, 100_001)] - 7 / 9) < 1e-12
+
+
+def test_span_fraction_matches_bruteforce(spark, tmp_path):
+    """dedup_span_fraction vs an independent Python span miner on an
+    adversarial mini-corpus: shared prefixes, a doc repeating a
+    shared span WITHIN itself (positional counting — each occurrence
+    is a contaminated position), docs shorter than SPAN_N (no
+    windows, absent from output), and a unique doc (false class).
+    The oracle mirrors the construction, so only an independent
+    reference catches a shared windowing/off-by-one error."""
+    from kawa_spark.queries.llm_dedup import SPAN_N, dedup_span_fraction
+
+    shared = "a b c d e f g h i j"  # 10 words: 3 windows at SPAN_N=8
+    corpus = {
+        1: shared + " unique1 tail1 words1 here1",
+        2: shared + " other2 tail2 words2 here2",
+        3: shared + " mid filler " + shared,  # repeats the shared span
+        4: "totally unique words nothing shared with anyone else at all",
+        5: "short doc",  # < SPAN_N words: no windows
+    }
+
+    def ref(corpus):
+        per_doc: dict[int, list[str]] = {}
+        for d, text in corpus.items():
+            ws = text.lower().split()
+            per_doc[d] = [
+                " ".join(ws[i : i + SPAN_N])
+                for i in range(len(ws) - SPAN_N + 1)
+            ]
+        docs_of: dict[str, set] = {}
+        for d, wins in per_doc.items():
+            for w in set(wins):
+                docs_of.setdefault(w, set()).add(d)
+        out = {}
+        for d, wins in per_doc.items():
+            if not wins:
+                continue
+            dup = sum(1 for w in wins if len(docs_of[w]) >= 2)
+            out[d] = (len(wins), dup, dup / len(wins), 2 * dup >= len(wins))
+        return out
+
+    # drive the REAL registered query via a scratch documents table
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(d, t, "en", "test", len(t)) for d, t in corpus.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = dedup_span_fraction(spark, str(sf)).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_windows"],
+            r["dup_windows"],
+            r["dup_fraction"],
+            r["is_contaminated"],
+        )
+        for r in rows
+        if r["doc_id"] >= 0  # drop the registered plants
+    }
+    assert got == ref(corpus)
+    # sanity on the mini-corpus shape the test is arguing about:
+    assert 5 not in got  # no windows
+    assert got[4][1] == 0 and not got[4][3]  # clean doc
+    assert got[3][0] > got[1][0]  # repeated-span doc has more windows
