@@ -7,7 +7,7 @@ reference exists to shuttle security logs, /root/reference/README.md:
     → debounce            (adjacent-duplicate suppression — the
                            at-least-once ingest cleanup)
     → template extraction (drain-style masking → pattern id)
-    → eleven detectors over the clean stream:
+    → thirteen detectors over the clean stream:
         * rate limiter    (trailing-window per-user flood flag)
         * heavy hitters   (top-K users per event type)
         * template drift  (new-pattern / growth alerting)
@@ -35,6 +35,14 @@ reference exists to shuttle security logs, /root/reference/README.md:
                            dimension join, typosquat_matches core;
                            planted look-alike domains simulate the
                            phishing infrastructure)
+        * lateral movement (r10: two-hop chains through the address
+                           plan — A→B→C pivots the single-hop matrix
+                           can't see, lateral_chains core; planted
+                           walks simulate the pivot)
+        * weekday affinity (r10: event types clustered on particular
+                           weekdays — the contingency lift table,
+                           dow_association core; quiet on uniform
+                           demo traffic by design)
     → one alert relation  (union of detector verdicts, severity-coded)
 
 Every detector calls the SAME core the oracle-verified registry
@@ -43,7 +51,7 @@ top_k_by_count, logs.daily_template_counts / drift_enrich) — a
 predicate or constant fix in the verified operators flows into this
 pipeline automatically; nothing is re-implemented here (code review
 r8). The example's contribution is the COMPOSITION: one debounced,
-templated stream feeds all eleven detectors without re-reading the
+templated stream feeds all thirteen detectors without re-reading the
 source, and the alert union is a narrow column-aligned unionByName.
 
 Run directly (`python examples/security_analytics.py [sf_dir]`) or
@@ -402,8 +410,75 @@ def typosquat_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
     )
 
 
+def lateral_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Two-hop lateral-movement chains through the address plan
+    (lateral_chains core — the events_lateral_movement semantics; the
+    planted walks simulate the pivot so the detector demonstrably
+    fires). Roundtrips (A→B→A bounces) are reported at lower
+    severity than true A→B→C traversals."""
+    from kawa_spark.queries.security import (
+        CHAIN_WINDOW_US,
+        _lm_plant_rows,
+        lateral_chains,
+    )
+
+    base = clean.select(
+        "user_id", "event_id", F.col("us").alias("ts_us"), "ip"
+    )
+    plants = spark.createDataFrame(
+        _lm_plant_rows(), "event_id long, user_id long, ts_us long, ip long"
+    )
+    attributed = longest_prefix_match(
+        base.unionByName(plants), nets_df(spark)
+    ).drop("plen", "ip")
+    chains = lateral_chains(attributed, HOP_WINDOW_US, CHAIN_WINDOW_US)
+    return chains.select(
+        F.lit("lateral_movement").alias("alert"),
+        F.when(F.col("is_roundtrip"), F.lit(2)).otherwise(F.lit(3)).alias(
+            "severity"
+        ),
+        F.concat(
+            F.col("net_a"), F.lit(" -> "), F.col("net_b"),
+            F.lit(" -> "), F.col("net_c"),
+        ).alias("subject"),
+        F.concat(
+            F.lit("chains="), F.col("n_chains").cast("string"),
+            F.lit(" users="), F.col("n_users").cast("string"),
+            F.lit(" fastest_s="),
+            (F.col("min_span_us") / 1_000_000).cast("long").cast("string"),
+        ).alias("detail"),
+    )
+
+
+def weekday_alerts(clean: DataFrame) -> DataFrame:
+    """Event types whose traffic clusters on particular weekdays
+    (dow_association core — the events_dow_association semantics; no
+    plant here: on uniform demo traffic the detector staying quiet IS
+    the honest output, and the alert fires on any real weekly-cron
+    structure)."""
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import DAY_US, dow_association
+
+    cells = clean.groupBy(
+        "event_type",
+        F.pmod(floordiv(F.col("us"), DAY_US), F.lit(7)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    scored = dow_association(cells)
+    return scored.filter(F.col("is_over")).select(
+        F.lit("weekday_affinity").alias("alert"),
+        F.lit(1).alias("severity"),
+        F.concat(
+            F.col("event_type"), F.lit("@dow"), F.col("dow").cast("string")
+        ).alias("subject"),
+        F.concat(
+            F.lit("n="), F.col("n_obs").cast("string"),
+            F.lit(" lift="), F.round("lift", 2).cast("string"),
+        ).alias("detail"),
+    )
+
+
 def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline: one cleaned stream, eleven detectors,
+    """The composed pipeline: one cleaned stream, thirteen detectors,
     one severity-ordered alert table. No persist(): the detectors'
     plans share the debounce subtree byte-identically, so AQE
     exchange reuse serves the shared scan+shuffle from shuffle files
@@ -422,6 +497,8 @@ def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spike_alerts(clean))
         .unionByName(spray_alerts(spark, clean))
         .unionByName(typosquat_alerts(spark, clean))
+        .unionByName(lateral_alerts(spark, clean))
+        .unionByName(weekday_alerts(clean))
     )
     return alerts.orderBy(F.col("severity").desc(), "alert", "subject", "detail")
 

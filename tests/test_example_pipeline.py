@@ -146,6 +146,19 @@ def test_security_analytics_composes(spark):
     for r in alerts:
         if r["alert"] == "impossible_travel":
             assert " -> " in r["subject"]
+    # r10 detectors: the planted walks guarantee lateral movement
+    # fires with both severities (true pivot 3, roundtrip bounce 2)
+    lm = [r for r in alerts if r["alert"] == "lateral_movement"]
+    assert {
+        r["subject"] for r in lm if r["severity"] == 3
+    } >= {"quarantine -> corp-east-dc1 -> corp-guest"}
+    assert {
+        r["subject"] for r in lm if r["severity"] == 2
+    } >= {"quarantine -> corp-east-dc1 -> quarantine"}
+    # weekday affinity stays QUIET on the uniform demo traffic (no
+    # plant in the example by design) — absence is the honest output
+    assert all(r["alert"] != "weekday_affinity" or r["severity"] == 1
+               for r in alerts)
 
 
 def test_security_analytics_spray_and_typosquat_fire(spark):
