@@ -112,6 +112,7 @@ HEADLINE = [
     "events_dow_association",
     "events_lateral_movement",
     "dedup_span_fraction",
+    "agg_quantile_sketch",
 ]
 
 

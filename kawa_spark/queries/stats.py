@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kawa_spark.functions.exact import dec
 from kawa_spark.io import table
@@ -855,4 +856,167 @@ def cms_frequencies(
         "n_exact",
         "n_cms",
         (F.col("n_cms") > F.col("n_exact")).alias("is_over"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (bottom-K rank sample)
+# ---------------------------------------------------------------------------
+
+QSK_K = 256  # sample size per group
+# rank-error acceptance band for the audit flags: |rank(est) - q| <= 1/10.
+# Expected sampling error is ~sqrt(q(1-q)/K) ≈ 0.031 at K=256, so the
+# band holds with large margin on any group that saturates the sample
+# — and the flag is hash-checked either way (deterministic data).
+_QSK_TOL_NUM, _QSK_TOL_DEN = 1, 10
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, event_id, value,
+             {_kmv_u_sql("event_id")} AS u
+      FROM events
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY u, event_id) AS rn
+      FROM h
+    ), s AS (
+      SELECT event_type, value, event_id FROM r WHERE rn <= {QSK_K}
+    ), sr AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS vrn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM s
+    ), est AS (
+      SELECT event_type,
+             CAST(MAX(m) AS BIGINT) AS k_used,
+             MAX(CASE WHEN vrn = FLOOR((m-1) * 0.5) + 1
+                      THEN value END) AS p50_est,
+             MAX(CASE WHEN vrn = FLOOR((m-1) * 0.9) + 1
+                      THEN value END) AS p90_est
+      FROM sr GROUP BY 1
+    )
+    SELECT ev.event_type,
+           COUNT(*) AS n,
+           e.k_used, e.p50_est, e.p90_est,
+           CAST(SUM(CASE WHEN ev.value <= e.p50_est THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS p50_rank,
+           CAST(SUM(CASE WHEN ev.value <= e.p90_est THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS p90_rank,
+           abs({_QSK_TOL_DEN} * 2
+                 * SUM(CASE WHEN ev.value <= e.p50_est THEN 1 ELSE 0 END)
+               - {_QSK_TOL_DEN} * COUNT(*))
+             <= {_QSK_TOL_NUM} * 2 * COUNT(*) AS p50_ok,
+           abs({_QSK_TOL_DEN} * 10
+                 * SUM(CASE WHEN ev.value <= e.p90_est THEN 1 ELSE 0 END)
+               - {_QSK_TOL_DEN} * 9 * COUNT(*))
+             <= {_QSK_TOL_NUM} * 10 * COUNT(*) AS p90_ok
+    FROM events ev JOIN est e USING (event_type)
+    GROUP BY 1, 3, 4, 5
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fourth sketch family (after
+    KMV distinct, KMV union/sliding, CMS frequency): per group, keep
+    the K rows whose md5-derived rank u is smallest (a deterministic
+    uniform sample — the KMV bottom-K machinery pointed at VALUES
+    instead of distinct counting) and answer p50/p90 as DISCRETE
+    quantiles of the sample. Mergeable for free: the union of
+    per-partition (or per-day, per-shard) bottom-K sets bottom-K'd
+    again IS the global sample — the same identity the KMV family
+    proves — so a 1000-executor cluster ships K rows per group per
+    partial, never the data.
+
+    The ESTIMATES are hash-verified (the agg_kmv_distinct
+    discipline): both engines replay the identical md5 rank and the
+    identical discrete-quantile pick, so p50_est/p90_est match
+    bit-for-bit. The pick is the LOWER disc convention — the value at
+    0-based sorted index floor((m−1)·q), this repo's percentile_disc
+    machinery — written as explicit ROW_NUMBER math in the oracle:
+    DuckDB's quantile_disc implements the SQL-standard ceil(q·m)
+    index, one position higher whenever q·(m−1) and q·m straddle an
+    integer (invisible on tie-heavy columns like l_quantity, real on
+    continuous values). The audit half recomputes each estimate's TRUE rank
+    over the full group (one broadcast join of |types| rows + one
+    map-side-combined aggregate) and flags |rank − q| ≤ 1/10 as the
+    integer cross-multiplied inequality — at K=256 the expected rank
+    error is ~3%, so the flags also pin that the sampling actually
+    concentrates (property-tested against an independent hashlib
+    reference, tests/test_quantile_sketch_property.py).
+
+    Scale: the bottom-K window's rn ≤ K filter plans as
+    WindowGroupLimit on BOTH shuffle sides (the events_heavy_hitters
+    recognition, plan-pinned) — map tasks forward only their local
+    bottom-K per group, so the full stream is never shuffled; the
+    audit aggregate map-side combines onto |types| rows. Everything
+    downstream of the two scans is |types|·K-bounded.
+
+    kawa parity: none; mandate (M) — the mergeable-sketch story
+    applied to rank statistics (the public KMV/bottom-k sketch
+    literature; Bar-Yossef et al. 2002 for the sampling identity)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("u", "event_id")
+    sample = (
+        e.withColumn("u", _kmv_u("event_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QSK_K)
+    )
+    ws = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wg = Window.partitionBy("event_type")
+    ranked = sample.select(
+        "event_type",
+        "value",
+        F.row_number().over(ws).alias("srn"),
+        F.count(F.lit(1)).over(wg).alias("m"),
+    )
+
+    def pos(q: float):
+        return F.floor((F.col("m") - 1) * q) + 1
+
+    est = ranked.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("k_used"),
+        F.max(F.when(F.col("srn") == pos(0.5), F.col("value"))).alias(
+            "p50_est"
+        ),
+        F.max(F.when(F.col("srn") == pos(0.9), F.col("value"))).alias(
+            "p90_est"
+        ),
+    )
+    le = lambda c: F.sum(
+        F.when(F.col("value") <= F.col(c), 1).otherwise(0)
+    )
+    audit = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "k_used", "p50_est", "p90_est")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            le("p50_est").alias("le50"),
+            le("p90_est").alias("le90"),
+        )
+    )
+    tn, td = _QSK_TOL_NUM, _QSK_TOL_DEN
+    return audit.select(
+        "event_type",
+        "n",
+        "k_used",
+        "p50_est",
+        "p90_est",
+        (F.col("le50").cast("double") / F.col("n")).alias("p50_rank"),
+        (F.col("le90").cast("double") / F.col("n")).alias("p90_rank"),
+        (
+            F.abs(F.lit(td) * 2 * F.col("le50") - F.lit(td) * F.col("n"))
+            <= F.lit(tn) * 2 * F.col("n")
+        ).alias("p50_ok"),
+        (
+            F.abs(
+                F.lit(td) * 10 * F.col("le90")
+                - F.lit(td) * 9 * F.col("n")
+            )
+            <= F.lit(tn) * 10 * F.col("n")
+        ).alias("p90_ok"),
     )

@@ -660,3 +660,17 @@ def test_dow_association_marginals_reuse_cell_exchange(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_quantile_sketch_bottom_k_is_window_group_limit(spark):
+    """agg_quantile_sketch: the bottom-K sample's rn <= K filter must
+    plan as WindowGroupLimit on BOTH shuffle sides (the heavy_hitters
+    recognition) — map tasks forward only their local bottom-K per
+    group, so the full stream never rides the sample exchange; the
+    audit join broadcasts the |types|-row estimates (no SMJ)."""
+    df = registry.QUERIES["agg_quantile_sketch"](spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
