@@ -870,10 +870,10 @@ QSK_K = 256  # sample size per group
 # — and the flag is hash-checked either way (deterministic data).
 _QSK_TOL_NUM, _QSK_TOL_DEN = 1, 10
 
-
-@register(
-    "agg_quantile_sketch",
-    oracle=f"""
+# Shared verbatim by the batch key below and the online twin's oracle
+# (streaming_mode.py::stream_exec_quantile_sketch) — the
+# FIRST_SEEN_SQL convention, so the two can never drift.
+QUANTILE_SKETCH_SQL = f"""
     WITH h AS (
       SELECT event_type, event_id, value,
              {_kmv_u_sql("event_id")} AS u
@@ -916,8 +916,10 @@ _QSK_TOL_NUM, _QSK_TOL_DEN = 1, 10
              <= {_QSK_TOL_NUM} * 10 * COUNT(*) AS p90_ok
     FROM events ev JOIN est e USING (event_type)
     GROUP BY 1, 3, 4, 5
-    """,
-)
+    """
+
+
+@register("agg_quantile_sketch", oracle=QUANTILE_SKETCH_SQL)
 def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable QUANTILE sketch — the fourth sketch family (after
     KMV distinct, KMV union/sliding, CMS frequency): per group, keep
@@ -966,6 +968,16 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= QSK_K)
     )
+    return quantile_sketch_scores(sample, e)
+
+
+def quantile_sketch_scores(sample: DataFrame, full: DataFrame) -> DataFrame:
+    """Estimate + audit core over any bottom-K sample frame
+    (event_type, value, event_id) and the full (event_type, value)
+    population — agg_quantile_sketch binds it to the in-plan window
+    sample; the online twin feeds it the kernel-maintained sample
+    snapshot. Shared VERBATIM so the two keys can never drift (the
+    score_transitions convention)."""
     ws = Window.partitionBy("event_type").orderBy("value", "event_id")
     wg = Window.partitionBy("event_type")
     ranked = sample.select(
@@ -991,7 +1003,7 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") <= F.col(c), 1).otherwise(0)
     )
     audit = (
-        e.join(F.broadcast(est), "event_type")
+        full.join(F.broadcast(est), "event_type")
         .groupBy("event_type", "k_used", "p50_est", "p90_est")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -13,8 +13,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from kawa_spark.io import stream_table
+from kawa_spark.io import stream_table, table
 from kawa_spark.queries.events import RATE_LIMIT, RATE_WINDOW_US
 from kawa_spark.registry import register
 from kawa_spark.streaming.stateful import running_total, session_totals
@@ -1206,3 +1207,53 @@ def stream_exec_dow_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells, spark, mode="complete", state_partitions=2
     ).localCheckpoint()
     return dow_association(drained)
+
+
+def _quantile_sketch_oracle() -> str:
+    from kawa_spark.queries.stats import QUANTILE_SKETCH_SQL
+
+    return QUANTILE_SKETCH_SQL
+
+
+@register("stream_exec_quantile_sketch", oracle=_quantile_sketch_oracle())
+def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_quantile_sketch maintained ONLINE — the fourteenth
+    online/offline twin and a genuinely new state shape: the
+    bottom-K rank sample LIVES IN THE STATE STORE (three bounded
+    arrays per group, exactly min(K, n) entries at any volume —
+    streaming/stateful.py::bottom_k_sample), and each microbatch
+    emits the whole current sample as a sequence-tagged snapshot.
+    The read side keeps the highest-seq snapshot per group
+    (|types|·K rows) and runs the SHARED estimate core
+    (stats.quantile_sketch_scores); the audit half — each estimate's
+    true rank over the full population — is the OFFLINE check by
+    definition and reads the batch table (a streaming state cannot
+    and should not hold the population; the sketch is the online
+    artifact, the audit is what you run against it). Oracle = the
+    batch key's SQL verbatim (shared QUANTILE_SKETCH_SQL constant).
+
+    NO ordering contract and no late counter: bottom-K is
+    merge-idempotent in any arrival order (the exact identity
+    test_quantile_sketch_merge_identity proves), unlike the gap
+    kernels — so this twin is exact under arbitrary batch splits.
+
+    Scale: state is 3·min(K, n) scalars per group; emissions are
+    K rows per group per batch (the snapshot), and the final
+    selection + scoring runs on |types|·K rows."""
+    from kawa_spark.queries.stats import (
+        QSK_K,
+        quantile_sketch_scores,
+    )
+    from kawa_spark.streaming.stateful import bottom_k_sample
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    drained = _drain(bottom_k_sample(e, QSK_K), spark)
+    wmax = Window.partitionBy("event_type")
+    latest = drained.withColumn(
+        "mx", F.max("seq").over(wmax)
+    ).filter(F.col("seq") == F.col("mx"))
+    sample = latest.select("event_type", "value", "event_id")
+    full = table(spark, sf_dir, "events").select("event_type", "value")
+    return quantile_sketch_scores(sample, full)

@@ -50,17 +50,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #
 # Round 10's window (VERDICT r9 item 1): the THIRTY deferred
 # r6-evidence keys lead (the oldest tier — 3 rounds stale — and the
-# r9 registry's standing commitment), then the SEVEN new keys
+# r9 registry's standing commitment), then the EIGHT new keys
 # registered this round (never driver-checked), then the FOUR keys
 # whose implementations changed this round (logs_typosquat: negative
 # plant ids; stream_exec_beaconing: sd2 hi/lo state split;
 # stream_exec_impossible_travel + stream_exec_session_rarity:
-# late_count observability columns + wrapped oracles), then NINE of
+# late_count observability columns + wrapped oracles), then EIGHT of
 # the 44 r7-evidence keys — the next-oldest tier, complex/risky
 # implementations first (dedup/similarity/streaming kernels), leaving
 # the trivially-stable relational/tpch r7 keys in DEFERRED to lead
 # r11. Exactly 50. Max evidence age after this round's driver check:
-# deferred 35 = r7 evidence = 3 rounds at r10; everything else <= 2.
+# deferred 36 = r7 evidence = 3 rounds at r10; everything else <= 2.
 DRIVER_WINDOW: list[str] = [
     # --- the 30 deferred r6-evidence keys (VERDICT r9 item 1) ---
     "multimodal_meta",
@@ -93,7 +93,7 @@ DRIVER_WINDOW: list[str] = [
     "pivot_wide",
     "histogram_width_bucket",
     "corpus_tfidf",
-    # --- 7 new keys this round (never driver-checked) ---
+    # --- 8 new keys this round (never driver-checked) ---
     "stream_exec_typosquat",
     "events_dow_association",
     "stream_exec_dow_association",
@@ -101,19 +101,19 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_lateral_movement",
     "dedup_span_fraction",
     "agg_quantile_sketch",
+    "stream_exec_quantile_sketch",
     # --- 4 changed implementations this round ---
     "logs_typosquat",
     "stream_exec_beaconing",
     "stream_exec_impossible_travel",
     "stream_exec_session_rarity",
-    # --- 9 of the 44 r7-evidence keys (oldest remaining tier) ---
+    # --- 8 of the 44 r7-evidence keys (oldest remaining tier) ---
     "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "kmeans_lloyd",
     "similarity_ivf_kmeans",
     "similarity_topk",
-    "embedding_centroids",
     "stream_passthrough",
     "multimodal_audio_features",
 ]
@@ -157,6 +157,7 @@ DEFERRED: dict[str, str] = {
     "stream_dedup": "family twin stream_exec_dedup_watermark r8",
     "embedding_quantize": "map-only quantizer, plan-pinned; family twin embedding_centroids stays in-window (displaced by dedup_span_fraction)",
     "similarity_lsh_ann": "LSH-bucket family: ivf_kmeans (the trained production path) + similarity_topk stay in-window; multiprobe variant r8 (displaced by agg_quantile_sketch)",
+    "embedding_centroids": "embedding tier keeps ivf_kmeans (trained centroids ARE its aggregate) + similarity_topk in-window; the centroid groupBy untouched since r2 (displaced by stream_exec_quantile_sketch)",
     "stream_sliding": "windowed-agg family, stream_tumbling_count r9",
     "events_funnel": "twins stream_exec_funnel r9 + daily_conversion r9",
     "quality_repetition": "quality tier twin quality_gopher r7 equal-age; repetition untouched since r6",

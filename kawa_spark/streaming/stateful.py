@@ -914,3 +914,105 @@ def funnel_states(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SAMPLE_SCHEMA = "event_type string, seq long, event_id long, value double"
+_SAMPLE_STATE_SCHEMA = (
+    "seq long, us array<double>, eids array<long>, vals array<double>"
+)
+
+
+def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
+    """Streaming bottom-K rank sample — the stateful half of
+    queries/stats.agg_quantile_sketch run ONLINE: per group, the
+    state store holds the K rows with the smallest md5-derived rank
+    seen so far (three parallel arrays + a snapshot counter — the
+    first BOUNDED-ARRAY state shape in the engine: exactly min(K, n)
+    entries per key at any volume, the mergeable-sketch identity
+    applied to the state store itself). Each microbatch merges its
+    rows into the sample and emits the ENTIRE current sample tagged
+    with a snapshot sequence number — the read side keeps each
+    group's highest-seq snapshot (a |types|·K-bounded relation) and
+    feeds the shared estimate/audit core.
+
+    ORDER-INSENSITIVE: bottom-K of a union is the bottom-K of
+    bottom-Ks in ANY arrival order (the merge identity
+    tests/test_quantile_sketch_property.py proves exactly), so there
+    is NO time-ordered-batch contract here and no late-row guard to
+    carry — any batch split converges to the identical final sample.
+
+    The rank u is computed with hashlib md5 EXACTLY as the batch
+    plan's expression (first 15 hex chars over 2^60; Python float
+    division == Spark's long→double cast + divide for these values),
+    so the online sample is bit-identical to the batch window's."""
+
+    def fn(key, pdfs, state):
+        import hashlib
+
+        import pandas as pd
+
+        denom = float(1 << 60)
+        if state.exists:
+            seq, us, eids, vals = state.get
+            seq = int(seq)
+            cur = [
+                (float(u), int(e), float(v))
+                for u, e, v in zip(us, eids, vals)
+            ]
+        else:
+            seq, cur = 0, []
+        added = False
+        for pdf in pdfs:
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                eid = int(eid)
+                u = (
+                    int(
+                        hashlib.md5(str(eid).encode()).hexdigest()[:15],
+                        16,
+                    )
+                    / denom
+                )
+                cur.append((u, eid, float(val)))
+                added = True
+        if not added:
+            if state.exists:
+                state.update(
+                    (
+                        seq,
+                        [c[0] for c in cur],
+                        [c[1] for c in cur],
+                        [c[2] for c in cur],
+                    )
+                )
+            return
+        cur.sort(key=lambda t: (t[0], t[1]))
+        cur = cur[:k]
+        seq += 1
+        state.update(
+            (
+                seq,
+                [c[0] for c in cur],
+                [c[1] for c in cur],
+                [c[2] for c in cur],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "seq": seq,
+                "event_id": [c[1] for c in cur],
+                "value": [c[2] for c in cur],
+            }
+        )
+
+    return (
+        events.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SAMPLE_SCHEMA,
+            stateStructType=_SAMPLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -120,3 +120,128 @@ def test_quantile_sketch_merge_identity(spark):
     # the merged sample must BE the global sample
     global_sample = bottom_k(pdf)
     assert sorted(merged) == sorted(global_sample)
+
+
+def test_bottom_k_kernel_matches_bruteforce_any_split(spark, tmp_path_factory):
+    """The streaming kernel's FINAL sample must equal the brute-force
+    global bottom-K under random microbatch splits — the
+    order-insensitivity claim (no time contract) tested directly.
+    Uses adversarial event_ids (dense + huge + negative plants-range)
+    so the md5 rank exercises real collisions of prefix ordering."""
+    import random
+    import uuid
+
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import bottom_k_sample
+    from tests.conftest import drain_batches
+
+    rng = random.Random(0x5EED)
+    K = 7
+    rows = []
+    for typ in ["a", "b"]:
+        ids = rng.sample(range(10_000_000_000), 40) + [-5, -12_000_003]
+        for eid in ids:
+            rows.append((eid, typ, round(rng.uniform(0, 100), 2)))
+    rng.shuffle(rows)
+    c1, c2 = sorted((rng.randrange(len(rows)), rng.randrange(len(rows))))
+    batches = [
+        pd.DataFrame(b, columns=["event_id", "event_type", "value"])
+        for b in (rows[:c1], rows[c1:c2], rows[c2:])
+        if b
+    ]
+    drained = drain_batches(
+        spark,
+        tmp_path_factory.mktemp("bk_src"),
+        "event_id long, event_type string, value double",
+        batches,
+        lambda s: bottom_k_sample(s, K),
+        f"bkp_{uuid.uuid4().hex[:8]}",
+    )
+    by_type_seq: dict = {}
+    for r in drained:
+        by_type_seq.setdefault(r["event_type"], {}).setdefault(
+            r["seq"], set()
+        ).add((r["event_id"], r["value"]))
+    got = {
+        t: seqs[max(seqs)] for t, seqs in by_type_seq.items()
+    }
+    want = {}
+    for typ in ["a", "b"]:
+        evs = [(e, v) for e, t, v in rows if t == typ]
+        want[typ] = set(
+            sorted(evs, key=lambda ev: (_u(ev[0]), ev[0]))[:K]
+        )
+    assert got == want
+
+
+def test_bottom_k_sample_survives_restart(spark, tmp_path):
+    """The array-valued sample state round-trips the checkpoint: a
+    post-restart batch merges against the pre-restart sample (an
+    element seen before the restart stays in the final snapshot only
+    if it survives the merged bottom-K)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kawa_spark.sources.replay import register_replay_source
+    from kawa_spark.streaming.stateful import bottom_k_sample
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    snaps: dict[int, set] = {}
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value", "event_id long, event_type string, value double"
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            bottom_k_sample(parsed, 3)
+            .writeStream.foreachBatch(
+                lambda df, bid: [
+                    snaps.setdefault(r["seq"], set()).add(
+                        (r["event_id"], r["value"])
+                    )
+                    for r in df.collect()
+                ]
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def emit(eid, val):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "event_type": "t", "value": val}
+                )
+                + "\n"
+            )
+
+    for eid in (10, 11, 12, 13):
+        emit(eid, float(eid))
+    drain()
+    assert len(snaps) == 1 and len(snaps[max(snaps)]) == 3
+
+    # restart: the merged sample must be bottom-3 of ALL 6 ids — only
+    # possible if the pre-restart arrays came back from the checkpoint
+    emit(14, 14.0)
+    emit(15, 15.0)
+    drain()
+    final = snaps[max(snaps)]
+    all_ids = [10, 11, 12, 13, 14, 15]
+    want = set(
+        (e, float(e))
+        for e in sorted(all_ids, key=lambda e: (_u(e), e))[:3]
+    )
+    assert final == want
