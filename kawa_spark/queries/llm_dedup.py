@@ -773,10 +773,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_N = 8  # words per span window
 
 # Two deterministic "contaminated" documents planted in BOTH engines:
-# they share an identical 24-word body (boilerplate copied across
+# they share an identical 21-word body (boilerplate copied across
 # pages — the thing span dedup exists to catch) but carry distinct
-# 12-word tails, so each plant has BOTH duplicated and unique windows
-# (0 < dup_fraction < 1, is_contaminated true), while natural docs
+# 12-word tails: 33 words → 26 windows, of which the 14 fully inside
+# the shared body are duplicated (2·14 ≥ 26 clears the flag with one
+# window-pair of slack), so each plant has BOTH duplicated and unique
+# windows (0 < dup_fraction < 1, is_contaminated true), while natural docs
 # (near-random word streams) verify the false class. Negative doc_ids
 # (the plant-id convention: natural ids >= 0 at every scale).
 _SPAN_SHARED = (
@@ -872,7 +874,13 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is this exact plan with SPAN_N raised.
 
     kawa parity: none; mandate (M) LLM-pipeline extension."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): the single-file small-SF scan yields ~1 partition —
+    # the per-doc split + window hashing (this key's CPU floor) would
+    # serialize on one core without it (the sibling shingling keys'
+    # convention; code review r10)
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
     plants = spark.createDataFrame(SPAN_PLANTS, "doc_id long, text string")
     d = docs.unionByName(plants)
 

@@ -869,6 +869,12 @@ QSK_K = 256  # sample size per group
 # band holds with large margin on any group that saturates the sample
 # — and the flag is hash-checked either way (deterministic data).
 _QSK_TOL_NUM, _QSK_TOL_DEN = 1, 10
+# Second, deliberately TIGHT band (1/100): at K=256 the expected rank
+# error ~0.031 straddles it, so across real groups SOME land inside
+# and SOME outside — the class-splitting flag pair (a 1/10-band flag
+# alone is single-class at every SF: the vacuous-flag pattern the CMS
+# relative-width redesign exists to avoid; code review r10).
+_QSK_TIGHT_NUM, _QSK_TIGHT_DEN = 1, 100
 
 # Shared verbatim by the batch key below and the online twin's oracle
 # (streaming_mode.py::stream_exec_quantile_sketch) — the
@@ -913,7 +919,15 @@ QUANTILE_SKETCH_SQL = f"""
            abs({_QSK_TOL_DEN} * 10
                  * SUM(CASE WHEN ev.value <= e.p90_est THEN 1 ELSE 0 END)
                - {_QSK_TOL_DEN} * 9 * COUNT(*))
-             <= {_QSK_TOL_NUM} * 10 * COUNT(*) AS p90_ok
+             <= {_QSK_TOL_NUM} * 10 * COUNT(*) AS p90_ok,
+           abs({_QSK_TIGHT_DEN} * 2
+                 * SUM(CASE WHEN ev.value <= e.p50_est THEN 1 ELSE 0 END)
+               - {_QSK_TIGHT_DEN} * COUNT(*))
+             <= {_QSK_TIGHT_NUM} * 2 * COUNT(*) AS p50_tight,
+           abs({_QSK_TIGHT_DEN} * 10
+                 * SUM(CASE WHEN ev.value <= e.p90_est THEN 1 ELSE 0 END)
+               - {_QSK_TIGHT_DEN} * 9 * COUNT(*))
+             <= {_QSK_TIGHT_NUM} * 10 * COUNT(*) AS p90_tight
     FROM events ev JOIN est e USING (event_type)
     GROUP BY 1, 3, 4, 5
     """
@@ -944,10 +958,20 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous values). The audit half recomputes each estimate's TRUE rank
     over the full group (one broadcast join of |types| rows + one
     map-side-combined aggregate) and flags |rank − q| ≤ 1/10 as the
-    integer cross-multiplied inequality — at K=256 the expected rank
-    error is ~3%, so the flags also pin that the sampling actually
-    concentrates (property-tested against an independent hashlib
-    reference, tests/test_quantile_sketch_property.py).
+    integer cross-multiplied inequality. TWO bands: the 1/10
+    guarantee band (p50_ok/p90_ok — at K=256 the ~3% expected rank
+    error clears it with margin, so all-true IS the assertion, the
+    percentile_approx contract form) and the 1/100 TIGHT band
+    (p50_tight/p90_tight), which the expected error STRADDLES — real
+    groups land on both sides at the driver gate's sf0.01 (1 true /
+    4 false) and at sf0.1, so the boolean surface carries both
+    classes where it is hash-checked and a broken audit cannot hide
+    behind an always-true band (the CMS non-vacuity discipline; code
+    review r10). At sf0.001 the sample SATURATES (every group has
+    n < K, so the "estimate" is exact and every tight flag is
+    legitimately true) — expected, pinned by
+    test_tight_flags_split_classes_at_gate_sf. Property-tested against an independent hashlib reference
+    (tests/test_quantile_sketch_property.py).
 
     Scale: the bottom-K window's rn ≤ K filter plans as
     WindowGroupLimit on BOTH shuffle sides (the events_heavy_hitters
@@ -1012,6 +1036,7 @@ def quantile_sketch_scores(sample: DataFrame, full: DataFrame) -> DataFrame:
         )
     )
     tn, td = _QSK_TOL_NUM, _QSK_TOL_DEN
+    gn, gd = _QSK_TIGHT_NUM, _QSK_TIGHT_DEN
     return audit.select(
         "event_type",
         "n",
@@ -1031,4 +1056,15 @@ def quantile_sketch_scores(sample: DataFrame, full: DataFrame) -> DataFrame:
             )
             <= F.lit(tn) * 10 * F.col("n")
         ).alias("p90_ok"),
+        (
+            F.abs(F.lit(gd) * 2 * F.col("le50") - F.lit(gd) * F.col("n"))
+            <= F.lit(gn) * 2 * F.col("n")
+        ).alias("p50_tight"),
+        (
+            F.abs(
+                F.lit(gd) * 10 * F.col("le90")
+                - F.lit(gd) * 9 * F.col("n")
+            )
+            <= F.lit(gn) * 10 * F.col("n")
+        ).alias("p90_tight"),
     )

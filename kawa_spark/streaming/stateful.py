@@ -935,11 +935,15 @@ def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
     group's highest-seq snapshot (a |types|·K-bounded relation) and
     feeds the shared estimate/audit core.
 
-    ORDER-INSENSITIVE: bottom-K of a union is the bottom-K of
-    bottom-Ks in ANY arrival order (the merge identity
-    tests/test_quantile_sketch_property.py proves exactly), so there
-    is NO time-ordered-batch contract here and no late-row guard to
-    carry — any batch split converges to the identical final sample.
+    ORDER-INSENSITIVE AND DUPLICATE-IDEMPOTENT: bottom-K of a union
+    is the bottom-K of bottom-Ks in ANY arrival order (the merge
+    identity tests/test_quantile_sketch_property.py proves exactly),
+    so there is NO time-ordered-batch contract here and no late-row
+    guard to carry — any batch split converges to the identical
+    final sample. The merge dedups on event_id, so an at-least-once
+    source redelivering an event cannot occupy two sample slots with
+    the same element (code review r10) — the identity genuinely
+    holds for redelivery, not just reordering.
 
     The rank u is computed with hashlib md5 EXACTLY as the batch
     plan's expression (first 15 hex chars over 2^60; Python float
@@ -955,16 +959,18 @@ def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
         if state.exists:
             seq, us, eids, vals = state.get
             seq = int(seq)
-            cur = [
-                (float(u), int(e), float(v))
+            by_eid = {
+                int(e): (float(u), int(e), float(v))
                 for u, e, v in zip(us, eids, vals)
-            ]
+            }
         else:
-            seq, cur = 0, []
-        added = False
+            seq, by_eid = 0, {}
+        n_before = len(by_eid)
         for pdf in pdfs:
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 eid = int(eid)
+                if eid in by_eid:
+                    continue  # duplicate delivery: idempotent merge
                 u = (
                     int(
                         hashlib.md5(str(eid).encode()).hexdigest()[:15],
@@ -972,21 +978,14 @@ def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
                     )
                     / denom
                 )
-                cur.append((u, eid, float(val)))
-                added = True
-        if not added:
+                by_eid[eid] = (u, eid, float(val))
+        if len(by_eid) == n_before:
+            # nothing new (empty chunks, or pure redelivery): the
+            # sample cannot change — keep state, emit no snapshot
             if state.exists:
-                state.update(
-                    (
-                        seq,
-                        [c[0] for c in cur],
-                        [c[1] for c in cur],
-                        [c[2] for c in cur],
-                    )
-                )
+                state.update(state.get)
             return
-        cur.sort(key=lambda t: (t[0], t[1]))
-        cur = cur[:k]
+        cur = sorted(by_eid.values(), key=lambda t: (t[0], t[1]))[:k]
         seq += 1
         state.update(
             (

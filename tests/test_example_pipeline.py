@@ -156,9 +156,10 @@ def test_security_analytics_composes(spark):
         r["subject"] for r in lm if r["severity"] == 2
     } >= {"quarantine -> corp-east-dc1 -> quarantine"}
     # weekday affinity stays QUIET on the uniform demo traffic (no
-    # plant in the example by design) — absence is the honest output
-    assert all(r["alert"] != "weekday_affinity" or r["severity"] == 1
-               for r in alerts)
+    # plant in the example by design) — absence IS the assertion
+    # (code review r10: the earlier severity-shaped form was a
+    # tautology)
+    assert not any(r["alert"] == "weekday_affinity" for r in alerts)
 
 
 def test_security_analytics_spray_and_typosquat_fire(spark):

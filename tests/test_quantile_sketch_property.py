@@ -245,3 +245,18 @@ def test_bottom_k_sample_survives_restart(spark, tmp_path):
         for e in sorted(all_ids, key=lambda e: (_u(e), e))[:3]
     )
     assert final == want
+
+
+def test_tight_flags_split_classes_at_gate_sf(spark):
+    """The 1/100 tight band must carry BOTH boolean classes at the
+    driver gate's SF (sf0.01) — the non-vacuity discipline for
+    tolerance flags (code review r10). At sf0.001 the sample
+    saturates (n < K per group → exact estimates → all-true), which
+    is the documented expectation, not a failure."""
+    rows = registry.QUERIES["agg_quantile_sketch"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    tight = [r["p50_tight"] for r in rows] + [r["p90_tight"] for r in rows]
+    assert any(tight) and not all(tight), tight
+    # and the guarantee band still holds everywhere (the contract)
+    assert all(r["p50_ok"] and r["p90_ok"] for r in rows)
