@@ -7,6 +7,11 @@ standard corpus build:
     → exact dedup         (normalized-hash keepers)
     → near-dup dedup      (posting-list jaccard → connected
                            components; only cluster keepers survive)
+    → span contamination  (r10: docs whose 8-word windows mostly
+                           duplicate OTHER docs are dropped — the
+                           boilerplate/licence-chrome pages that
+                           survive document-level dedup because the
+                           rest of the page differs)
     → deterministic order (reproducible epoch shuffle position)
     → clustered write     (range-clustered parquet so downstream
                            readers prune by position range)
@@ -33,6 +38,7 @@ from pyspark.sql import functions as F
 from kawa_spark.io import table
 from kawa_spark.queries.llm_dedup import dedup_exact_norm
 from kawa_spark.queries.llm_dedup import dedup_clusters_query
+from kawa_spark.queries.llm_dedup import dedup_span_fraction
 from kawa_spark.queries.llm_quality import quality_gopher_filter
 from kawa_spark.queries.llm_corpus import corpus_shuffle_deterministic
 from kawa_spark.sinks.layout import write_clustered
@@ -56,6 +62,15 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_keeper"))
         .select("doc_id")
     )
+    # span-level contamination: majority-duplicated docs are dropped
+    # even when no whole-document near-dup pair names them (the
+    # dedup_span_fraction is_contaminated rule; registered-key plants
+    # carry negative doc_ids, which no real doc has — harmless here)
+    contaminated = (
+        dedup_span_fraction(spark, sf_dir)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
     order = corpus_shuffle_deterministic(spark, sf_dir).select(
         "doc_id", "global_pos"
     )
@@ -63,6 +78,7 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(quality_ok, "doc_id", "left_semi")
         .join(exact_keepers, "doc_id", "left_semi")
         .join(near_dup_losers, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .join(order, "doc_id")
         .select("global_pos", "doc_id", "lang", "source", "n_chars", "text")
     )

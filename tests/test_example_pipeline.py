@@ -99,6 +99,20 @@ def test_training_data_pipeline_composes(spark, tmp_path):
         for r in dedup_clusters_query(spark, sf).filter(~F.col("is_keeper")).collect()
     }
     assert losers and not losers & {r["doc_id"] for r in rows}
+    # span-contaminated docs (r10 stage) really are gone too — and
+    # the stage drops REAL docs the cluster stage alone would keep
+    from kawa_spark.queries.llm_dedup import dedup_span_fraction
+
+    contaminated = {
+        r["doc_id"]
+        for r in dedup_span_fraction(spark, sf)
+        .filter(F.col("is_contaminated"))
+        .collect()
+        if r["doc_id"] >= 0  # registered-key plants: not real docs
+    }
+    survivors = {r["doc_id"] for r in rows}
+    assert contaminated and not contaminated & survivors
+    assert contaminated - losers, "stage adds nothing over clusters"
 
 
 def test_security_analytics_composes(spark):
