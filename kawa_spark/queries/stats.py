@@ -317,9 +317,10 @@ def _kmv_u_sql(col: str = "user_id") -> str:
     )
 
 
-@register(
-    "agg_kmv_distinct",
-    oracle=f"""
+# Shared verbatim by the batch key below and the online twin's
+# oracle (streaming_mode.py::stream_exec_kmv_distinct) — the
+# FIRST_SEEN_SQL convention, so the two can never drift.
+KMV_DISTINCT_SQL = f"""
     WITH dv AS (
       SELECT DISTINCT event_type, user_id FROM events
     ), hashed AS (
@@ -348,8 +349,10 @@ def _kmv_u_sql(col: str = "user_id") -> str:
                     ELSE ({KMV_K} - 1) / s.u_k END - e.n_exact)
              / e.n_exact <= 0.5 AS within_tol
     FROM sketch s JOIN exact e ON s.event_type = e.event_type
-    """,
-)
+    """
+
+
+@register("agg_kmv_distinct", oracle=KMV_DISTINCT_SQL)
 def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch — the mergeable cardinality
     sketch family (Bar-Yossef et al. 2002) built from DataFrame ops:

@@ -1257,3 +1257,78 @@ def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = latest.select("event_type", "value", "event_id")
     full = table(spark, sf_dir, "events").select("event_type", "value")
     return quantile_sketch_scores(sample, full)
+
+
+def _kmv_distinct_oracle() -> str:
+    from kawa_spark.queries.stats import KMV_DISTINCT_SQL
+
+    return KMV_DISTINCT_SQL
+
+
+@register("stream_exec_kmv_distinct", oracle=_kmv_distinct_oracle())
+def stream_exec_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_kmv_distinct maintained ONLINE — the fifteenth twin, and
+    the bottom_k_sample kernel's generality proof: a KMV cardinality
+    sketch IS a bottom-K sample over value hashes, so pointing the
+    SAME kernel at user_id (as the dedup identity; the payload column
+    is unused) maintains each group's K smallest distinct-user hashes
+    in the state store. Re-observing a user is a no-op by
+    construction: a duplicate is either already in the sample
+    (deduped by id) or hashes outside it (truncated) — exactly the
+    idempotence a distinct sketch needs, with state bounded at
+    min(K, n_distinct) entries per group.
+
+    The read side recomputes u = md5-rank in-plan on the final
+    snapshot's members (bit-identical to the kernel's hashlib rank)
+    and applies the batch estimator verbatim; n_exact/within_tol are
+    the OFFLINE audit half (the stream_exec_quantile_sketch
+    precedent). Oracle = the batch key's SQL verbatim (shared
+    KMV_DISTINCT_SQL constant). Order-insensitive and
+    duplicate-idempotent — no ordering contract."""
+    from kawa_spark.queries.stats import KMV_K, _kmv_u
+    from kawa_spark.streaming.stateful import bottom_k_sample
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("user_id").alias("event_id"),
+        F.lit(0.0).alias("value"),
+    )
+    drained = _drain(bottom_k_sample(e, KMV_K), spark)
+    wmax = Window.partitionBy("event_type")
+    latest = drained.withColumn(
+        "mx", F.max("seq").over(wmax)
+    ).filter(F.col("seq") == F.col("mx"))
+    sk = (
+        latest.select(
+            "event_type", F.col("event_id").alias("user_id")
+        )
+        .withColumn("u", _kmv_u("user_id"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_seen"),
+            F.max("u").alias("u_k"),
+        )
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = F.when(
+        F.col("k_seen") < F.lit(KMV_K), F.col("k_seen").cast("double")
+    ).otherwise(F.lit(KMV_K - 1) / F.col("u_k"))
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "k_seen",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("n_exact")) / F.col("n_exact")
+                <= F.lit(0.5)
+            ).alias("within_tol"),
+        )
+    )

@@ -50,17 +50,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #
 # Round 10's window (VERDICT r9 item 1): the THIRTY deferred
 # r6-evidence keys lead (the oldest tier — 3 rounds stale — and the
-# r9 registry's standing commitment), then the EIGHT new keys
+# r9 registry's standing commitment), then the NINE new keys
 # registered this round (never driver-checked), then the FOUR keys
 # whose implementations changed this round (logs_typosquat: negative
 # plant ids; stream_exec_beaconing: sd2 hi/lo state split;
 # stream_exec_impossible_travel + stream_exec_session_rarity:
-# late_count observability columns + wrapped oracles), then EIGHT of
+# late_count observability columns + wrapped oracles), then SEVEN of
 # the 44 r7-evidence keys — the next-oldest tier, complex/risky
 # implementations first (dedup/similarity/streaming kernels), leaving
 # the trivially-stable relational/tpch r7 keys in DEFERRED to lead
 # r11. Exactly 50. Max evidence age after this round's driver check:
-# deferred 36 = r7 evidence = 3 rounds at r10; everything else <= 2.
+# deferred 37 = r7 evidence = 3 rounds at r10; everything else <= 2.
 DRIVER_WINDOW: list[str] = [
     # --- the 30 deferred r6-evidence keys (VERDICT r9 item 1) ---
     "multimodal_meta",
@@ -93,7 +93,7 @@ DRIVER_WINDOW: list[str] = [
     "pivot_wide",
     "histogram_width_bucket",
     "corpus_tfidf",
-    # --- 8 new keys this round (never driver-checked) ---
+    # --- 9 new keys this round (never driver-checked) ---
     "stream_exec_typosquat",
     "events_dow_association",
     "stream_exec_dow_association",
@@ -102,12 +102,13 @@ DRIVER_WINDOW: list[str] = [
     "dedup_span_fraction",
     "agg_quantile_sketch",
     "stream_exec_quantile_sketch",
+    "stream_exec_kmv_distinct",
     # --- 4 changed implementations this round ---
     "logs_typosquat",
     "stream_exec_beaconing",
     "stream_exec_impossible_travel",
     "stream_exec_session_rarity",
-    # --- 8 of the 44 r7-evidence keys (oldest remaining tier) ---
+    # --- 7 of the 44 r7-evidence keys (oldest remaining tier) ---
     "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -115,7 +116,6 @@ DRIVER_WINDOW: list[str] = [
     "similarity_ivf_kmeans",
     "similarity_topk",
     "stream_passthrough",
-    "multimodal_audio_features",
 ]
 
 # Keys whose driver evidence is the OLDEST tier (r7) but which did
@@ -157,6 +157,7 @@ DEFERRED: dict[str, str] = {
     "stream_dedup": "family twin stream_exec_dedup_watermark r8",
     "embedding_quantize": "map-only quantizer, plan-pinned; family twin embedding_centroids stays in-window (displaced by dedup_span_fraction)",
     "similarity_lsh_ann": "LSH-bucket family: ivf_kmeans (the trained production path) + similarity_topk stay in-window; multiprobe variant r8 (displaced by agg_quantile_sketch)",
+    "multimodal_audio_features": "multimodal family twin multimodal_decode r9-green; the WAV codec is round-trip property-tested vs stdlib (displaced by stream_exec_kmv_distinct)",
     "embedding_centroids": "embedding tier keeps ivf_kmeans (trained centroids ARE its aggregate) + similarity_topk in-window; the centroid groupBy untouched since r2 (displaced by stream_exec_quantile_sketch)",
     "stream_sliding": "windowed-agg family, stream_tumbling_count r9",
     "events_funnel": "twins stream_exec_funnel r9 + daily_conversion r9",

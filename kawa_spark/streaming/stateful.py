@@ -965,7 +965,7 @@ def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
             }
         else:
             seq, by_eid = 0, {}
-        n_before = len(by_eid)
+        prev_ids = sorted(by_eid)
         for pdf in pdfs:
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 eid = int(eid)
@@ -979,13 +979,14 @@ def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
                     / denom
                 )
                 by_eid[eid] = (u, eid, float(val))
-        if len(by_eid) == n_before:
-            # nothing new (empty chunks, or pure redelivery): the
-            # sample cannot change — keep state, emit no snapshot
-            if state.exists:
-                state.update(state.get)
-            return
         cur = sorted(by_eid.values(), key=lambda t: (t[0], t[1]))[:k]
+        if state.exists and sorted(c[1] for c in cur) == prev_ids:
+            # the batch changed nothing (empty chunks, pure
+            # redelivery, or only rows hashing outside the sample):
+            # no snapshot — emissions track sample CHURN, not batch
+            # count, so a saturated group goes quiet at scale
+            state.update(state.get)
+            return
         seq += 1
         state.update(
             (

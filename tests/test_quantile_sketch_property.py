@@ -260,3 +260,41 @@ def test_tight_flags_split_classes_at_gate_sf(spark):
     assert any(tight) and not all(tight), tight
     # and the guarantee band still holds everywhere (the contract)
     assert all(r["p50_ok"] and r["p90_ok"] for r in rows)
+
+
+def test_bottom_k_kernel_is_duplicate_idempotent(spark, tmp_path_factory):
+    """Redelivering the SAME rows in a later microbatch must leave the
+    final sample untouched (the merge dedups on id) — the property the
+    online KMV distinct sketch stands on: re-observing a user is a
+    no-op, so the sample size is min(K, n_distinct), never inflated
+    by repeat traffic."""
+    import uuid
+
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import bottom_k_sample
+    from tests.conftest import drain_batches
+
+    rows = [(e, "t", float(e)) for e in range(20)]
+    batch = pd.DataFrame(
+        rows, columns=["event_id", "event_type", "value"]
+    )
+    drained = drain_batches(
+        spark,
+        tmp_path_factory.mktemp("dup_src"),
+        "event_id long, event_type string, value double",
+        [batch, batch, batch.iloc[:5]],  # full redelivery + partial
+        lambda s: bottom_k_sample(s, 4),
+        f"dup_{uuid.uuid4().hex[:8]}",
+    )
+    by_seq: dict = {}
+    for r in drained:
+        by_seq.setdefault(r["seq"], set()).add((r["event_id"], r["value"]))
+    want = set(
+        (e, float(e))
+        for e in sorted(range(20), key=lambda e: (_u(e), e))[:4]
+    )
+    # batch 1 establishes the sample; the redelivery batches change
+    # NOTHING, so no further snapshot is emitted (emissions track
+    # sample churn, not batch count)
+    assert by_seq == {1: want}
