@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from kawa_spark.io import table
 from kawa_spark.queries.llm_dedup import dedup_exact_norm
 from kawa_spark.queries.llm_dedup import dedup_clusters_query
-from kawa_spark.queries.llm_dedup import dedup_span_fraction
+from kawa_spark.queries.llm_dedup import span_fractions
 from kawa_spark.queries.llm_quality import quality_gopher_filter
 from kawa_spark.queries.llm_corpus import corpus_shuffle_deterministic
 from kawa_spark.sinks.layout import write_clustered
@@ -62,23 +62,29 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_keeper"))
         .select("doc_id")
     )
-    # span-level contamination: majority-duplicated docs are dropped
-    # even when no whole-document near-dup pair names them (the
-    # dedup_span_fraction is_contaminated rule; registered-key plants
-    # carry negative doc_ids, which no real doc has — harmless here)
-    contaminated = (
-        dedup_span_fraction(spark, sf_dir)
-        .filter(F.col("is_contaminated"))
-        .select("doc_id")
-    )
     order = corpus_shuffle_deterministic(spark, sf_dir).select(
         "doc_id", "global_pos"
     )
-    return (
+    deduped = (
         docs.join(quality_ok, "doc_id", "left_semi")
         .join(exact_keepers, "doc_id", "left_semi")
         .join(near_dup_losers, "doc_id", "left_anti")
-        .join(contaminated, "doc_id", "left_anti")
+    )
+    # span-level contamination OVER THE SURVIVOR SET (code review
+    # r10): running the gate on the raw corpus would (a) flag a dup
+    # group's keeper against the very copies dedup just removed —
+    # deleting the content entirely instead of keeping one — and
+    # (b) count the registered key's synthetic plant windows toward
+    # real docs; the plant-free span_fractions core on the deduped
+    # frame measures only duplication that SURVIVES dedup (the
+    # cross-page boilerplate this stage exists for)
+    contaminated = (
+        span_fractions(deduped.select("doc_id", "text"))
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    return (
+        deduped.join(contaminated, "doc_id", "left_anti")
         .join(order, "doc_id")
         .select("global_pos", "doc_id", "lang", "source", "n_chars", "text")
     )

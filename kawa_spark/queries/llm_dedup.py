@@ -882,8 +882,17 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     plants = spark.createDataFrame(SPAN_PLANTS, "doc_id long, text string")
-    d = docs.unionByName(plants)
+    return span_fractions(docs.unionByName(plants))
 
+
+def span_fractions(d: DataFrame) -> DataFrame:
+    """Plant-free core over any (doc_id, text) frame — the registered
+    key binds documents + SPAN_PLANTS; the training pipeline calls
+    this directly on its SURVIVOR set so (a) no synthetic plant
+    window ever counts toward a real doc's duplication and (b) a dup
+    group's keeper isn't flagged against the copies dedup already
+    removed (code review r10). The brute-force property test
+    (tests/test_dedup_guards.py) drives the registered binding."""
     from kawa_spark.functions.hof import bind
 
     words = F.split(F.lower(F.col("text")), r"\s+")

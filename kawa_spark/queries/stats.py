@@ -441,6 +441,16 @@ def kmv_distinct(
         .agg(F.count(F.lit(1)).alias("k_seen"), F.max("u").alias("u_k"))
     )
     exact = dv.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return kmv_scores(sketch, exact)
+
+
+def kmv_scores(sketch: DataFrame, exact: DataFrame) -> DataFrame:
+    """Estimator + audit projection over a (event_type, k_seen, u_k)
+    sketch frame and an (event_type, n_exact) audit frame — the ONE
+    place the (K-1)/u_K estimator and its within_tol contract live
+    (code review r10: the online twin had grown a verbatim copy —
+    the same drift class the _kmv_u consolidation closed). Shared by
+    kmv_distinct (batch) and stream_exec_kmv_distinct (online)."""
     est = F.when(
         F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
     ).otherwise(F.lit(float(KMV_K - 1)) / F.col("u_k"))

@@ -1222,7 +1222,7 @@ def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-K rank sample LIVES IN THE STATE STORE (three bounded
     arrays per group, exactly min(K, n) entries at any volume —
     streaming/stateful.py::bottom_k_sample), and each microbatch
-    emits the whole current sample as a sequence-tagged snapshot.
+    that CHANGES the sample emits it as a sequence-tagged snapshot.
     The read side keeps the highest-seq snapshot per group
     (|types|·K rows) and runs the SHARED estimate core
     (stats.quantile_sketch_scores); the audit half — each estimate's
@@ -1237,9 +1237,10 @@ def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_quantile_sketch_merge_identity proves), unlike the gap
     kernels — so this twin is exact under arbitrary batch splits.
 
-    Scale: state is 3·min(K, n) scalars per group; emissions are
-    K rows per group per batch (the snapshot), and the final
-    selection + scoring runs on |types|·K rows."""
+    Scale: state is 3·min(K, n) scalars per group; emissions are at
+    most K rows per group per SAMPLE-CHANGING batch (churn-only
+    snapshots), and the final selection + scoring runs on |types|·K
+    rows."""
     from kawa_spark.queries.stats import (
         QSK_K,
         quantile_sketch_scores,
@@ -1285,7 +1286,7 @@ def stream_exec_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent). Oracle = the batch key's SQL verbatim (shared
     KMV_DISTINCT_SQL constant). Order-insensitive and
     duplicate-idempotent — no ordering contract."""
-    from kawa_spark.queries.stats import KMV_K, _kmv_u
+    from kawa_spark.queries.stats import KMV_K, _kmv_u, kmv_scores
     from kawa_spark.streaming.stateful import bottom_k_sample
 
     e = stream_table(spark, sf_dir, "events").select(
@@ -1305,7 +1306,7 @@ def stream_exec_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("u", _kmv_u("user_id"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("k_seen"),
+            F.count(F.lit(1)).alias("k_seen"),
             F.max("u").alias("u_k"),
         )
     )
@@ -1316,19 +1317,6 @@ def stream_exec_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    est = F.when(
-        F.col("k_seen") < F.lit(KMV_K), F.col("k_seen").cast("double")
-    ).otherwise(F.lit(KMV_K - 1) / F.col("u_k"))
-    return (
-        sk.join(exact, "event_type")
-        .select(
-            "event_type",
-            "n_exact",
-            "k_seen",
-            est.alias("kmv_estimate"),
-            (
-                F.abs(est - F.col("n_exact")) / F.col("n_exact")
-                <= F.lit(0.5)
-            ).alias("within_tol"),
-        )
-    )
+    # shared estimator core — the online twin must never grow its
+    # own copy of the (K-1)/u_K formula (code review r10)
+    return kmv_scores(sk, exact)

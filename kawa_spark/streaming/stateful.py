@@ -930,10 +930,13 @@ def bottom_k_sample(events: DataFrame, k: int) -> DataFrame:
     first BOUNDED-ARRAY state shape in the engine: exactly min(K, n)
     entries per key at any volume, the mergeable-sketch identity
     applied to the state store itself). Each microbatch merges its
-    rows into the sample and emits the ENTIRE current sample tagged
-    with a snapshot sequence number — the read side keeps each
-    group's highest-seq snapshot (a |types|·K-bounded relation) and
-    feeds the shared estimate/audit core.
+    rows into the sample and — WHEN THE SAMPLE CHANGED — emits the
+    entire current sample tagged with a snapshot sequence number
+    (emissions track sample churn, not batch count: a saturated
+    group goes quiet under pure redelivery or rows hashing outside
+    the sample). The read side keeps each group's highest-seq
+    snapshot (a |types|·K-bounded relation) and feeds the shared
+    estimate/audit core.
 
     ORDER-INSENSITIVE AND DUPLICATE-IDEMPOTENT: bottom-K of a union
     is the bottom-K of bottom-Ks in ANY arrival order (the merge
