@@ -1076,6 +1076,197 @@ def dow_association(cells: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# weekly day-of-week profile drift (trailing-baseline contingency view)
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+# A cell drifts when its share of the type's CURRENT week more than
+# doubles its trailing-baseline share — share > (NUM/DEN)·base_share,
+# evaluated as the cross-multiplied integer inequality
+#   DEN·n_obs·base_total > NUM·base_n·n_type_week
+# in DECIMAL(38,0) (the DOW_NUM/beaconing discipline: week counts ×
+# corpus baselines overflow int64 at 100-TB marginals).
+DOW_DRIFT_NUM, DOW_DRIFT_DEN = 2, 1
+
+# A deterministic drifting stream planted in BOTH engines: 28 days of
+# one-event-per-day uniform traffic (every dow baseline = 4 across any
+# week alignment), then a 35-event burst on day 28 — the burst cell's
+# weekly share (35/39) clears 2× its baseline share (4/24), while the
+# same week's uniform tail cells and every natural Poisson-flat type
+# verify the false class. Negative-free ids are irrelevant here (no
+# event_id in the cell rollup); the type name is the plant key.
+DOW_DRIFT_PLANT_N = 63  # 28 uniform days + 35 burst events
+DOW_DRIFT_PLANT_SQL = f"""
+      SELECT 'planted_dowdrift' AS event_type,
+             {DOW_PLANT_BASE_US}
+               + (CASE WHEN i < 28 THEN i * {DAY_US}
+                       ELSE 28 * {DAY_US} + (i - 28) END) AS ts_us
+      FROM generate_series(0, {DOW_DRIFT_PLANT_N - 1}) AS t(i)"""
+
+
+def _dow_drift_planted(spark: SparkSession) -> DataFrame:
+    """Spark twin of DOW_DRIFT_PLANT_SQL (value-identical rows)."""
+    i = F.col("id")
+    return spark.range(DOW_DRIFT_PLANT_N).select(
+        F.lit("planted_dowdrift").alias("event_type"),
+        (
+            F.lit(DOW_PLANT_BASE_US)
+            + F.when(i < 28, i * DAY_US).otherwise(
+                F.lit(28 * DAY_US) + (i - 28)
+            )
+        ).alias("ts_us"),
+    )
+
+
+# Shared verbatim by the batch key below and the online twin's oracle
+# (streaming_mode.py::stream_exec_dow_drift) — the FIRST_SEEN_SQL
+# convention, so the two can never drift.
+DOW_DRIFT_SQL = f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS ts_us FROM events
+      UNION ALL{DOW_DRIFT_PLANT_SQL}
+    ), cells AS (
+      SELECT event_type,
+             ts_us // {WEEK_US} AS week,
+             (((ts_us // {DAY_US}) % 7) + 7) % 7 AS dow,
+             COUNT(*) AS n_obs
+      FROM ev GROUP BY 1, 2, 3
+    ), enriched AS (
+      SELECT event_type, week, dow, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY event_type, week)
+                  AS BIGINT) AS n_type_week,
+             CAST(SUM(n_obs) OVER (
+                    PARTITION BY event_type, dow ORDER BY week
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base_n_raw,
+             CAST(SUM(n_obs) OVER (
+                    PARTITION BY event_type ORDER BY week
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base_total
+      FROM cells
+    )
+    SELECT event_type, CAST(week AS BIGINT) AS week,
+           CAST(dow AS BIGINT) AS dow, n_obs, n_type_week,
+           CASE WHEN base_total IS NOT NULL
+                THEN COALESCE(base_n_raw, 0) END AS base_n,
+           base_total,
+           CAST(n_obs AS DOUBLE) / n_type_week AS share,
+           CASE WHEN base_total IS NOT NULL
+                THEN CAST(COALESCE(base_n_raw, 0) AS DOUBLE) / base_total
+           END AS base_share,
+           CASE WHEN base_total IS NOT NULL THEN
+             {DOW_DRIFT_DEN} * CAST(n_obs AS DECIMAL(38,0))
+                             * CAST(base_total AS DECIMAL(38,0))
+             > {DOW_DRIFT_NUM}
+                 * CAST(COALESCE(base_n_raw, 0) AS DECIMAL(38,0))
+                 * CAST(n_type_week AS DECIMAL(38,0))
+           END AS is_drift,
+           base_total IS NULL AS is_new_type
+    FROM enriched
+    """
+
+
+@register("events_dow_drift", oracle=DOW_DRIFT_SQL)
+def events_dow_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly day-of-week profile DRIFT — the template-drift
+    projection applied to the contingency table: where
+    events_dow_association asks "does this type cluster on a weekday
+    over the WHOLE corpus?", this key asks "did this type's weekday
+    profile CHANGE this week vs its trailing history?" — the SOC
+    question for a service whose cron schedule moved, or a user whose
+    weekly rhythm broke. Each (event_type, week, dow) cell carries its
+    share of the type's current-week traffic and its trailing-baseline
+    share (all PRIOR weeks, cumulative); the drift flag fires when the
+    current share more than doubles the baseline share.
+
+    Exactness: week/dow are exact floor-division buckets
+    (functions/exact.floordiv ≡ DuckDB ``//``, pre-1970-safe pmod);
+    counts and both baselines are integer window sums over the CELL
+    table; share/base_share are single divisions of exact ints; the
+    flag is the DECIMAL(38,0) cross-multiplication, never a float. A
+    type's first observed week has no baseline → is_new_type (flag
+    NULL), the template-drift is_new_template analogue.
+
+    Scale: ONE full-stream shuffle (the (type, week, dow) cell rollup,
+    map-side combined, output ≤ |types|·weeks·7 rows). All three
+    window passes run over that aggregated cell table — the
+    logs_template_drift plan shape; nothing downstream rescans events.
+    Streaming twin: stream_exec_dow_drift (COUNT-only state, twin #16).
+
+    kawa parity: none (no aggregation surface in the reference —
+    SURVEY.md §1.1); mandate (M) security-analytics extension."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    ev = e.unionByName(_dow_drift_planted(spark))
+    cells = ev.groupBy(
+        "event_type",
+        floordiv(F.col("ts_us"), WEEK_US).alias("week"),
+        F.pmod(floordiv(F.col("ts_us"), DAY_US), F.lit(7)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    return dow_drift_report(cells)
+
+
+def dow_drift_report(cells: DataFrame) -> DataFrame:
+    """Core drift projection over any (event_type, week, dow, n_obs)
+    cell frame — the batch key binds the events rollup + plant; the
+    online twin feeds it drained streaming cell counts. All windows
+    run over the aggregated cells (≤ |types|·weeks·7 rows); the
+    trailing baselines use RANGE … 1 PRECEDING so the current week
+    never leaks into its own baseline. Property test:
+    tests/test_dow_drift_property.py drives it against a brute-force
+    Python cumulative table."""
+
+    def d38(c) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    w_tw = Window.partitionBy("event_type", "week")
+    w_cell = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("week")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_type = (
+        Window.partitionBy("event_type")
+        .orderBy("week")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = cells.select(
+        "event_type",
+        F.col("week").cast("long").alias("week"),
+        F.col("dow").cast("long").alias("dow"),
+        "n_obs",
+        F.sum("n_obs").over(w_tw).cast("long").alias("n_type_week"),
+        F.sum("n_obs").over(w_cell).cast("long").alias("base_n_raw"),
+        F.sum("n_obs").over(w_type).cast("long").alias("base_total"),
+    )
+    has_base = F.col("base_total").isNotNull()
+    base_n = F.coalesce(F.col("base_n_raw"), F.lit(0).cast("long"))
+    return enriched.select(
+        "event_type",
+        "week",
+        "dow",
+        "n_obs",
+        "n_type_week",
+        F.when(has_base, base_n).alias("base_n"),
+        "base_total",
+        (F.col("n_obs").cast("double") / F.col("n_type_week")).alias(
+            "share"
+        ),
+        F.when(
+            has_base, base_n.cast("double") / F.col("base_total")
+        ).alias("base_share"),
+        F.when(
+            has_base,
+            F.lit(DOW_DRIFT_DEN) * d38(F.col("n_obs")) * d38(F.col("base_total"))
+            > F.lit(DOW_DRIFT_NUM) * d38(base_n) * d38(F.col("n_type_week")),
+        ).alias("is_drift"),
+        F.col("base_total").isNull().alias("is_new_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # robust (median/MAD) volume anomaly
 # ---------------------------------------------------------------------------
 

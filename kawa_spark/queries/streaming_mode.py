@@ -1209,6 +1209,67 @@ def stream_exec_dow_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_association(drained)
 
 
+def _dow_drift_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_dowdrift_plants_")
+
+
+def _dow_drift_oracle() -> str:
+    from kawa_spark.queries.events import DOW_DRIFT_SQL
+
+    return DOW_DRIFT_SQL
+
+
+@register("stream_exec_dow_drift", oracle=_dow_drift_oracle())
+def stream_exec_dow_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_dow_drift maintained ONLINE — the sixteenth
+    online/offline twin: week/dow derivation is stateless map-side
+    floor-div work, the (event_type, week, dow) cell counts run as a
+    streaming aggregation in complete mode, and the drained cell
+    table goes through the SAME trailing-baseline scorer as the batch
+    key (events.dow_drift_report). Oracle = the batch key's SQL
+    verbatim (shared DOW_DRIFT_SQL constant); the planted drifting
+    stream rides the STREAM as a second file source (shared
+    _dow_drift_planted constructor). Streaming COUNT is
+    order-insensitive — exact under ANY batch order, no ordering
+    contract, no late_count column needed.
+
+    Scale: streaming state = live (type, week, dow) cells — bounded
+    by |types|·7 per week of stream time (a TIME dimension, like
+    stream_exec_tumbling's hour buckets, never data volume); in a
+    production deployment a watermark on the week column would expire
+    closed weeks. The scorer's windows run over the drained cell
+    table (≤ |types|·weeks·7 rows)."""
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import (
+        DAY_US,
+        WEEK_US,
+        _dow_drift_planted,
+        dow_drift_report,
+    )
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    plants_dir = _dow_drift_plants_dir()
+    _dow_drift_planted(spark).coalesce(1).write.mode("overwrite").parquet(
+        plants_dir
+    )
+    p = spark.readStream.schema(
+        "event_type string, ts_us long"
+    ).parquet(plants_dir)
+    cells = (
+        e.unionByName(p)
+        .groupBy(
+            "event_type",
+            floordiv(F.col("ts_us"), WEEK_US).alias("week"),
+            F.pmod(floordiv(F.col("ts_us"), DAY_US), F.lit(7)).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    drained = _drain(cells, spark, mode="complete", state_partitions=2)
+    return dow_drift_report(drained)
+
+
 def _quantile_sketch_oracle() -> str:
     from kawa_spark.queries.stats import QUANTILE_SKETCH_SQL
 

@@ -48,125 +48,123 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # deferred set is exactly the oldest-evidence tier outside the
 # window, and (b) window + deferred are disjoint and registered.
 #
-# Round 10's window (VERDICT r9 item 1): the THIRTY deferred
-# r6-evidence keys lead (the oldest tier — 3 rounds stale — and the
-# r9 registry's standing commitment), then the NINE new keys
-# registered this round (never driver-checked), then the FOUR keys
-# whose implementations changed this round (logs_typosquat: negative
-# plant ids; stream_exec_beaconing: sd2 hi/lo state split;
-# stream_exec_impossible_travel + stream_exec_session_rarity:
-# late_count observability columns + wrapped oracles), then SEVEN of
-# the 44 r7-evidence keys — the next-oldest tier, complex/risky
-# implementations first (dedup/similarity/streaming kernels), leaving
-# the trivially-stable relational/tpch r7 keys in DEFERRED to lead
-# r11. Exactly 50. Max evidence age after this round's driver check:
-# deferred 37 = r7 evidence = 3 rounds at r10; everything else <= 2.
+# Round 11's window (VERDICT r10 item 1): the THIRTY-SEVEN deferred
+# r7-evidence keys lead (the oldest tier — 4 rounds stale at r11 —
+# and the r10 registry's standing commitment, pinned by
+# test_deferred_is_exactly_the_oldest_offwindow_tier), then the keys
+# newly registered this round (never driver-checked), then fills
+# from the r8-evidence tier — the next-oldest — complex/risky
+# implementations first (streaming kernels, sketches, LSH variants),
+# leaving the remaining r8 keys in DEFERRED to lead r12. Exactly 50.
+# Max evidence age after this round's driver check: deferred = r8
+# evidence = 3 rounds at r11; everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- the 30 deferred r6-evidence keys (VERDICT r9 item 1) ---
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frames",
-    "percentile_cont",
-    "percentile_disc",
-    "scalar_string_extra",
-    "interval_arithmetic",
-    "array_map_ops",
-    "json_roundtrip",
-    "null_handling",
-    "text_normalize",
-    "text_chunking",
-    "text_fingerprint",
-    "text_redact_pii",
-    "text_edit_distance",
-    "stream_exec_running_total",
-    "stream_exec_session_totals",
-    "udf_python",
-    "dedup_simhash",
-    "corpus_dedup_report",
-    "data_profile",
-    "sample_hash",
-    "corpus_stratified_sample",
-    "dedup_keeper_corpus",
-    "agg_bitwise_bool",
-    "agg_string_collect",
-    "agg_argminmax",
-    "pivot_wide",
-    "histogram_width_bucket",
-    "corpus_tfidf",
-    # --- 9 new keys this round (never driver-checked) ---
-    "stream_exec_typosquat",
-    "events_dow_association",
-    "stream_exec_dow_association",
-    "events_lateral_movement",
-    "stream_exec_lateral_movement",
-    "dedup_span_fraction",
-    "agg_quantile_sketch",
-    "stream_exec_quantile_sketch",
-    "stream_exec_kmv_distinct",
-    # --- 4 changed implementations this round ---
-    "logs_typosquat",
-    "stream_exec_beaconing",
-    "stream_exec_impossible_travel",
-    "stream_exec_session_rarity",
-    # --- 7 of the 44 r7-evidence keys (oldest remaining tier) ---
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "kmeans_lloyd",
-    "similarity_ivf_kmeans",
-    "similarity_topk",
-    "stream_passthrough",
+    # --- the 37 deferred r7-evidence keys (VERDICT r10 item 1) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q2_best_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "agg_hash_groupby",
+    "agg_approx_distinct",
+    "percentile_approx",
+    "grouping_cube",
+    "join_inner_hash",
+    "window_rank",
+    "udf_grouped_agg",
+    "stream_dedup",
+    "embedding_quantize",
+    "similarity_lsh_ann",
+    "multimodal_audio_features",
+    "embedding_centroids",
+    "stream_sliding",
+    "events_funnel",
+    "quality_repetition",
+    "quality_gopher_filter",
+    "corpus_length_filter",
+    "corpus_domain_stats",
+    "corpus_shuffle_deterministic",
+    "corpus_vocab_coverage",
+    # --- new keys this round (never driver-checked) ---
+    "events_dow_drift",
+    "stream_exec_dow_drift",
+    # --- fills from the r8-evidence tier (next-oldest), riskiest
+    # first: streaming kernels, sketches, LSH variants ---
+    "stream_exec_dedup_watermark",
+    "stream_exec_rate_limit",
+    "stream_exec_stream_stream_join",
+    "stream_exec_stream_static_join",
+    "stream_exec_tumbling",
+    "stateful_running_total",
+    "agg_kmv_distinct",
+    "agg_kmv_union",
+    "similarity_lsh_multiprobe",
+    "similarity_ivf",
+    "logs_pattern_templates",
 ]
 
-# Keys whose driver evidence is the OLDEST tier (r7) but which did
-# not fit this round's 50-slot window, with displacement grounds.
-# THESE MUST LEAD THE R11 WINDOW (plus any keys whose implementation
-# changes in r11). tests/test_registry_window.py pins that this dict
-# is exactly the oldest-evidence tier outside the window.
+# Keys whose driver evidence is the OLDEST off-window tier (r8) but
+# which did not fit this round's 50-slot window, with displacement
+# grounds. THESE MUST LEAD THE R12 WINDOW (plus any keys whose
+# implementation changes in r12). tests/test_registry_window.py pins
+# that this dict is exactly the oldest-evidence tier outside the
+# window.
 DEFERRED: dict[str, str] = {
     # stable SQL untouched since registration; the tpch tier's
-    # machinery (joins/aggs/windows) is exercised in-window by the
-    # dedup/similarity/streaming keys every round
-    "tpch_q1_pricing_summary": "stable SQL, untouched since r2",
-    "tpch_q2_best_supplier": "stable SQL, untouched since r2",
-    "tpch_q4_priority_check": "stable SQL, untouched since r2",
-    "tpch_q5_local_supplier": "stable SQL, untouched since r2",
-    "tpch_q7_volume_shipping": "stable SQL, untouched since r2",
-    "tpch_q8_market_share": "stable SQL, untouched since r2",
-    "tpch_q9_product_profit": "stable SQL, untouched since r2",
-    "tpch_q11_important_stock": "stable SQL, untouched since r2",
-    "tpch_q13_customer_distribution": "stable SQL, untouched since r2",
-    "tpch_q14_promo_revenue": "stable SQL, untouched since r2",
-    "tpch_q15_top_supplier": "stable SQL, untouched since r2",
-    "tpch_q16_supplier_relationship": "stable SQL, untouched since r2",
-    "tpch_q17_small_quantity": "stable SQL, untouched since r2",
-    "tpch_q18_large_volume": "stable SQL, untouched since r2",
-    "tpch_q19_discounted_revenue": "stable SQL, untouched since r2",
-    "tpch_q20_part_promotion": "stable SQL, untouched since r2",
-    "tpch_q21_waiting_supplier": "stable SQL, untouched since r2",
-    # single-op / family-twin displacements (the null_handling
-    # grounds: trivially-stable implementations whose family keeps an
-    # in-window representative this round)
-    "agg_hash_groupby": "family twin agg_stats_moments r9-green",
-    "agg_approx_distinct": "approx-sketch family twin agg_kmv_* r9",
-    "percentile_approx": "disc/cont percentile pair IS in-window",
-    "grouping_cube": "family twin rollup_multires r9-green",
-    "join_inner_hash": "join family r9-green x5 (anti/right/asof...)",
-    "window_rank": "family twin window_rank_extra r9-green",
-    "udf_grouped_agg": "family twins udf_python/udtf_lateral in-window",
-    "stream_dedup": "family twin stream_exec_dedup_watermark r8",
-    "embedding_quantize": "map-only quantizer, plan-pinned; family twin embedding_centroids stays in-window (displaced by dedup_span_fraction)",
-    "similarity_lsh_ann": "LSH-bucket family: ivf_kmeans (the trained production path) + similarity_topk stay in-window; multiprobe variant r8 (displaced by agg_quantile_sketch)",
-    "multimodal_audio_features": "multimodal family twin multimodal_decode r9-green; the WAV codec is round-trip property-tested vs stdlib (displaced by stream_exec_kmv_distinct)",
-    "embedding_centroids": "embedding tier keeps ivf_kmeans (trained centroids ARE its aggregate) + similarity_topk in-window; the centroid groupBy untouched since r2 (displaced by stream_exec_quantile_sketch)",
-    "stream_sliding": "windowed-agg family, stream_tumbling_count r9",
-    "events_funnel": "twins stream_exec_funnel r9 + daily_conversion r9",
-    "quality_repetition": "quality tier twin quality_gopher r7 equal-age; repetition untouched since r6",
-    "quality_gopher_filter": "quality tier; lm_commonness r8 in family",
-    "corpus_length_filter": "corpus tier keeps 4 in-window reps",
-    "corpus_domain_stats": "corpus tier keeps 4 in-window reps",
-    "corpus_shuffle_deterministic": "corpus tier keeps 4 in-window reps",
-    "corpus_vocab_coverage": "corpus tier keeps 4 in-window reps",
+    # machinery is exercised in-window by the 17 r7 tpch keys this
+    # round
+    "tpch_q3_shipping_priority": "stable SQL, untouched since r2",
+    "tpch_q6_forecast_revenue": "stable SQL, untouched since r2",
+    "tpch_q10_returned_items": "stable SQL, untouched since r2",
+    "tpch_q12_late_lines": "stable SQL, untouched since r2",
+    "tpch_q22_global_sales": "stable SQL, untouched since r2",
+    # single-op / family-twin displacements: trivially-stable
+    # implementations whose family keeps an in-window representative
+    # this round
+    "agg_distinct": "family twins agg_hash_groupby + approx_distinct in-window",
+    "scalar_string_date_math": "scalar family untouched since r2; extras pair r10-green",
+    "flatmap_explode": "explode family twin flatmap_posexplode r9-green",
+    "grouping_rollup": "family twin grouping_cube in-window",
+    "join_outer_left": "join family rep join_inner_hash in-window",
+    "join_full_outer": "join family rep join_inner_hash in-window",
+    "join_semi": "join family rep join_inner_hash in-window",
+    "join_range_theta": "range-join family twin join_asof r9-green",
+    "deser_csv": "deser family twin deser_json r9-green",
+    "window_analytic": "window family rep window_rank in-window",
+    "window_range_time": "window family rep window_rank in-window",
+    "stream_session": "session family twin stream_exec_session_totals r10-green",
+    "ts_resample_ffill": "family twin ts_resample_ffill_clamped r9-green",
+    "events_sessionize_batch": "session family twin stream_exec_session_totals r10",
+    "events_retention_cohorts": "cohort SQL untouched since r7",
+    "events_anomaly_zscore": "anomaly family twin events_anomaly_mad r9-green",
+    "events_dedup_adjacent": "dedup family rep stream_exec_dedup_watermark in-window",
+    "events_heavy_hitters": "topk family untouched since r8; agg_cms_freq r9 in family",
+    "events_markov_transitions": "transition matrix untouched since r8",
+    "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared core)",
+    "logs_template_drift": "online twin stream_exec_template_drift r9-green (shared SQL)",
+    "quality_lm_commonness": "quality tier keeps gopher+repetition in-window",
+    "corpus_bigrams": "corpus tier rep corpus_vocab_coverage in-window",
+    "corpus_mixture_sample": "corpus tier rep corpus_shuffle_deterministic in-window",
+    "corpus_pack_sequences": "corpus tier untouched since r8",
+    "dedup_exact": "digest-groupBy pair dedup_exact_norm equal-age; minhash tier r9",
+    "dedup_exact_norm": "digest-groupBy pair; norm digest re-exercised by dedup_incremental in-window",
+    "similarity_containment": "posting-join family dedup_ngram_jaccard r10-green",
+    "text_stats": "text tier keeps 0 slots; whole tier r10-green x6 at latest check",
+    "text_tokens": "text tier r10-green x6 at latest check",
+    "text_quality": "text tier r10-green x6 at latest check",
+    "text_langid": "text tier r10-green x6 at latest check",
 }
 
 
