@@ -935,3 +935,168 @@ def span_fractions(d: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental / cross-snapshot dedup (new batch vs prior kept corpus)
+# ---------------------------------------------------------------------------
+
+# A production 100-TB pipeline never dedups one corpus against itself
+# only: today's crawl must ALSO be deduped against yesterday's KEPT
+# set. The two-snapshot construction lives inside the query so the
+# oracle can replay it: docs with doc_id % 10 < INC_PRIOR_MOD are the
+# prior kept snapshot, the rest are today's batch (at sf0.1 the
+# natural corpus already has cross-split copies; the plants guarantee
+# every class at every SF).
+INC_PRIOR_MOD = 6
+
+# Plants (negative doc_ids — the plant-id convention): one prior/new
+# pair that differs only in case + whitespace (so the dup_prior class
+# also exercises normalization), one norm-equal pair inside the new
+# batch (dup_batch + its keeper), one genuinely novel new doc.
+INC_PLANTS_PRIOR: list[tuple[int, str]] = [
+    (
+        -32_000_001,
+        "incremental dedup planted shared body kept in the prior snapshot",
+    ),
+]
+INC_PLANTS_NEW: list[tuple[int, str]] = [
+    (
+        -32_000_101,
+        "Incremental  dedup planted shared body kept in the PRIOR snapshot ",
+    ),
+    (
+        -32_000_102,
+        "incremental dedup planted duplicate pair arriving twice in todays batch",
+    ),
+    (
+        -32_000_103,
+        "incremental dedup planted DUPLICATE pair arriving twice in todays batch",
+    ),
+    (
+        -32_000_104,
+        "incremental dedup planted novel unique document in todays batch",
+    ),
+]
+
+_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+def _inc_values_sql(plants: list[tuple[int, str]]) -> str:
+    return ", ".join(f"({d}, '{t}')" for d, t in plants)
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+    WITH prior AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 < {INC_PRIOR_MOD}
+      UNION ALL
+      SELECT * FROM (VALUES {_inc_values_sql(INC_PLANTS_PRIOR)}) t(doc_id, text)
+    ), newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= {INC_PRIOR_MOD}
+      UNION ALL
+      SELECT * FROM (VALUES {_inc_values_sql(INC_PLANTS_NEW)}) t(doc_id, text)
+    ), ph AS (
+      SELECT md5({_NORM_SQL.format(c='text')}) AS h,
+             MIN(doc_id) AS prior_id
+      FROM prior GROUP BY 1
+    ), nh AS (
+      SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS h FROM newb
+    ), nk AS (
+      SELECT doc_id, h,
+             MIN(doc_id) OVER (PARTITION BY h) AS keeper_id
+      FROM nh
+    )
+    SELECT n.doc_id,
+           CASE WHEN p.prior_id IS NOT NULL THEN 'dup_prior'
+                WHEN n.doc_id <> n.keeper_id THEN 'dup_batch'
+                ELSE 'kept' END AS status,
+           CASE WHEN p.prior_id IS NOT NULL THEN p.prior_id
+                WHEN n.doc_id <> n.keeper_id THEN n.keeper_id END AS dup_of
+    FROM nk n LEFT JOIN ph p USING (h)
+    """
+
+
+@register("dedup_incremental", oracle=INCREMENTAL_DEDUP_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup — today's batch
+    against yesterday's kept corpus: every new doc is classified
+    'dup_prior' (normalized digest already in the prior kept set —
+    dropped, with the prior keeper id), 'dup_batch' (first seen
+    within today's batch under the min-doc_id keeper policy), or
+    'kept'. This is the at-least-once redelivery discipline of the
+    reference's batcher (kawa acks only after the sink commit —
+    /root/reference/x/batcher/batcher.go:516-539; SURVEY.md §3.4)
+    applied to CONTENT instead of offsets: re-crawled or re-delivered
+    documents are idempotently dropped against the committed state.
+
+    Exactness: the normalized digest is the dedup_exact_norm
+    construction verbatim (md5 of lower/trim/whitespace-collapsed
+    text); keepers are MIN(doc_id); status/dup_of are pure integer /
+    string algebra — no floats anywhere.
+
+    Scale (the 100-TB story): the NEW batch — the small side, a day's
+    crawl — shuffles ONCE on its 16-byte digest (the within-batch
+    keeper window); the prior corpus reduces to (digest, keeper_id)
+    pairs, broadcast here because a digest index is ~50 bytes/doc.
+    Above the broadcast cap a production deployment persists the
+    prior kept-set digest index BUCKETED BY digest (sinks/compact.py
+    snapshot + bucketed layout), so the join co-locates without ever
+    re-shuffling the corpus — only the day's batch moves. A KMV /
+    Bloom membership sketch can pre-prune the probe (most new docs
+    are novel), but the exact join against the digest index is what
+    makes the drop decision idempotent; the index IS the compact
+    state. tests/test_incremental_dedup.py verifies the
+    snapshot-composition path (prior index written + read back) is
+    row-identical to the in-query construction.
+
+    kawa parity: x/batcher ack-after-commit (B) re-expressed for
+    data; mandate (M) LLM-pipeline extension."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < INC_PRIOR_MOD).unionByName(
+        spark.createDataFrame(INC_PLANTS_PRIOR, "doc_id long, text string")
+    )
+    newb = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= INC_PRIOR_MOD).unionByName(
+        spark.createDataFrame(INC_PLANTS_NEW, "doc_id long, text string")
+    )
+    return incremental_dedup(newb, prior_digest_index(prior))
+
+
+def _norm_digest(c: F.Column) -> F.Column:
+    """md5 over lower/trim/whitespace-collapse — the dedup_exact_norm
+    digest, shared by both snapshot sides (mirrors _NORM_SQL)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def prior_digest_index(prior: DataFrame) -> DataFrame:
+    """The prior kept-set's compact state: (digest, keeper doc_id) —
+    what a production pipeline persists (bucketed by h) between runs
+    instead of re-scanning yesterday's corpus."""
+    return prior.groupBy(_norm_digest(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("prior_id")
+    )
+
+
+def incremental_dedup(new_batch: DataFrame, prior_index: DataFrame) -> DataFrame:
+    """Core classifier over any (doc_id, text) new batch + (h,
+    prior_id) prior digest index. ONE exchange total: the new batch
+    shuffles on h for the keeper window, and the prior index joins
+    broadcast (see the registered key's docstring for the
+    above-broadcast-cap plan). Brute-force property test:
+    tests/test_incremental_dedup.py."""
+    nh = new_batch.select("doc_id", _norm_digest(F.col("text")).alias("h"))
+    nk = nh.withColumn(
+        "keeper_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    joined = nk.join(F.broadcast(prior_index), "h", "left")
+    in_prior = F.col("prior_id").isNotNull()
+    in_batch_dup = F.col("doc_id") != F.col("keeper_id")
+    return joined.select(
+        "doc_id",
+        F.when(in_prior, F.lit("dup_prior"))
+        .when(in_batch_dup, F.lit("dup_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(in_prior, F.col("prior_id"))
+        .when(in_batch_dup, F.col("keeper_id"))
+        .alias("dup_of"),
+    )

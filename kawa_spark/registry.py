@@ -100,6 +100,7 @@ DRIVER_WINDOW: list[str] = [
     # --- new keys this round (never driver-checked) ---
     "events_dow_drift",
     "stream_exec_dow_drift",
+    "dedup_incremental",
     # --- fills from the r8-evidence tier (next-oldest), riskiest
     # first: streaming kernels, sketches, LSH variants ---
     "stream_exec_dedup_watermark",
@@ -112,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_union",
     "similarity_lsh_multiprobe",
     "similarity_ivf",
-    "logs_pattern_templates",
 ]
 
 # Keys whose driver evidence is the OLDEST off-window tier (r8) but
@@ -153,6 +153,7 @@ DEFERRED: dict[str, str] = {
     "events_heavy_hitters": "topk family untouched since r8; agg_cms_freq r9 in family",
     "events_markov_transitions": "transition matrix untouched since r8",
     "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared core)",
+    "logs_pattern_templates": "masking chain shared by logs_template_drift family; plan-pinned no-Python-UDF (displaced by dedup_incremental)",
     "logs_template_drift": "online twin stream_exec_template_drift r9-green (shared SQL)",
     "quality_lm_commonness": "quality tier keeps gopher+repetition in-window",
     "corpus_bigrams": "corpus tier rep corpus_vocab_coverage in-window",
