@@ -1002,3 +1002,126 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q8_csv"),
         l1_q.alias("l1_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: recall@k vs the exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _recall_block_sql(method: str, approx_sql: str) -> str:
+    """One method's recall table: exact top-k LEFT JOIN the method's
+    answer on (q_id, n_id); hits are the matched rows. SUM→HUGEINT is
+    cast back per the driver-safe-types pin."""
+    return f"""
+    SELECT * FROM (
+      WITH exact_k AS ({registry_exact_sql()}),
+      approx_k AS ({approx_sql}),
+      hits AS (
+        SELECT e.q_id, COUNT(e.n_id) AS n_exact, COUNT(a.n_id) AS n_hits
+        FROM exact_k e LEFT JOIN approx_k a USING (q_id, n_id)
+        GROUP BY e.q_id
+      ), tot AS (
+        SELECT CAST(SUM(n_hits) AS BIGINT) AS method_hits,
+               CAST(SUM(n_exact) AS BIGINT) AS method_total
+        FROM hits
+      )
+      SELECT '{method}' AS method, h.q_id,
+             CAST(h.n_exact AS BIGINT) AS n_exact,
+             CAST(h.n_hits AS BIGINT) AS n_hits,
+             CAST(h.n_hits AS DOUBLE) / h.n_exact AS recall_q,
+             t.method_hits, t.method_total,
+             CAST(t.method_hits AS DOUBLE) / t.method_total
+               AS method_recall
+      FROM hits h CROSS JOIN tot t
+    )"""
+
+
+def registry_exact_sql() -> str:
+    """The similarity_topk oracle — the exact-answer side of every
+    recall block (kept as one accessor so the two can never drift)."""
+    from kawa_spark.registry import ORACLES
+
+    return ORACLES["similarity_topk"]
+
+
+def _recall_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        [
+            _recall_block_sql("ivf_kmeans", _ivf_kmeans_oracle()),
+            _recall_block_sql("lsh_ann", _lsh_ann_oracle()),
+        ]
+    )
+
+
+@register("similarity_recall", oracle=_recall_oracle())
+def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality MEASURED, not asserted: per-query hit counts of
+    each approximate method's top-k against the exact cosine top-k
+    (similarity_topk), plus the method-level recall ratio — the audit
+    job a production ANN deployment runs offline to tune
+    nprobe/n_planes. Methods: similarity_ivf_kmeans (the trained
+    production path) and similarity_lsh_ann (the recall-biased
+    single-bucket variant, whose low recall on this near-orthogonal
+    synthetic corpus is exactly what the measurement should expose —
+    multiprobe exists because of it).
+
+    Exactness: hit counts are integers from an equi-join on
+    (q_id, n_id) — no float comparisons anywhere in the measurement
+    (ties inside the underlying top-k are broken by n_id in BOTH
+    engines, so the compared SETS are deterministic); recall_q /
+    method_recall are single divisions of exact ints.
+
+    Scale: the exact side is the expensive leg (one linear corpus
+    scan per query batch) — a production audit runs it over a SAMPLED
+    query set, which is precisely this shape (N_QUERIES queries);
+    both result sides are k·|Q| rows, so the measurement joins are
+    broadcast-trivial. The 1-row method totals attach via the
+    broadcast scalar idiom (no second pass).
+
+    kawa parity: none; mandate (M) similarity-search extension
+    (VERDICT r10 'What's missing' #2)."""
+    exact = similarity_topk(spark, sf_dir).select("q_id", "n_id")
+    frames = []
+    for name, fn in (
+        ("ivf_kmeans", similarity_ivf_kmeans),
+        ("lsh_ann", similarity_lsh_ann),
+    ):
+        a = fn(spark, sf_dir).select(
+            "q_id", "n_id", F.lit(1).alias("hit")
+        )
+        hits = (
+            exact.join(a, ["q_id", "n_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+        )
+        tot = hits.agg(
+            F.sum("n_hits").cast("long").alias("method_hits"),
+            F.sum("n_exact").cast("long").alias("method_total"),
+        )
+        frames.append(
+            hits.crossJoin(F.broadcast(tot)).select(
+                F.lit(name).alias("method"),
+                "q_id",
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_exact")).alias(
+                    "recall_q"
+                ),
+                "method_hits",
+                "method_total",
+                (
+                    F.col("method_hits").cast("double")
+                    / F.col("method_total")
+                ).alias("method_recall"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

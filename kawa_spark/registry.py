@@ -101,6 +101,7 @@ DRIVER_WINDOW: list[str] = [
     "events_dow_drift",
     "stream_exec_dow_drift",
     "dedup_incremental",
+    "similarity_recall",
     # --- fills from the r8-evidence tier (next-oldest), riskiest
     # first: streaming kernels, sketches, LSH variants ---
     "stream_exec_dedup_watermark",
@@ -112,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_kmv_distinct",
     "agg_kmv_union",
     "similarity_lsh_multiprobe",
-    "similarity_ivf",
 ]
 
 # Keys whose driver evidence is the OLDEST off-window tier (r8) but
@@ -162,6 +162,7 @@ DEFERRED: dict[str, str] = {
     "dedup_exact": "digest-groupBy pair dedup_exact_norm equal-age; minhash tier r9",
     "dedup_exact_norm": "digest-groupBy pair; norm digest re-exercised by dedup_incremental in-window",
     "similarity_containment": "posting-join family dedup_ngram_jaccard r10-green",
+    "similarity_ivf": "diagnostic untrained variant; production path ivf_kmeans r10-green + exercised in-window by similarity_recall (displaced by it)",
     "text_stats": "text tier keeps 0 slots; whole tier r10-green x6 at latest check",
     "text_tokens": "text tier r10-green x6 at latest check",
     "text_quality": "text tier r10-green x6 at latest check",
