@@ -113,6 +113,12 @@ HEADLINE = [
     "events_lateral_movement",
     "dedup_span_fraction",
     "agg_quantile_sketch",
+    # r11 additions (batch keys; streaming drains stay out of the
+    # headline per the r9 convention)
+    "events_dow_drift",
+    "dedup_incremental",
+    "similarity_recall",
+    "events_lateral_movement_3hop",
 ]
 
 

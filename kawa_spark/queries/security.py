@@ -1052,6 +1052,209 @@ def lateral_chains(
 
 
 # ---------------------------------------------------------------------------
+# lateral movement, 3-hop form (4-net walks — the trigram → n-gram step)
+# ---------------------------------------------------------------------------
+
+CHAIN3_WINDOW_US = 3 * HOP_WINDOW_US
+
+# 4-net walks planted in BOTH engines — a SEPARATE plant family from
+# LM_PLANT_WALKS (separate users/ids) so the 2-hop key's results are
+# untouched. IPs are EXPLICIT and chosen off the shadowed prefixes
+# (corp-west's lo IS quarantine's lo — the /14 wins LPM there — so
+# corp-west rides quarantine_hi + 1; the other three nets are the
+# longest prefix at their own lo).
+_LM3_PLANT_BASE_ID = -14_000_000
+_LM3_PLANT_BASE_USER = 9_950_000
+_LM3_IPS = {
+    "quarantine": 171966464,  # lo, /14 wins
+    "corp-east-dc1": 167772160,  # lo, /12 wins
+    "corp-west": 172228608,  # quarantine hi + 1 → /10 wins
+    "corp-guest": 180355072,  # lo, /10 leaf
+}
+LM3_PLANT_WALKS: list[list[str]] = [
+    ["quarantine", "corp-east-dc1", "corp-west", "corp-guest"],
+    ["quarantine", "corp-east-dc1", "corp-west", "corp-guest"],
+    ["quarantine", "corp-east-dc1", "corp-west", "quarantine"],
+]
+
+
+def _lm3_plant_rows() -> list[tuple[int, int, int, int]]:
+    """(event_id, user_id, ts_us, ip) rows shared by both engines."""
+    rows = []
+    j = 0
+    for u, walk in enumerate(LM3_PLANT_WALKS):
+        for s, net in enumerate(walk):
+            rows.append(
+                (
+                    _LM3_PLANT_BASE_ID - j,
+                    _LM3_PLANT_BASE_USER + u,
+                    PLANT_BASE_US + s * _LM_HOP_GAP_US,
+                    _LM3_IPS[net],
+                )
+            )
+            j += 1
+    return rows
+
+
+def _lm3_values_sql() -> str:
+    return ", ".join(
+        f"({e}, {u}, {t}, {ip})" for e, u, t, ip in _lm3_plant_rows()
+    )
+
+
+LATERAL_3HOP_SQL = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             {_IP_EXPR_SQL} AS ip
+      FROM events
+      UNION ALL
+      SELECT * FROM (VALUES {_lm3_values_sql()})
+        t(event_id, user_id, ts_us, ip)
+    ), nets(net, plen, lo, hi) AS (
+      VALUES {_nets_values_sql()}
+    ), matched AS (
+      SELECT e.user_id, e.event_id, e.ts_us, n.net,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY n.plen DESC, n.net DESC) AS rn
+      FROM ev e JOIN nets n ON e.ip BETWEEN n.lo AND n.hi
+    ), seq AS (
+      SELECT user_id, event_id, ts_us, net,
+             LAG(net) OVER w AS prev_net,
+             LAG(ts_us) OVER w AS prev_us
+      FROM matched WHERE rn = 1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), hops AS (
+      SELECT user_id, event_id, prev_net AS from_net, net AS to_net,
+             prev_us AS start_us, ts_us AS end_us
+      FROM seq
+      WHERE prev_net IS NOT NULL AND prev_net <> net
+        AND ts_us - prev_us <= {HOP_WINDOW_US}
+    ), chains AS (
+      SELECT user_id,
+             LAG(from_net, 2) OVER hw AS net_a,
+             LAG(to_net, 2) OVER hw AS a_to,
+             LAG(from_net, 1) OVER hw AS net_b,
+             LAG(to_net, 1) OVER hw AS b_to,
+             from_net AS net_c,
+             to_net AS net_d,
+             end_us - LAG(start_us, 2) OVER hw AS span_us
+      FROM hops
+      WINDOW hw AS (PARTITION BY user_id ORDER BY end_us, event_id)
+    )
+    SELECT net_a, net_b, net_c, net_d,
+           COUNT(*) AS n_chains,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(span_us) AS min_span_us,
+           net_a = net_d AS is_roundtrip
+    FROM chains
+    WHERE net_a IS NOT NULL AND a_to = net_b AND b_to = net_c
+      AND span_us <= {CHAIN3_WINDOW_US}
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("events_lateral_movement_3hop", oracle=LATERAL_3HOP_SQL)
+def events_lateral_movement_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop lateral movement — the trigram → n-gram step on the
+    chain miner: one actor traversing nets A → B → C → D through the
+    address plan, three CONSECUTIVE continuous hops (each hop leaves
+    the net the previous one landed on) inside CHAIN3_WINDOW_US. The
+    longer the continuous chain, the smaller the benign explanation
+    space — 3-hop inventories are what turn "user roamed" into
+    "credentialed pivot path".
+
+    Plants: a SEPARATE 4-net walk family (LM3_PLANT_WALKS — two
+    quarantine→dc1→west→guest traversals and one
+    quarantine→dc1→west→quarantine return) with explicit unshadowed
+    ips, so both is_roundtrip classes verify at every SF and the
+    2-hop key's plant set is untouched.
+
+    Exactness: net names, integer spans, counts, string-equality
+    flag — nothing floats.
+
+    Scale: identical plan skeleton to the 2-hop key — map-side LPM
+    (broadcast nets), ONE user_id exchange serving BOTH lag windows
+    (the added lags widen the window projection, not the shuffle;
+    plan-pinned by test_lateral3_single_user_exchange), rollup onto
+    |nets|⁴-bounded keys (1296 here — the address plan, not the
+    stream; the r11 probe measured the group count flat at 100×
+    data). The per-event lag fold stays the honest linear term.
+
+    kawa parity: none; mandate (M) security-analytics extension."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        ip_col(),
+    )
+    plants = spark.createDataFrame(
+        _lm3_plant_rows(),
+        "event_id long, user_id long, ts_us long, ip long",
+    )
+    m = longest_prefix_match(e.unionByName(plants), nets_df(spark)).drop(
+        "plen", "ip"
+    )
+    return lateral_chains3(m, HOP_WINDOW_US, CHAIN3_WINDOW_US)
+
+
+def lateral_chains3(
+    attributed: DataFrame, hop_window_us: int, chain_window_us: int
+) -> DataFrame:
+    """3-hop chain-inventory core over any LPM-attributed frame
+    (user_id, event_id, ts_us, net). Hops are mined exactly as in
+    lateral_chains; the chain join is the lag-2 trigram over the hop
+    sequence with continuity at BOTH junctions. Property test:
+    tests/test_lateral_movement_property.py drives it against the
+    brute-force miner generalized to length 3."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = attributed.select(
+        "user_id",
+        "event_id",
+        "net",
+        F.lag("net").over(w).alias("prev_net"),
+        F.lag("ts_us").over(w).alias("prev_us"),
+        "ts_us",
+    )
+    hops = seq.filter(
+        F.col("prev_net").isNotNull()
+        & (F.col("prev_net") != F.col("net"))
+        & (F.col("ts_us") - F.col("prev_us") <= hop_window_us)
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("prev_net").alias("from_net"),
+        F.col("net").alias("to_net"),
+        F.col("prev_us").alias("start_us"),
+        F.col("ts_us").alias("end_us"),
+    )
+    hw = Window.partitionBy("user_id").orderBy("end_us", "event_id")
+    chains = hops.select(
+        "user_id",
+        F.lag("from_net", 2).over(hw).alias("net_a"),
+        F.lag("to_net", 2).over(hw).alias("a_to"),
+        F.lag("from_net", 1).over(hw).alias("net_b"),
+        F.lag("to_net", 1).over(hw).alias("b_to"),
+        F.col("from_net").alias("net_c"),
+        F.col("to_net").alias("net_d"),
+        (F.col("end_us") - F.lag("start_us", 2).over(hw)).alias("span_us"),
+    ).filter(
+        F.col("net_a").isNotNull()
+        & (F.col("a_to") == F.col("net_b"))
+        & (F.col("b_to") == F.col("net_c"))
+        & (F.col("span_us") <= chain_window_us)
+    )
+    return (
+        chains.groupBy("net_a", "net_b", "net_c", "net_d")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("span_us").alias("min_span_us"),
+        )
+        .withColumn("is_roundtrip", F.col("net_a") == F.col("net_d"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # DGA-style domain scoring
 # ---------------------------------------------------------------------------
 

@@ -102,6 +102,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_dow_drift",
     "dedup_incremental",
     "similarity_recall",
+    "events_lateral_movement_3hop",
     # --- fills from the r8-evidence tier (next-oldest), riskiest
     # first: streaming kernels, sketches, LSH variants ---
     "stream_exec_dedup_watermark",
@@ -112,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "stateful_running_total",
     "agg_kmv_distinct",
     "agg_kmv_union",
-    "similarity_lsh_multiprobe",
 ]
 
 # Keys whose driver evidence is the OLDEST off-window tier (r8) but
@@ -163,6 +163,7 @@ DEFERRED: dict[str, str] = {
     "dedup_exact_norm": "digest-groupBy pair; norm digest re-exercised by dedup_incremental in-window",
     "similarity_containment": "posting-join family dedup_ngram_jaccard r10-green",
     "similarity_ivf": "diagnostic untrained variant; production path ivf_kmeans r10-green + exercised in-window by similarity_recall (displaced by it)",
+    "similarity_lsh_multiprobe": "LSH family: lsh_ann in-window + exercised by similarity_recall (displaced by events_lateral_movement_3hop)",
     "text_stats": "text tier keeps 0 slots; whole tier r10-green x6 at latest check",
     "text_tokens": "text tier r10-green x6 at latest check",
     "text_quality": "text tier r10-green x6 at latest check",
