@@ -89,11 +89,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE normalized-digest construction (lower / trim / collapse
+# whitespace, then md5), shared by dedup_exact_norm and
+# dedup_incremental in BOTH engines — a drift here would silently
+# diverge the two keys' digests (the helper-drift class the r9
+# review fixed once already).
+_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+def _norm_digest(c: F.Column) -> F.Column:
+    """Spark twin of ``_NORM_SQL`` wrapped in md5."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
 @register(
     "dedup_exact_norm",
-    oracle="""
+    oracle=f"""
     SELECT
-      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+      md5({_NORM_SQL.format(c='text')}) AS norm_hash,
       MIN(doc_id) AS keeper_id,
       COUNT(*) AS n_copies
     FROM documents
@@ -102,9 +115,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
-        d.groupBy(F.md5(norm).alias("norm_hash"))
+        d.groupBy(_norm_digest(F.col("text")).alias("norm_hash"))
         .agg(
             F.min("doc_id").alias("keeper_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -979,9 +991,6 @@ INC_PLANTS_NEW: list[tuple[int, str]] = [
     ),
 ]
 
-_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
-
-
 def _inc_values_sql(plants: list[tuple[int, str]]) -> str:
     return ", ".join(f"({d}, '{t}')" for d, t in plants)
 
@@ -1059,12 +1068,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(INC_PLANTS_NEW, "doc_id long, text string")
     )
     return incremental_dedup(newb, prior_digest_index(prior))
-
-
-def _norm_digest(c: F.Column) -> F.Column:
-    """md5 over lower/trim/whitespace-collapse — the dedup_exact_norm
-    digest, shared by both snapshot sides (mirrors _NORM_SQL)."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
 
 
 def prior_digest_index(prior: DataFrame) -> DataFrame:

@@ -1204,8 +1204,8 @@ def lateral_chains3(
     (user_id, event_id, ts_us, net). Hops are mined exactly as in
     lateral_chains; the chain join is the lag-2 trigram over the hop
     sequence with continuity at BOTH junctions. Property test:
-    tests/test_lateral_movement_property.py drives it against the
-    brute-force miner generalized to length 3."""
+    tests/test_lateral3_property.py drives it against a brute-force
+    length-3 chain miner."""
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     seq = attributed.select(
         "user_id",

@@ -160,14 +160,14 @@ DEFERRED: dict[str, str] = {
     "corpus_mixture_sample": "corpus tier rep corpus_shuffle_deterministic in-window",
     "corpus_pack_sequences": "corpus tier untouched since r8",
     "dedup_exact": "digest-groupBy pair dedup_exact_norm equal-age; minhash tier r9",
-    "dedup_exact_norm": "digest-groupBy pair; norm digest re-exercised by dedup_incremental in-window",
+    "dedup_exact_norm": "digest-groupBy pair; norm digest re-exercised by dedup_incremental in-window (r11 helper extraction left its oracle SQL byte-identical and its expression tree unchanged — not an implementation change)",
     "similarity_containment": "posting-join family dedup_ngram_jaccard r10-green",
     "similarity_ivf": "diagnostic untrained variant; production path ivf_kmeans r10-green + exercised in-window by similarity_recall (displaced by it)",
     "similarity_lsh_multiprobe": "LSH family: lsh_ann in-window + exercised by similarity_recall (displaced by events_lateral_movement_3hop)",
-    "text_stats": "text tier keeps 0 slots; whole tier r10-green x6 at latest check",
-    "text_tokens": "text tier r10-green x6 at latest check",
-    "text_quality": "text tier r10-green x6 at latest check",
-    "text_langid": "text tier r10-green x6 at latest check",
+    "text_stats": "text tier keeps 0 slots; 5 tier siblings r10-green at latest check",
+    "text_tokens": "text tier; 5 siblings r10-green at latest check",
+    "text_quality": "text tier; 5 siblings r10-green at latest check",
+    "text_langid": "text tier; 5 siblings r10-green at latest check",
 }
 
 
