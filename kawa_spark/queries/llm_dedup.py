@@ -1090,7 +1090,14 @@ def incremental_dedup(new_batch: DataFrame, prior_index: DataFrame) -> DataFrame
     nk = nh.withColumn(
         "keeper_id", F.min("doc_id").over(Window.partitionBy("h"))
     )
-    joined = nk.join(F.broadcast(prior_index), "h", "left")
+    return classify_incremental(nk.join(F.broadcast(prior_index), "h", "left"))
+
+
+def classify_incremental(joined: DataFrame) -> DataFrame:
+    """The status/dup_of projection over any frame carrying (doc_id,
+    keeper_id, prior_id) — shared by the batch core above and the
+    online twin (streaming_mode.py::stream_exec_dedup_incremental),
+    whose keeper/prior columns arrive from drained streaming legs."""
     in_prior = F.col("prior_id").isNotNull()
     in_batch_dup = F.col("doc_id") != F.col("keeper_id")
     return joined.select(

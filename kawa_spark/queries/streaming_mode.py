@@ -1270,6 +1270,83 @@ def stream_exec_dow_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_drift_report(drained)
 
 
+def _inc_dedup_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_incdedup_plants_")
+
+
+def _inc_dedup_oracle() -> str:
+    from kawa_spark.queries.llm_dedup import INCREMENTAL_DEDUP_SQL
+
+    return INCREMENTAL_DEDUP_SQL
+
+
+@register("stream_exec_dedup_incremental", oracle=_inc_dedup_oracle())
+def stream_exec_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental maintained ONLINE — the seventeenth
+    online/offline twin, and the production shape of cross-snapshot
+    dedup: today's document STREAM classified against yesterday's
+    committed kept-set index. Two streaming legs through the real
+    runtime, then the SAME classifier as the batch key
+    (llm_dedup.classify_incremental):
+
+    * enrichment leg (append, stateless): each streamed doc's
+      normalized digest stream-static-joins the BROADCAST prior
+      index — the per-microbatch lookup a deployment would run as
+      the ingest filter;
+    * keeper leg (complete-mode stateful agg): MIN(doc_id) per
+      digest — order-insensitive, exact under ANY batch order, so no
+      ordering contract or late_count is needed; state = one row per
+      live digest of the RUN's batch (bounded by the day's crawl,
+      never corpus history — the prior corpus lives in the compact
+      index, not the state store).
+
+    Oracle = the batch key's SQL verbatim (shared
+    INCREMENTAL_DEDUP_SQL constant); the planted new docs ride the
+    STREAM as a second file source.
+
+    Scale: the streamed batch shuffles once per microbatch on the
+    16-byte digest for the keeper state; the prior index is the same
+    broadcast/bucketed story as the batch key. The final classify
+    join runs on the two drained legs (|batch| + |digests| rows)."""
+    from kawa_spark.queries.llm_dedup import (
+        INC_PLANTS_NEW,
+        INC_PLANTS_PRIOR,
+        INC_PRIOR_MOD,
+        _norm_digest,
+        classify_incremental,
+        prior_digest_index,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = d.filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) < INC_PRIOR_MOD
+    ).unionByName(
+        spark.createDataFrame(INC_PLANTS_PRIOR, "doc_id long, text string")
+    )
+    prior_idx = prior_digest_index(prior)
+
+    s = stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sn = s.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= INC_PRIOR_MOD)
+    plants_dir = _inc_dedup_plants_dir()
+    spark.createDataFrame(
+        INC_PLANTS_NEW, "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = spark.readStream.schema("doc_id long, text string").parquet(
+        plants_dir
+    )
+    nh = sn.unionByName(p).select(
+        "doc_id", _norm_digest(F.col("text")).alias("h")
+    )
+    enriched = _drain(nh.join(F.broadcast(prior_idx), "h", "left"), spark)
+    keeper = _drain(
+        nh.groupBy("h").agg(F.min("doc_id").alias("keeper_id")),
+        spark,
+        mode="complete",
+        state_partitions=2,
+    )
+    return classify_incremental(enriched.join(keeper, "h"))
+
+
 def _quantile_sketch_oracle() -> str:
     from kawa_spark.queries.stats import QUANTILE_SKETCH_SQL
 

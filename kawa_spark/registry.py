@@ -103,12 +103,12 @@ DRIVER_WINDOW: list[str] = [
     "dedup_incremental",
     "similarity_recall",
     "events_lateral_movement_3hop",
+    "stream_exec_dedup_incremental",
     # --- fills from the r8-evidence tier (next-oldest), riskiest
     # first: streaming kernels, sketches, LSH variants ---
     "stream_exec_dedup_watermark",
     "stream_exec_rate_limit",
     "stream_exec_stream_stream_join",
-    "stream_exec_stream_static_join",
     "stream_exec_tumbling",
     "stateful_running_total",
     "agg_kmv_distinct",
@@ -153,6 +153,7 @@ DEFERRED: dict[str, str] = {
     "events_heavy_hitters": "topk family untouched since r8; agg_cms_freq r9 in family",
     "events_markov_transitions": "transition matrix untouched since r8",
     "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared core)",
+    "stream_exec_stream_static_join": "stream-static broadcast join machinery exercised in-window by stream_exec_dedup_incremental (displaced by it)",
     "logs_pattern_templates": "masking chain shared by logs_template_drift family; plan-pinned no-Python-UDF (displaced by dedup_incremental)",
     "logs_template_drift": "online twin stream_exec_template_drift r9-green (shared SQL)",
     "quality_lm_commonness": "quality tier keeps gopher+repetition in-window",

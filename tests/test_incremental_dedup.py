@@ -146,3 +146,21 @@ def test_incremental_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_online_twin_equals_batch(spark):
+    """The seventeenth online/offline twin: the stream-static
+    enrichment leg + complete-mode MIN keeper leg, classified by the
+    shared projection, must reproduce the batch key exactly (MIN is
+    order-insensitive — exact under any batch order)."""
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_incremental"](spark, SF).collect()
+    }
+    online = {
+        tuple(r)
+        for r in registry.QUERIES["stream_exec_dedup_incremental"](
+            spark, SF
+        ).collect()
+    }
+    assert batch == online and batch
