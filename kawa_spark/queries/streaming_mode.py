@@ -1209,6 +1209,93 @@ def stream_exec_dow_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_association(drained)
 
 
+def _lm3_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_lm3_plants_")
+
+
+def _lateral3_oracle() -> str:
+    # Shared batch inventory + the pinned-to-0 late counter (the
+    # impossible-travel precedent).
+    from kawa_spark.queries.security import LATERAL_3HOP_SQL
+
+    return (
+        "SELECT m.*, CAST(0 AS BIGINT) AS late_count FROM ("
+        + LATERAL_3HOP_SQL
+        + ") m"
+    )
+
+
+@register(
+    "stream_exec_lateral_movement_3hop", oracle=_lateral3_oracle()
+)
+def stream_exec_lateral_movement_3hop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events_lateral_movement_3hop's stateful half run ONLINE — the
+    eighteenth online/offline twin: the net_hop_chains3 kernel
+    (streaming/stateful.py) holds two remembered hop slots per user
+    and fires the 4-net pivot alert on the THIRD hop's arrival; the
+    drained per-chain rows roll up to the same (A,B,C,D) inventory
+    the batch key's oracle states, with the cumulative late counter
+    pinned to 0 (time-ordered-batch contract, driver-checked). The
+    CIDR match stays stateless map-side LPM; the LM3 plant walks
+    ride the stream as a second file source."""
+    from kawa_spark.queries.security import (
+        CHAIN3_WINDOW_US,
+        HOP_WINDOW_US,
+        _lm3_plant_rows,
+        ip_col,
+        longest_prefix_match,
+        nets_df,
+    )
+    from kawa_spark.streaming.stateful import net_hop_chains3
+
+    e = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        ip_col(),
+    )
+    plants_dir = _lm3_plants_dir()
+    spark.createDataFrame(
+        _lm3_plant_rows(),
+        "event_id long, user_id long, us long, ip long",
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = (
+        spark.readStream.schema(
+            "event_id long, user_id long, us long, ip long"
+        )
+        .parquet(plants_dir)
+        .select("user_id", "event_id", "us", "ip")
+    )
+    m = longest_prefix_match(e.unionByName(p), nets_df(spark)).drop(
+        "plen", "ip"
+    )
+    drained = _drain(
+        net_hop_chains3(m, HOP_WINDOW_US, CHAIN3_WINDOW_US), spark
+    )
+    return (
+        drained.groupBy("net_a", "net_b", "net_c", "net_d")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("span_us").alias("min_span_us"),
+            F.max("late_count").alias("late_count"),
+        )
+        .select(  # oracle column order: is_roundtrip before late_count
+            "net_a",
+            "net_b",
+            "net_c",
+            "net_d",
+            "n_chains",
+            "n_users",
+            "min_span_us",
+            (F.col("net_a") == F.col("net_d")).alias("is_roundtrip"),
+            "late_count",
+        )
+    )
+
+
 def _dow_drift_plants_dir() -> str:
     return _plants_scratch_dir("kawa_dowdrift_plants_")
 

@@ -104,13 +104,13 @@ DRIVER_WINDOW: list[str] = [
     "similarity_recall",
     "events_lateral_movement_3hop",
     "stream_exec_dedup_incremental",
+    "stream_exec_lateral_movement_3hop",
     # --- fills from the r8-evidence tier (next-oldest), riskiest
     # first: streaming kernels, sketches, LSH variants ---
     "stream_exec_dedup_watermark",
     "stream_exec_rate_limit",
     "stream_exec_stream_stream_join",
     "stream_exec_tumbling",
-    "stateful_running_total",
     "agg_kmv_distinct",
     "agg_kmv_union",
 ]
@@ -154,6 +154,7 @@ DEFERRED: dict[str, str] = {
     "events_markov_transitions": "transition matrix untouched since r8",
     "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared core)",
     "stream_exec_stream_static_join": "stream-static broadcast join machinery exercised in-window by stream_exec_dedup_incremental (displaced by it)",
+    "stateful_running_total": "batch window form; online family twin stream_exec_running_total r10-green (displaced by stream_exec_lateral_movement_3hop)",
     "logs_pattern_templates": "masking chain shared by logs_template_drift family; plan-pinned no-Python-UDF (displaced by dedup_incremental)",
     "logs_template_drift": "online twin stream_exec_template_drift r9-green (shared SQL)",
     "quality_lm_commonness": "quality tier keeps gopher+repetition in-window",

@@ -696,6 +696,136 @@ def net_hop_chains(
     )
 
 
+CHAIN3_SCHEMA = (
+    "user_id long, event_id long, net_a string, net_b string, "
+    "net_c string, net_d string, span_us long, late_count long"
+)
+_CHAIN3_STATE_SCHEMA = (
+    "h1_from string, h1_to string, h1_start long, "
+    "h2_from string, h2_to string, h2_start long, "
+    "last_net string, last_us long, late long"
+)
+
+
+def net_hop_chains3(
+    events: DataFrame, hop_window_us: int, chain_window_us: int
+) -> DataFrame:
+    """Streaming 3-hop lateral-movement detector — the stateful half
+    of queries/security.py::events_lateral_movement_3hop run ONLINE:
+    net_hop_chains' state extended by one remembered hop. Per user,
+    remember the last (net, timestamp) plus the last TWO completed
+    hops; when an event completes a NEW hop h3 whose origin equals
+    the newer remembered hop's landing net AND that hop's origin
+    equals the older hop's landing net (continuity at BOTH junctions
+    — exactly the batch form's a_to = net_b AND b_to = net_c filter)
+    and the traversal h3.end − h1.start fits ``chain_window_us``,
+    emit the (net_a → net_b → net_c → net_d) chain row at arrival.
+
+    State is two (origin, landing, start) hop slots + the last
+    (net, timestamp) + the late counter — O(1) per user at any
+    volume, the exact information the batch form's lag-1/lag-2
+    windows carry. Inherits the time-ordered-batch contract
+    (rate_limited docstring): a genuinely late event is SKIPPED,
+    counted, and surfaced on every emitted chain (late_count, pinned
+    to 0 by the registered key's oracle)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        has_last = state.exists
+        if has_last:
+            (h1f, h1t, h1s, h2f, h2t, h2s, last_net, last_us, late) = (
+                state.get
+            )
+            h1s = None if h1f is None else int(h1s)
+            h2s = None if h2f is None else int(h2s)
+            last_us, late = int(last_us), int(late)
+        else:
+            h1f = h1t = h2f = h2t = last_net = None
+            h1s = h2s = None
+            last_us, late = 0, 0
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            if has_last:
+                state.update(
+                    (h1f, h1t, h1s or 0, h2f, h2t, h2s or 0,
+                     last_net, last_us, late)
+                )
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values(["us", "event_id"])
+        rows = []
+        for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
+            t = int(t)
+            if has_last and t < last_us:
+                late += 1  # excluded AND counted: see docstring guard
+                continue
+            if (
+                has_last
+                and net != last_net
+                and t - last_us <= hop_window_us
+            ):
+                # hop h3 = (last_net → net) completed: chain when both
+                # remembered hops feed it continuously
+                if (
+                    h1f is not None
+                    and h2f is not None
+                    and h1t == h2f
+                    and h2t == last_net
+                    and t - h1s <= chain_window_us
+                ):
+                    rows.append(
+                        (
+                            key[0],
+                            int(eid),
+                            h1f,
+                            h2f,
+                            last_net,
+                            net,
+                            t - h1s,
+                            late,
+                        )
+                    )
+                h1f, h1t, h1s = h2f, h2t, h2s
+                h2f, h2t, h2s = last_net, net, last_us
+            last_net, last_us = net, t
+            has_last = True
+        state.update(
+            (h1f, h1t, h1s or 0, h2f, h2t, h2s or 0,
+             last_net, last_us, late)
+        )
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "net_a",
+                    "net_b",
+                    "net_c",
+                    "net_d",
+                    "span_us",
+                    "late_count",
+                ],
+            )
+
+    return (
+        events.select("user_id", "event_id", "us", "net")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CHAIN3_SCHEMA,
+            stateStructType=_CHAIN3_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 TRANSITION_SCHEMA = (
     "user_id long, session_idx long, from_type string, to_type string, "
     "late_count long"

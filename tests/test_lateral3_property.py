@@ -145,3 +145,165 @@ def test_lateral3_single_user_exchange(spark):
         assert "event_id" not in k, keys
     user_exchanges = [k for k in keys if k.startswith("user_id")]
     assert len(user_exchanges) == 1, keys
+
+
+def _chains3_events_ref(rows):
+    """event_id -> (net_a, net_b, net_c, net_d, span) for every chain,
+    keyed by the event that completes the third hop."""
+    by_user: dict[int, list] = {}
+    for eid, u, net, us in sorted(rows, key=lambda r: (r[3], r[0])):
+        by_user.setdefault(u, []).append((eid, net, us))
+    out = {}
+    for evs in by_user.values():
+        hops = []  # (from, to, start, end, eid_end)
+        last_net, last_us = None, None
+        for eid, net, us in evs:
+            if (
+                last_us is not None
+                and net != last_net
+                and us - last_us <= HOP_W
+            ):
+                hops.append((last_net, net, last_us, us, eid))
+            last_net, last_us = net, us
+        for i in range(2, len(hops)):
+            h1, h2, h3 = hops[i - 2], hops[i - 1], hops[i]
+            if (
+                h1[1] == h2[0]
+                and h2[1] == h3[0]
+                and h3[3] - h1[2] <= CHAIN3_W
+            ):
+                out[h3[4]] = (h1[0], h2[0], h3[0], h3[1], h3[3] - h1[2])
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=walk_batches(), data=st.data())
+def test_chain3_kernel_matches_bruteforce(
+    spark, rows, data, tmp_path_factory
+):
+    """The online kernel under RANDOM microbatch splits must emit
+    exactly the brute-force chain set — two hop slots carried across
+    batch boundaries, continuity checked at both junctions."""
+    import uuid
+
+    import pandas as pd
+
+    from tests.conftest import drain_batches
+    from kawa_spark.streaming.stateful import net_hop_chains3
+
+    ordered = sorted(rows, key=lambda r: (r[3], r[0]))
+    c1 = data.draw(st.integers(0, len(ordered)))
+    c2 = data.draw(st.integers(c1, len(ordered)))
+    src = tmp_path_factory.mktemp("lc3_src")
+    schema = "event_id long, user_id long, net string, us long"
+    batches = [
+        pd.DataFrame(b, columns=["event_id", "user_id", "net", "us"])
+        for b in (ordered[:c1], ordered[c1:c2], ordered[c2:])
+        if b
+    ]
+    got = {
+        r["event_id"]: (
+            r["net_a"],
+            r["net_b"],
+            r["net_c"],
+            r["net_d"],
+            r["span_us"],
+        )
+        for r in drain_batches(
+            spark,
+            src,
+            schema,
+            batches,
+            lambda s: net_hop_chains3(s, HOP_W, CHAIN3_W),
+            f"lc3_{uuid.uuid4().hex[:8]}",
+        )
+    }
+    assert got == _chains3_events_ref(ordered), (ordered, c1, c2)
+
+
+def test_lm3_online_twin_equals_batch(spark):
+    """The eighteenth online/offline twin: the kernel's drained chain
+    rows rolled up must reproduce the batch inventory exactly, with
+    the late counter at 0."""
+    from kawa_spark import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["events_lateral_movement_3hop"](
+            spark, sf
+        ).collect()
+    }
+    online_rows = registry.QUERIES["stream_exec_lateral_movement_3hop"](
+        spark, sf
+    ).collect()
+    assert all(r["late_count"] == 0 for r in online_rows)
+    online = {
+        tuple(r)[:-1] for r in online_rows  # drop trailing late_count
+    }
+    assert batch == online and batch
+
+
+def test_chain3_kernel_late_rows_counted(spark, tmp_path):
+    """A late row between batches is skipped without corrupting the
+    hop slots, and the next emitted chain carries the counter."""
+    import uuid
+
+    import pandas as pd
+
+    from kawa_spark.streaming.stateful import net_hop_chains3
+
+    S = 1_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, net string, us long"
+    rows1 = [
+        (1, 7, "na", 0),
+        (2, 7, "nb", 5 * S),
+        (3, 7, "nc", 10 * S),
+        (4, 7, "nd", 15 * S),
+    ]
+    # batch 2: eid 5 is LATE; eid 6 completes another chain in-order
+    rows2 = [(5, 7, "ne", 2 * S), (6, 7, "ne", 20 * S)]
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_id", "user_id", "net", "us"]),
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"lc3l_{uuid.uuid4().hex[:8]}"
+    q = (
+        net_hop_chains3(stream, HOP_W, CHAIN3_W)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: (
+            r["net_a"],
+            r["net_b"],
+            r["net_c"],
+            r["net_d"],
+            r["span_us"],
+            r["late_count"],
+        )
+        for r in spark.table(name).collect()
+    }
+    # chain at eid 4 (na->nb->nc->nd) pre-violation; chain at eid 6
+    # (nb->nc->nd->ne, span 20-5=15s) carries late=1
+    assert got == {
+        4: ("na", "nb", "nc", "nd", 15 * S, 0),
+        6: ("nb", "nc", "nd", "ne", 15 * S, 1),
+    }

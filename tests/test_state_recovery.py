@@ -465,3 +465,78 @@ def test_session_transitions_survive_restart(spark, tmp_path):
     emit(5, "click", 7860 * S)
     drain()
     assert collected[1:] == [(1, "click", "buy"), (2, "view", "click")]
+
+
+def test_net_hop_chains3_survive_restart(spark, tmp_path):
+    """The 3-hop detector's TWO hop slots resume from the checkpoint:
+    a chain whose three hops straddle two restarts is still emitted —
+    every field of the 9-slot state (both hops, last net/us, late)
+    survives the round-trip, including null slots for a fresh key."""
+    from kawa_spark.streaming.stateful import net_hop_chains3
+
+    register_replay_source(spark)
+    log = tmp_path / "events.jsonl"
+    cp = str(tmp_path / "cp")
+    collected: dict[int, tuple] = {}
+
+    def drain():
+        raw = (
+            spark.readStream.format("kawa_replay")
+            .option("path", str(log))
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                "value", "event_id long, user_id long, net string, us long"
+            ).alias("v")
+        ).select("v.*")
+        q = (
+            net_hop_chains3(parsed, 1800 * 1_000_000, 5400 * 1_000_000)
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.update(
+                    {
+                        r["event_id"]: (
+                            r["net_a"],
+                            r["net_b"],
+                            r["net_c"],
+                            r["net_d"],
+                            r["span_us"],
+                            r["late_count"],
+                        )
+                        for r in df.collect()
+                    }
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import json
+
+    def emit(eid, net, us):
+        with open(log, "a") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "user_id": 7, "net": net, "us": us}
+                )
+                + "\n"
+            )
+
+    M = 1_000_000
+    emit(1, "net_a", 0)
+    drain()  # fresh key: null hop slots checkpoint and restore
+    emit(2, "net_b", 600 * M)
+    drain()  # hop 1 (na->nb) lives only in the checkpoint
+    emit(3, "net_c", 1200 * M)
+    drain()  # hops 1+2 both live only in the checkpoint
+    assert collected == {}
+
+    # restart: the third hop completes the chain against BOTH
+    # checkpointed hop slots
+    emit(4, "net_d", 1800 * M)
+    drain()
+    assert collected == {
+        4: ("net_a", "net_b", "net_c", "net_d", 1800 * M, 0)
+    }
