@@ -7,7 +7,7 @@ reference exists to shuttle security logs, /root/reference/README.md:
     → debounce            (adjacent-duplicate suppression — the
                            at-least-once ingest cleanup)
     → template extraction (drain-style masking → pattern id)
-    → thirteen detectors over the clean stream:
+    → fifteen detectors over the clean stream:
         * rate limiter    (trailing-window per-user flood flag)
         * heavy hitters   (top-K users per event type)
         * template drift  (new-pattern / growth alerting)
@@ -43,6 +43,12 @@ reference exists to shuttle security logs, /root/reference/README.md:
                            weekdays — the contingency lift table,
                            dow_association core; quiet on uniform
                            demo traffic by design)
+        * 3-hop lateral   (r11: A→B→C→D junction-continuous chains,
+                           lateral_chains3 core; the highest-severity
+                           alert in the book)
+        * weekday drift   (r11: a type's weekday profile changing vs
+                           its trailing baseline, dow_drift_report
+                           core; quiet on stable traffic by design)
     → one alert relation  (union of detector verdicts, severity-coded)
 
 Every detector calls the SAME core the oracle-verified registry
@@ -51,7 +57,7 @@ top_k_by_count, logs.daily_template_counts / drift_enrich) — a
 predicate or constant fix in the verified operators flows into this
 pipeline automatically; nothing is re-implemented here (code review
 r8). The example's contribution is the COMPOSITION: one debounced,
-templated stream feeds all thirteen detectors without re-reading the
+templated stream feeds all fifteen detectors without re-reading the
 source, and the alert union is a narrow column-aligned unionByName.
 
 Run directly (`python examples/security_analytics.py [sf_dir]`) or
@@ -477,8 +483,77 @@ def weekday_alerts(clean: DataFrame) -> DataFrame:
     )
 
 
+def lateral3_alerts(spark: SparkSession, clean: DataFrame) -> DataFrame:
+    """Three-hop chains through the address plan (lateral_chains3
+    core — the events_lateral_movement_3hop semantics; the planted
+    4-net walks simulate the deep pivot). The longest continuous
+    chain is the highest-severity alert in the book: three
+    junction-continuous hops have almost no benign explanation."""
+    from kawa_spark.queries.security import (
+        CHAIN3_WINDOW_US,
+        _lm3_plant_rows,
+        lateral_chains3,
+    )
+
+    base = clean.select(
+        "user_id", "event_id", F.col("us").alias("ts_us"), "ip"
+    )
+    plants = spark.createDataFrame(
+        _lm3_plant_rows(), "event_id long, user_id long, ts_us long, ip long"
+    )
+    attributed = longest_prefix_match(
+        base.unionByName(plants), nets_df(spark)
+    ).drop("plen", "ip")
+    chains = lateral_chains3(attributed, HOP_WINDOW_US, CHAIN3_WINDOW_US)
+    return chains.select(
+        F.lit("lateral_movement_3hop").alias("alert"),
+        F.when(F.col("is_roundtrip"), F.lit(3)).otherwise(F.lit(4)).alias(
+            "severity"
+        ),
+        F.concat(
+            F.col("net_a"), F.lit(" -> "), F.col("net_b"),
+            F.lit(" -> "), F.col("net_c"), F.lit(" -> "), F.col("net_d"),
+        ).alias("subject"),
+        F.concat(
+            F.lit("chains="), F.col("n_chains").cast("string"),
+            F.lit(" users="), F.col("n_users").cast("string"),
+            F.lit(" fastest_s="),
+            (F.col("min_span_us") / 1_000_000).cast("long").cast("string"),
+        ).alias("detail"),
+    )
+
+
+def weekday_drift_alerts(clean: DataFrame) -> DataFrame:
+    """Event types whose weekday profile CHANGED this week vs their
+    trailing history (dow_drift_report core — the events_dow_drift
+    semantics; no plant: quiet-on-stable-traffic is the honest
+    output, and the alert fires when a cron schedule moves)."""
+    from kawa_spark.functions.exact import floordiv
+    from kawa_spark.queries.events import DAY_US, WEEK_US, dow_drift_report
+
+    cells = clean.groupBy(
+        "event_type",
+        floordiv(F.col("us"), WEEK_US).alias("week"),
+        F.pmod(floordiv(F.col("us"), DAY_US), F.lit(7)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    scored = dow_drift_report(cells)
+    return scored.filter(F.col("is_drift")).select(
+        F.lit("weekday_drift").alias("alert"),
+        F.lit(2).alias("severity"),
+        F.concat(
+            F.col("event_type"), F.lit("@w"), F.col("week").cast("string"),
+            F.lit("/dow"), F.col("dow").cast("string"),
+        ).alias("subject"),
+        F.concat(
+            F.lit("n="), F.col("n_obs").cast("string"),
+            F.lit(" share="), F.round("share", 3).cast("string"),
+            F.lit(" base="), F.round("base_share", 3).cast("string"),
+        ).alias("detail"),
+    )
+
+
 def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed pipeline: one cleaned stream, thirteen detectors,
+    """The composed pipeline: one cleaned stream, fifteen detectors,
     one severity-ordered alert table. No persist(): the detectors'
     plans share the debounce subtree byte-identically, so AQE
     exchange reuse serves the shared scan+shuffle from shuffle files
@@ -499,6 +574,8 @@ def alert_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(typosquat_alerts(spark, clean))
         .unionByName(lateral_alerts(spark, clean))
         .unionByName(weekday_alerts(clean))
+        .unionByName(lateral3_alerts(spark, clean))
+        .unionByName(weekday_drift_alerts(clean))
     )
     return alerts.orderBy(F.col("severity").desc(), "alert", "subject", "detail")
 

@@ -174,7 +174,7 @@ def test_security_analytics_composes(spark):
     # heavy hitters always exist; drift always flags day-1 templates
     assert "heavy_hitter" in kinds
     assert "new_template" in kinds
-    assert all(r["severity"] in (1, 2, 3) for r in alerts)
+    assert all(r["severity"] in (1, 2, 3, 4) for r in alerts)
     # heavy-hitter count: exactly K per type present
     hh = [r for r in alerts if r["alert"] == "heavy_hitter"]
     types = _table(spark, SF, "events").select("event_type").distinct().count()
@@ -213,6 +213,15 @@ def test_security_analytics_composes(spark):
     # (code review r10: the earlier severity-shaped form was a
     # tautology)
     assert not any(r["alert"] == "weekday_affinity" for r in alerts)
+    # r11 detectors: the planted 4-net walks guarantee 3-hop chains
+    # with both severities (true deep pivot 4, return bounce 3)
+    lm3 = [r for r in alerts if r["alert"] == "lateral_movement_3hop"]
+    assert {
+        r["subject"] for r in lm3 if r["severity"] == 4
+    } >= {"quarantine -> corp-east-dc1 -> corp-west -> corp-guest"}
+    assert {
+        r["subject"] for r in lm3 if r["severity"] == 3
+    } >= {"quarantine -> corp-east-dc1 -> corp-west -> quarantine"}
 
 
 def test_security_analytics_spray_and_typosquat_fire(spark):
