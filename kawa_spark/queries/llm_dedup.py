@@ -177,13 +177,19 @@ def _shingle_hashes(text_col: F.Column) -> F.Column:
 _MH_PRIME = 1_000_000_007
 
 
-def _minhash_oracle() -> str:
+def _mh_fragments() -> tuple[str, str, str, str]:
+    """The md5 minhash SQL fragments shared by the self-join oracle
+    (_minhash_oracle) and the cross-snapshot oracle
+    (_inc_minhash_oracle) — ONE definition of the permutation family,
+    band layout, and signature-agreement count, so the two keys'
+    candidate semantics can never drift."""
     # one md5 per shingle; permutation i = (h1 + i·h2) mod P over the
     # two 60-bit halves of the digest (classic a+b·i minhash family)
     hs = (
         "list_transform(list_transform(shingles, s -> md5(s)), x -> "
         f"{{'h1': ('0x' || substring(x, 1, 15))::BIGINT % {_MH_PRIME}, "
-        f"'h2': ('0x' || substring(x, 17, 15))::BIGINT % {_MH_PRIME}}})"
+        f"'h2': ('0x' || substring(x, 17, 15))::BIGINT % {_MH_PRIME}}}"
+        ")"
     )
     sig = ", ".join(
         f"list_min(list_transform(hs, t -> (t.h1 + {i} * t.h2) % {_MH_PRIME}))"
@@ -199,12 +205,17 @@ def _minhash_oracle() -> str:
         + f" AS band{b}"
         for b in range(N_BANDS)
     )
+    n_match = " + ".join(
+        f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(N_PERM)
+    )
+    return hs, sig, bands, n_match
+
+
+def _minhash_oracle() -> str:
+    hs, sig, bands, n_match = _mh_fragments()
     band_unnest = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM banded"
         for b in range(N_BANDS)
-    )
-    n_match = " + ".join(
-        f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(N_PERM)
     )
     return f"""
     WITH sh AS (
@@ -244,6 +255,88 @@ def _minhash_oracle() -> str:
     """
 
 
+def minhash_signatures(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, text[, *extra]) → persisted (doc_id[, *extra], vh,
+    mhs) signature table — the shared construction behind
+    dedup_minhash AND dedup_incremental_minhash (one definition, the
+    _NORM_SQL discipline). ONE md5 per shingle; the 16 permutations
+    are (h1 + i·h2) mod P over the digest's two 60-bit halves — 16×
+    less hashing than per-permutation md5, and all inside a single
+    expression chain so the shingle array is built once per row (a
+    per-permutation column layout let CollapseProject rebuild it 16×;
+    measured). ``vh`` re-bases each shingle's (h1, h2) pair as one
+    long (injective: base-P digits), so exact-jaccard verifies
+    intersect 8-byte ints — the string shingles never leave the scan
+    stage. Persisted: the table feeds the banding AND both sides of
+    the verify join."""
+    d = d.select("doc_id", *extra, _shingles(F.col("text")).alias("shingles"))
+    P = _MH_PRIME
+
+    def _half(x, start):
+        return F.conv(F.substring(x, start, 15), 16, 10).cast("long") % P
+
+    hs = F.transform(
+        F.transform(F.col("shingles"), F.md5),
+        lambda x: F.struct(_half(x, 1).alias("h1"), _half(x, 17).alias("h2")),
+    )
+    mhs = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda t: (t.getField("h1") + i * t.getField("h2")) % P,
+            )
+        ),
+    )
+    return (
+        d.withColumn("hs", hs)
+        .withColumn("mhs", mhs)
+        .select(
+            "doc_id",
+            *extra,
+            F.transform(
+                "hs",
+                lambda t: t.getField("h1") * F.lit(P) + t.getField("h2"),
+            ).alias("vh"),
+            "mhs",
+        )
+        .persist()
+    )
+
+
+def minhash_band_rows(sig: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Signature table → capped NARROW (doc_id[, *extra], band_id,
+    band_hash) rows: the bucket joins move three longs + a short
+    string, never the shingle arrays. The BUCKET_CAP skew guard runs
+    over the combined bucket population (a degenerate bucket is
+    degenerate regardless of which snapshot its rows came from)."""
+    rows_per_band = N_PERM // N_BANDS
+    banded = sig.select(
+        "doc_id",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(
+                                    F.col("mhs"), b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *extra, "band.band_id", "band.band_hash")
+    return _cap_buckets(banded).persist()
+
+
 @register("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, md5-based so the oracle can
@@ -270,79 +363,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage is CPU-bound (16·|shingles| md5 per doc), so spread() it
     # across cores first (gated: a no-op at real scale where file
     # splits already provide the parallelism).
-    d = (
-        spread(table(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
     )
-    # ONE md5 per shingle; the 16 permutations are (h1 + i·h2) mod P
-    # over the digest's two 60-bit halves — 16× less hashing than
-    # per-permutation md5, and all inside a single expression chain so
-    # the shingle array is built once per row (a per-permutation
-    # column layout let CollapseProject rebuild it 16×; measured).
-    P = _MH_PRIME
-
-    def _half(x, start):
-        return F.conv(F.substring(x, start, 15), 16, 10).cast("long") % P
-
-    hs = F.transform(
-        F.transform(F.col("shingles"), F.md5),
-        lambda x: F.struct(_half(x, 1).alias("h1"), _half(x, 17).alias("h2")),
-    )
-    mhs = F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda t: (t.getField("h1") + i * t.getField("h2")) % P,
-            )
-        ),
-    )
-    # persist the signature table: it feeds the banding AND both
-    # sides of the verify join; computed exactly once per document.
-    # ``vh`` re-bases each shingle's (h1, h2) pair as one long
-    # (injective: base-P digits), so the exact-jaccard verify
-    # intersects 8-byte ints — the original string shingles never
-    # leave the scan stage.
-    sig = (
-        d.withColumn("hs", hs)
-        .withColumn("mhs", mhs)
-        .select(
-            "doc_id",
-            F.transform(
-                "hs",
-                lambda t: t.getField("h1") * F.lit(P) + t.getField("h2"),
-            ).alias("vh"),
-            "mhs",
-        )
-        .persist()
-    )
-    rows_per_band = N_PERM // N_BANDS
-    # NARROW band rows: the self-join never carries shingle arrays
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at(
-                                    F.col("mhs"), b * rows_per_band + r + 1
-                                ).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
-
-    # skew guard: drop degenerate buckets before the self-join
-    banded = _cap_buckets(banded).persist()
+    sig = minhash_signatures(d)
+    banded = minhash_band_rows(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -358,15 +383,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # distinct over two longs, not two shingle arrays
     )
-    # verify: re-join signatures by doc_id; 16-int agreement prefilter
-    # first, exact shingle jaccard only on survivors
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
+    return minhash_verify(pairs, sig, sig, "doc_a", "doc_b")
+
+
+def minhash_verify(
+    pairs: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    id_a: str,
+    id_b: str,
+) -> DataFrame:
+    """Candidate verification shared by the self-join and
+    cross-snapshot keys: re-join the signature tables by doc id, run
+    the 16-int signature-agreement prefilter (n_match ≥
+    SIG_MIN_MATCH — a band collision guarantees 4, so this demands
+    agreement beyond the colliding band), then exact shingle jaccard
+    on the survivors only. Returns (id_a, id_b, jaccard ≥ 0.2)."""
+    sa = sig_a.select(
+        F.col("doc_id").alias(id_a),
         F.col("vh").alias("sh_a"),
         F.col("mhs").alias("mh_a"),
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
+    sb = sig_b.select(
+        F.col("doc_id").alias(id_b),
         F.col("vh").alias("sh_b"),
         F.col("mhs").alias("mh_b"),
     )
@@ -378,10 +417,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa, id_a)
+        .join(sb, id_b)
         .filter(n_match >= F.lit(SIG_MIN_MATCH))
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .select(id_a, id_b, (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -1110,3 +1149,158 @@ def classify_incremental(joined: DataFrame) -> DataFrame:
         .when(in_batch_dup, F.col("keeper_id"))
         .alias("dup_of"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup dedup (new batch banded against the prior corpus)
+# ---------------------------------------------------------------------------
+
+# Cross-snapshot near-dup plants: a prior document and its lightly
+# perturbed re-crawl (last two words changed → 37 of 41 shingles
+# shared, jaccard ≈ 0.90, at least one of the four bands collides —
+# deterministic for these fixed texts, pinned by the plant test),
+# plus a genuinely novel new doc (absent from the match output).
+_INC_MH_BASE = (
+    "incremental minhash planted prior document body shared almost "
+    "verbatim with a later crawl alpha beta gamma delta epsilon zeta "
+    "eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau "
+    "upsilon phi chi psi omega aleph bet gimel dalet"
+)
+INC_MH_PLANTS_PRIOR: list[tuple[int, str]] = [(-33_000_001, _INC_MH_BASE)]
+INC_MH_PLANTS_NEW: list[tuple[int, str]] = [
+    (-33_000_101, _INC_MH_BASE.rsplit(" ", 2)[0] + " he vav"),
+    (
+        -33_000_102,
+        "wholly novel standalone text sharing zero relatives in the "
+        "corpus whatsoever today",
+    ),
+]
+
+
+def _inc_minhash_oracle() -> str:
+    hs, sig, bands, n_match = _mh_fragments()
+    band_unnest = " UNION ALL ".join(
+        f"SELECT doc_id, side, {b} AS band_id, band{b} AS band_hash "
+        "FROM banded"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, 'p' AS side, text FROM documents
+      WHERE doc_id % 10 < {INC_PRIOR_MOD}
+      UNION ALL
+      SELECT doc_id, 'p' AS side, text
+      FROM (VALUES {_inc_values_sql(INC_MH_PLANTS_PRIOR)}) t(doc_id, text)
+      UNION ALL
+      SELECT doc_id, 'n' AS side, text FROM documents
+      WHERE doc_id % 10 >= {INC_PRIOR_MOD}
+      UNION ALL
+      SELECT doc_id, 'n' AS side, text
+      FROM (VALUES {_inc_values_sql(INC_MH_PLANTS_NEW)}) t(doc_id, text)
+    ), sh AS (
+      SELECT doc_id, side, {_SHINGLES_SQL} AS shingles FROM docs
+    ), hashed AS (
+      SELECT doc_id, side, shingles, {hs} AS hs FROM sh
+    ), sigs AS (
+      SELECT doc_id, side,
+             list_transform(hs, t -> t.h1 * {_MH_PRIME} + t.h2) AS vh,
+             {sig}
+      FROM hashed
+    ), banded AS (
+      SELECT doc_id, side, {bands} FROM sigs
+    ), bandrows AS (
+      {band_unnest}
+    ), capped AS (
+      SELECT doc_id, side, band_id, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n
+        FROM bandrows
+      ) WHERE bucket_n <= {BUCKET_CAP}
+    ), pairs AS (
+      SELECT DISTINCT n.doc_id AS doc_id, p.doc_id AS prior_id
+      FROM capped n JOIN capped p
+        ON n.band_id = p.band_id AND n.band_hash = p.band_hash
+      WHERE n.side = 'n' AND p.side = 'p'
+    ), verified AS (
+      SELECT pr.doc_id, pr.prior_id,
+        {n_match} AS n_match,
+        CAST(len(list_intersect(sa.vh, sb.vh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.vh, sb.vh))) AS jaccard
+      FROM pairs pr
+      JOIN sigs sa ON pr.doc_id = sa.doc_id AND sa.side = 'n'
+      JOIN sigs sb ON pr.prior_id = sb.doc_id AND sb.side = 'p'
+    )
+    SELECT doc_id, prior_id, jaccard FROM verified
+    WHERE n_match >= {SIG_MIN_MATCH} AND jaccard >= 0.2
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — dedup_incremental's fuzzy
+    sibling: today's batch is banded against the PRIOR corpus's LSH
+    band buckets and verified with exact jaccard, catching the
+    re-crawled page whose ad block rotated (a digest miss) without
+    ever comparing new docs to each other (dedup_minhash's job
+    within a batch) or prior docs to each other (already deduped when
+    the snapshot was committed). Output: (new doc_id, prior_id,
+    jaccard) match pairs; novel docs are absent.
+
+    Construction: the SAME signature/band/verify machinery as
+    dedup_minhash (shared minhash_signatures / minhash_band_rows /
+    minhash_verify — one definition of the md5 permutation family in
+    both engines via _mh_fragments), with the self-join replaced by
+    the new-side × prior-side bucket join. The BUCKET_CAP skew guard
+    runs over the combined bucket population, mirrored in the oracle.
+
+    Scale (the 100-TB story): a production run PERSISTS the prior
+    side's signature + band tables with the kept-set snapshot
+    (bucketed by (band_id, band_hash) — the same compact-state
+    discipline as dedup_incremental's digest index), so only the
+    day's batch is shingled and banded; the bucket join moves narrow
+    band rows, candidates are capped, and the verify join ships
+    8-byte shingle-hash arrays for the candidate set only. Nothing is
+    quadratic: new×prior pairs exist only inside shared capped
+    buckets.
+
+    kawa parity: x/batcher ack-after-commit (B) re-expressed for
+    content similarity; mandate (M) LLM-pipeline extension."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    prior = d.filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) < INC_PRIOR_MOD
+    ).unionByName(
+        spark.createDataFrame(INC_MH_PLANTS_PRIOR, "doc_id long, text string")
+    )
+    newb = d.filter(
+        F.pmod(F.col("doc_id"), F.lit(10)) >= INC_PRIOR_MOD
+    ).unionByName(
+        spark.createDataFrame(INC_MH_PLANTS_NEW, "doc_id long, text string")
+    )
+    return incremental_minhash_matches(prior, newb)
+
+
+def incremental_minhash_matches(prior: DataFrame, newb: DataFrame) -> DataFrame:
+    """Core over any two (doc_id, text) snapshots — the registered
+    key binds the modulo split + plants; the property test
+    (tests/test_incremental_minhash.py) drives it against a pure
+    hashlib md5-minhash reference on synthetic corpora."""
+    docs = prior.withColumn("side", F.lit("p")).unionByName(
+        newb.withColumn("side", F.lit("n"))
+    )
+    sig = minhash_signatures(docs, extra=("side",))
+    bands = minhash_band_rows(sig, extra=("side",))
+    bands_n = bands.filter(F.col("side") == "n").select(
+        "doc_id", "band_id", "band_hash"
+    )
+    bands_p = bands.filter(F.col("side") == "p").select(
+        F.col("doc_id").alias("prior_id"), "band_id", "band_hash"
+    )
+    pairs = (
+        bands_n.join(bands_p, ["band_id", "band_hash"])
+        .select("doc_id", "prior_id")
+        .distinct()
+    )
+    sig_n = sig.filter(F.col("side") == "n").drop("side")
+    sig_p = sig.filter(F.col("side") == "p").drop("side")
+    return minhash_verify(pairs, sig_n, sig_p, "doc_id", "prior_id")
