@@ -119,6 +119,7 @@ HEADLINE = [
     "dedup_incremental",
     "similarity_recall",
     "events_lateral_movement_3hop",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -1050,6 +1050,7 @@ def _recall_oracle() -> str:
         [
             _recall_block_sql("ivf_kmeans", _ivf_kmeans_oracle()),
             _recall_block_sql("lsh_ann", _lsh_ann_oracle()),
+            _recall_block_sql("lsh_multiprobe", _multiprobe_oracle()),
         ]
     )
 
@@ -1061,10 +1062,12 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity_topk), plus the method-level recall ratio — the audit
     job a production ANN deployment runs offline to tune
     nprobe/n_planes. Methods: similarity_ivf_kmeans (the trained
-    production path) and similarity_lsh_ann (the recall-biased
-    single-bucket variant, whose low recall on this near-orthogonal
-    synthetic corpus is exactly what the measurement should expose —
-    multiprobe exists because of it).
+    production path), similarity_lsh_ann (the single-bucket variant,
+    whose low recall on this near-orthogonal synthetic corpus is
+    exactly what the measurement should expose), and
+    similarity_lsh_multiprobe (the ±1-bit probe expansion — its
+    candidate set is a superset of the single bucket, so its measured
+    recall is structurally ≥ lsh_ann's; the test pins that).
 
     Exactness: hit counts are integers from an equi-join on
     (q_id, n_id) — no float comparisons anywhere in the measurement
@@ -1086,6 +1089,7 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, fn in (
         ("ivf_kmeans", similarity_ivf_kmeans),
         ("lsh_ann", similarity_lsh_ann),
+        ("lsh_multiprobe", similarity_lsh_multiprobe),
     ):
         a = fn(spark, sf_dir).select(
             "q_id", "n_id", F.lit(1).alias("hit")

@@ -21,6 +21,7 @@ SF = "/root/testdata/sf0.001"
 METHOD_KEYS = {
     "ivf_kmeans": "similarity_ivf_kmeans",
     "lsh_ann": "similarity_lsh_ann",
+    "lsh_multiprobe": "similarity_lsh_multiprobe",
 }
 
 
@@ -41,7 +42,7 @@ def test_recall_matches_set_intersection(spark):
             q: len([1 for qq, _ in inter if qq == q])
             for q in range(N_QUERIES)
         }
-    assert len(got) == 2 * N_QUERIES
+    assert len(got) == len(METHOD_KEYS) * N_QUERIES
     for r in got:
         want = by_method[r["method"]][r["q_id"]]
         assert r["n_hits"] == want, (r["method"], r["q_id"], want)
@@ -73,3 +74,10 @@ def test_recall_has_both_hit_and_miss_classes(spark):
         assert hits < total, (method, hits)
     ivf = [r for r in got if r["method"] == "ivf_kmeans"]
     assert ivf[0]["method_hits"] > 0
+    # multiprobe's candidate set is a superset of the single bucket,
+    # so its recall is structurally monotone — pin the ordering
+    hits = {
+        m: [r for r in got if r["method"] == m][0]["method_hits"]
+        for m in METHOD_KEYS
+    }
+    assert hits["lsh_multiprobe"] >= hits["lsh_ann"], hits
