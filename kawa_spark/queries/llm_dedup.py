@@ -1030,6 +1030,33 @@ INC_PLANTS_NEW: list[tuple[int, str]] = [
     ),
 ]
 
+def is_prior_doc(c: F.Column) -> F.Column:
+    """The ONE snapshot-split predicate (doc_id % 10 < INC_PRIOR_MOD
+    → prior kept set) shared by every incremental key and the
+    streaming twin — the _NORM_SQL discipline applied to the split."""
+    return F.pmod(c, F.lit(10)) < INC_PRIOR_MOD
+
+
+def snapshot_split(
+    spark: SparkSession,
+    d: DataFrame,
+    prior_plants: list[tuple[int, str]],
+    new_plants: list[tuple[int, str]],
+) -> tuple[DataFrame, DataFrame]:
+    """(documents, plant families) → (prior, new) snapshot frames —
+    the two-snapshot construction behind dedup_incremental,
+    dedup_incremental_minhash, and the batch side of
+    stream_exec_dedup_incremental; one definition so the split can
+    never drift between a key and its twin's shared oracle."""
+    prior = d.filter(is_prior_doc(F.col("doc_id"))).unionByName(
+        spark.createDataFrame(prior_plants, "doc_id long, text string")
+    )
+    newb = d.filter(~is_prior_doc(F.col("doc_id"))).unionByName(
+        spark.createDataFrame(new_plants, "doc_id long, text string")
+    )
+    return prior, newb
+
+
 def _inc_values_sql(plants: list[tuple[int, str]]) -> str:
     return ", ".join(f"({d}, '{t}')" for d, t in plants)
 
@@ -1100,11 +1127,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     kawa parity: x/batcher ack-after-commit (B) re-expressed for
     data; mandate (M) LLM-pipeline extension."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    prior = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < INC_PRIOR_MOD).unionByName(
-        spark.createDataFrame(INC_PLANTS_PRIOR, "doc_id long, text string")
-    )
-    newb = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= INC_PRIOR_MOD).unionByName(
-        spark.createDataFrame(INC_PLANTS_NEW, "doc_id long, text string")
+    prior, newb = snapshot_split(
+        spark, d, INC_PLANTS_PRIOR, INC_PLANTS_NEW
     )
     return incremental_dedup(newb, prior_digest_index(prior))
 
@@ -1267,15 +1291,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
     )
-    prior = d.filter(
-        F.pmod(F.col("doc_id"), F.lit(10)) < INC_PRIOR_MOD
-    ).unionByName(
-        spark.createDataFrame(INC_MH_PLANTS_PRIOR, "doc_id long, text string")
-    )
-    newb = d.filter(
-        F.pmod(F.col("doc_id"), F.lit(10)) >= INC_PRIOR_MOD
-    ).unionByName(
-        spark.createDataFrame(INC_MH_PLANTS_NEW, "doc_id long, text string")
+    prior, newb = snapshot_split(
+        spark, d, INC_MH_PLANTS_PRIOR, INC_MH_PLANTS_NEW
     )
     return incremental_minhash_matches(prior, newb)
 

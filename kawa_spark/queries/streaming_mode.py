@@ -1398,22 +1398,21 @@ def stream_exec_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     from kawa_spark.queries.llm_dedup import (
         INC_PLANTS_NEW,
         INC_PLANTS_PRIOR,
-        INC_PRIOR_MOD,
         _norm_digest,
         classify_incremental,
+        is_prior_doc,
         prior_digest_index,
+        snapshot_split,
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    prior = d.filter(
-        F.pmod(F.col("doc_id"), F.lit(10)) < INC_PRIOR_MOD
-    ).unionByName(
-        spark.createDataFrame(INC_PLANTS_PRIOR, "doc_id long, text string")
-    )
+    # batch side: the shared split builds the prior kept set (the new
+    # half is discarded here — it arrives as the STREAM below)
+    prior, _ = snapshot_split(spark, d, INC_PLANTS_PRIOR, [])
     prior_idx = prior_digest_index(prior)
 
     s = stream_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sn = s.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= INC_PRIOR_MOD)
+    sn = s.filter(~is_prior_doc(F.col("doc_id")))
     plants_dir = _inc_dedup_plants_dir()
     spark.createDataFrame(
         INC_PLANTS_NEW, "doc_id long, text string"

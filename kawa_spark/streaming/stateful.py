@@ -569,64 +569,71 @@ def net_hops(events: DataFrame, window_us: int) -> DataFrame:
     )
 
 
-CHAIN_SCHEMA = (
-    "user_id long, event_id long, net_a string, net_b string, "
-    "net_c string, span_us long, late_count long"
-)
-_CHAIN_STATE_SCHEMA = (
-    "hop_from string, hop_to string, hop_start long, "
-    "last_net string, last_us long, late long"
-)
-
-
-def net_hop_chains(
-    events: DataFrame, hop_window_us: int, chain_window_us: int
+def _net_hop_chain_kernel(
+    events: DataFrame,
+    hop_window_us: int,
+    chain_window_us: int,
+    n_slots: int,
 ) -> DataFrame:
-    """Streaming lateral-movement detector — the stateful half of
-    queries/security.py::events_lateral_movement run ONLINE: per user,
-    remember both the previous attributed (net, timestamp) — the
-    net_hops state — AND the most recent completed hop; when an event
-    completes a NEW hop whose origin equals the remembered hop's
-    landing net (continuity: an off-window drift in between changes
-    last_net without touching the hop slot, so the equality fails
-    exactly when the batch form's prev_to <> net_b filter does) and
-    the total traversal fits ``chain_window_us``, emit the
-    (net_a → net_b → net_c) chain row at arrival — the pivot alert
-    fires on the second hop, not at the batch sweep. The caller feeds
-    LPM-attributed rows; the CIDR match is stateless map-side work.
+    """ONE n-slot chain kernel behind both lateral-movement twins
+    (n_slots = remembered completed hops: 1 → A→B→C rows, 2 →
+    A→B→C→D) — a single copy of the time-ordered-batch contract
+    (restore, concat-then-sort, late skip+count, emit-then-shift)
+    instead of two hand-synced kernels (code review r11; the
+    _NORM_SQL discipline applied to kernel scaffolding).
 
-    State is the remembered hop's (origin, landing, start) plus the
-    last (net, timestamp) and the late counter per user — O(1)
-    regardless of volume, and exactly the information the batch
-    form's two LAG windows carry forward (the hop's own end time is
-    never read again: the chain span measures to the SECOND hop's
-    end). Inherits the time-ordered-batch
-    contract (rate_limited docstring); a genuinely late event is
-    SKIPPED, counted, and surfaced on every emitted chain
-    (late_count, the beacon observability pattern — the registered
-    key's oracle pins it to 0)."""
+    Per user the state is ``n_slots`` (origin, landing, start) hop
+    slots + the last (net, timestamp) + the late counter — O(1) at
+    any volume, exactly what the batch form's lag windows carry.
+    When an event completes a NEW hop, the slot sequence + the new
+    hop must be fully populated, junction-continuous (each hop leaves
+    the net the previous landed on — an off-window drift in between
+    changes last_net without touching the slots, so continuity fails
+    exactly where the batch filters do), and span-bounded; the chain
+    row emits at arrival. A genuinely late event is SKIPPED, counted,
+    and surfaced on every emitted chain (late_count — the registered
+    keys' oracles pin it to 0)."""
+    net_cols = ["net_a", "net_b", "net_c", "net_d"][: n_slots + 2]
+    out_schema = (
+        "user_id long, event_id long, "
+        + ", ".join(f"{c} string" for c in net_cols)
+        + ", span_us long, late_count long"
+    )
+    state_schema = (
+        ", ".join(
+            f"h{i}_from string, h{i}_to string, h{i}_start long"
+            for i in range(1, n_slots + 1)
+        )
+        + ", last_net string, last_us long, late long"
+    )
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         has_last = state.exists
         if has_last:
-            hop_from, hop_to, hop_start, last_net, last_us, late = (
-                state.get
-            )
-            hop_start = None if hop_from is None else int(hop_start)
-            last_us, late = int(last_us), int(late)
+            vals = list(state.get)
+            slots = []
+            for i in range(n_slots):
+                f_, t_, s_ = vals[3 * i : 3 * i + 3]
+                slots.append(None if f_ is None else (f_, t_, int(s_)))
+            last_net = vals[-3]
+            last_us, late = int(vals[-2]), int(vals[-1])
         else:
-            hop_from = hop_to = last_net = None
-            hop_start = None
+            slots = [None] * n_slots
+            last_net = None
             last_us, late = 0, 0
+
+        def packed():
+            out = []
+            for h in slots:
+                out += [h[0], h[1], h[2]] if h else [None, None, 0]
+            return tuple(out) + (last_net, last_us, late)
+
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             if has_last:
-                state.update(
-                    (hop_from, hop_to, hop_start or 0, last_net,
-                     last_us, late)
-                )
+                state.update(packed())
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
@@ -645,42 +652,31 @@ def net_hop_chains(
                 and net != last_net
                 and t - last_us <= hop_window_us
             ):
-                # a hop completed: chain if the remembered hop feeds it
+                # a hop completed: chain if every slot feeds it
+                # continuously and the traversal fits the window
+                new_hop = (last_net, net, last_us)
+                seq = slots + [new_hop]
                 if (
-                    hop_from is not None
-                    and hop_to == last_net
-                    and t - hop_start <= chain_window_us
-                ):
-                    rows.append(
-                        (
-                            key[0],
-                            int(eid),
-                            hop_from,
-                            last_net,
-                            net,
-                            t - hop_start,
-                            late,
-                        )
+                    all(h is not None for h in seq)
+                    and all(
+                        seq[i][1] == seq[i + 1][0]
+                        for i in range(n_slots)
                     )
-                hop_from, hop_to = last_net, net
-                hop_start = last_us
+                    and t - seq[0][2] <= chain_window_us
+                ):
+                    nets = [h[0] for h in seq] + [net]
+                    rows.append(
+                        (key[0], int(eid), *nets, t - seq[0][2], late)
+                    )
+                slots = slots[1:] + [new_hop]
             last_net, last_us = net, t
             has_last = True
-        state.update(
-            (hop_from, hop_to, hop_start or 0, last_net, last_us, late)
-        )
+        state.update(packed())
         if rows:
             yield pd.DataFrame(
                 rows,
-                columns=[
-                    "user_id",
-                    "event_id",
-                    "net_a",
-                    "net_b",
-                    "net_c",
-                    "span_us",
-                    "late_count",
-                ],
+                columns=["user_id", "event_id", *net_cols,
+                         "span_us", "late_count"],
             )
 
     return (
@@ -688,23 +684,25 @@ def net_hop_chains(
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=CHAIN_SCHEMA,
-            stateStructType=_CHAIN_STATE_SCHEMA,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 
 
-CHAIN3_SCHEMA = (
-    "user_id long, event_id long, net_a string, net_b string, "
-    "net_c string, net_d string, span_us long, late_count long"
-)
-_CHAIN3_STATE_SCHEMA = (
-    "h1_from string, h1_to string, h1_start long, "
-    "h2_from string, h2_to string, h2_start long, "
-    "last_net string, last_us long, late long"
-)
+def net_hop_chains(
+    events: DataFrame, hop_window_us: int, chain_window_us: int
+) -> DataFrame:
+    """Streaming 2-hop lateral-movement detector — the stateful half
+    of queries/security.py::events_lateral_movement run ONLINE: the
+    pivot alert (net_a → net_b → net_c) fires on the SECOND hop's
+    arrival, not at the batch sweep. One remembered hop slot; see
+    _net_hop_chain_kernel for the shared contract."""
+    return _net_hop_chain_kernel(
+        events, hop_window_us, chain_window_us, 1
+    )
 
 
 def net_hop_chains3(
@@ -712,117 +710,12 @@ def net_hop_chains3(
 ) -> DataFrame:
     """Streaming 3-hop lateral-movement detector — the stateful half
     of queries/security.py::events_lateral_movement_3hop run ONLINE:
-    net_hop_chains' state extended by one remembered hop. Per user,
-    remember the last (net, timestamp) plus the last TWO completed
-    hops; when an event completes a NEW hop h3 whose origin equals
-    the newer remembered hop's landing net AND that hop's origin
-    equals the older hop's landing net (continuity at BOTH junctions
-    — exactly the batch form's a_to = net_b AND b_to = net_c filter)
-    and the traversal h3.end − h1.start fits ``chain_window_us``,
-    emit the (net_a → net_b → net_c → net_d) chain row at arrival.
-
-    State is two (origin, landing, start) hop slots + the last
-    (net, timestamp) + the late counter — O(1) per user at any
-    volume, the exact information the batch form's lag-1/lag-2
-    windows carry. Inherits the time-ordered-batch contract
-    (rate_limited docstring): a genuinely late event is SKIPPED,
-    counted, and surfaced on every emitted chain (late_count, pinned
-    to 0 by the registered key's oracle)."""
-
-    def fn(key, pdfs, state):
-        import pandas as pd
-
-        has_last = state.exists
-        if has_last:
-            (h1f, h1t, h1s, h2f, h2t, h2s, last_net, last_us, late) = (
-                state.get
-            )
-            h1s = None if h1f is None else int(h1s)
-            h2s = None if h2f is None else int(h2s)
-            last_us, late = int(last_us), int(late)
-        else:
-            h1f = h1t = h2f = h2t = last_net = None
-            h1s = h2s = None
-            last_us, late = 0, 0
-        chunks = [c for c in pdfs if len(c)]
-        if not chunks:
-            if has_last:
-                state.update(
-                    (h1f, h1t, h1s or 0, h2f, h2t, h2s or 0,
-                     last_net, last_us, late)
-                )
-            return
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            if len(chunks) > 1
-            else chunks[0]
-        )
-        pdf = pdf.sort_values(["us", "event_id"])
-        rows = []
-        for eid, t, net in zip(pdf["event_id"], pdf["us"], pdf["net"]):
-            t = int(t)
-            if has_last and t < last_us:
-                late += 1  # excluded AND counted: see docstring guard
-                continue
-            if (
-                has_last
-                and net != last_net
-                and t - last_us <= hop_window_us
-            ):
-                # hop h3 = (last_net → net) completed: chain when both
-                # remembered hops feed it continuously
-                if (
-                    h1f is not None
-                    and h2f is not None
-                    and h1t == h2f
-                    and h2t == last_net
-                    and t - h1s <= chain_window_us
-                ):
-                    rows.append(
-                        (
-                            key[0],
-                            int(eid),
-                            h1f,
-                            h2f,
-                            last_net,
-                            net,
-                            t - h1s,
-                            late,
-                        )
-                    )
-                h1f, h1t, h1s = h2f, h2t, h2s
-                h2f, h2t, h2s = last_net, net, last_us
-            last_net, last_us = net, t
-            has_last = True
-        state.update(
-            (h1f, h1t, h1s or 0, h2f, h2t, h2s or 0,
-             last_net, last_us, late)
-        )
-        if rows:
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "user_id",
-                    "event_id",
-                    "net_a",
-                    "net_b",
-                    "net_c",
-                    "net_d",
-                    "span_us",
-                    "late_count",
-                ],
-            )
-
-    return (
-        events.select("user_id", "event_id", "us", "net")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=CHAIN3_SCHEMA,
-            stateStructType=_CHAIN3_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    the deep-pivot alert (net_a → net_b → net_c → net_d) fires on the
+    THIRD hop's arrival, with continuity demanded at BOTH junctions.
+    Two remembered hop slots; see _net_hop_chain_kernel for the
+    shared contract."""
+    return _net_hop_chain_kernel(
+        events, hop_window_us, chain_window_us, 2
     )
 
 
