@@ -212,6 +212,14 @@ def _mh_fragments() -> tuple[str, str, str, str]:
 
 
 def _minhash_oracle() -> str:
+    return _minhash_pairs_sql("documents")
+
+
+def _minhash_pairs_sql(src: str) -> str:
+    """The full minhash pair-detection statement over any relation
+    ``src`` carrying (doc_id, text) — _minhash_oracle binds it to
+    ``documents`` (byte-identical to the pre-r11 string), the
+    dedup_lsh_recall oracle to the plant-extended universe."""
     hs, sig, bands, n_match = _mh_fragments()
     band_unnest = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM banded"
@@ -219,7 +227,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM {src}
     ), hashed AS (
       SELECT doc_id, shingles, {hs} AS hs FROM sh
     ), sigs AS (
@@ -366,6 +374,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
     )
+    return minhash_pairs(d)
+
+
+def minhash_pairs(d: DataFrame) -> DataFrame:
+    """The full self-join minhash pipeline over any (doc_id, text)
+    frame — dedup_minhash binds it to documents; dedup_lsh_recall
+    runs it over the plant-extended audit universe. Returns verified
+    (doc_a, doc_b, jaccard) pairs."""
     sig = minhash_signatures(d)
     banded = minhash_band_rows(sig)
     a = banded.alias("a")
@@ -1321,3 +1337,164 @@ def incremental_minhash_matches(prior: DataFrame, newb: DataFrame) -> DataFrame:
     sig_n = sig.filter(F.col("side") == "n").drop("side")
     sig_p = sig.filter(F.col("side") == "p").drop("side")
     return minhash_verify(pairs, sig_n, sig_p, "doc_id", "prior_id")
+
+
+# ---------------------------------------------------------------------------
+# LSH dedup quality measurement: band-miss rate vs exact ground truth
+# ---------------------------------------------------------------------------
+
+# Audit plants (negative ids, distinctive vocab so no shingle is
+# shared with natural docs): one HIGH pair (41 words, last two
+# changed → exact jaccard 37/41 ≈ 0.90 — the bands collide, minhash
+# finds it) and one LOW pair (20 shared words + 30-word distinct
+# tails → 18 of 78 distinct shingles shared, jaccard ≈ 0.23 — above
+# the 0.2 ground-truth threshold but the per-band collision odds are
+# 0.23⁴ ≈ 0.3%, so all four bands miss for these fixed texts: the
+# deterministic found=false class). Both pinned by the plant test.
+_LR_HI = "lshrcl high pair " + " ".join(f"hw{i}" for i in range(38))
+_LR_SHARED = "lshrcl low pair " + " ".join(f"lw{i}" for i in range(17))
+LSH_RECALL_PLANTS: list[tuple[int, str]] = [
+    (-34_000_001, _LR_HI),
+    (-34_000_002, _LR_HI.rsplit(" ", 2)[0] + " hx1 hx2"),
+    (-34_000_003, _LR_SHARED + " " + " ".join(f"lc{i}" for i in range(30))),
+    (-34_000_004, _LR_SHARED + " " + " ".join(f"ld{i}" for i in range(30))),
+]
+
+GT_JACCARD = 0.2  # ground-truth near-dup threshold = minhash's own
+
+_LR_SRC = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT * FROM (VALUES {_inc_values_sql(LSH_RECALL_PLANTS)}) "
+    "t(doc_id, text))"
+)
+
+LSH_RECALL_SQL = f"""
+    WITH mh AS ({_minhash_pairs_sql(_LR_SRC)}),
+    gsh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM {_LR_SRC}
+    ), posts AS (
+      SELECT doc_id, unnest(shingles) AS s FROM gsh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM posts GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), gt AS (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared)
+               AS jaccard
+      FROM inter
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared)
+            >= {GT_JACCARD}
+    ), marked AS (
+      SELECT g.doc_a, g.doc_b, g.jaccard,
+             m.doc_a IS NOT NULL AS found
+      FROM gt g LEFT JOIN mh m
+        ON g.doc_a = m.doc_a AND g.doc_b = m.doc_b
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gt_pairs,
+             CAST(SUM(CAST(found AS INT)) AS BIGINT) AS found_pairs
+      FROM marked
+    )
+    SELECT k.doc_a, k.doc_b, k.jaccard, k.found,
+           t.gt_pairs, t.found_pairs,
+           CAST(t.found_pairs AS DOUBLE) / t.gt_pairs AS recall
+    FROM marked k CROSS JOIN tot t
+    """
+
+
+@register("dedup_lsh_recall", oracle=LSH_RECALL_SQL)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup quality MEASURED, not asserted — the similarity_recall
+    discipline applied to the dedup tier: every exact near-dup pair
+    (full-universe shingle jaccard ≥ 0.2 via an uncapped posting
+    self-join — the audit's deliberate exact leg) is marked found /
+    missed against dedup_minhash's banded pipeline over the same
+    plant-extended universe, plus the corpus-level recall ratio. The
+    minhash pipeline's PRECISION is 1 by construction (it verifies
+    exact jaccard before emitting), so the band-miss RATE is the one
+    quality number the sketch hides — this key makes it
+    driver-hash-checked. Plants supply both classes deterministically
+    (a 0.90-jaccard pair the bands catch, a 0.23-jaccard pair they
+    miss); the natural corpus adds its own found pairs.
+
+    Exactness: the ground-truth jaccard is a single division of
+    exact set sizes (Spark intersects xxhash64 shingle sets, DuckDB
+    raw strings — only sizes are observable, the _shingle_hashes
+    argument); found is an equi-join membership bool; recall is one
+    division of exact counts.
+
+    Scale: the audit's exact leg is the uncapped posting self-join —
+    linear in postings for discriminative shingles but quadratic in
+    boilerplate df by design (no cap: an audit that silently capped
+    its ground truth would overstate recall). A production run
+    audits a SAMPLED document subset, exactly this shape; the
+    production dedup path itself stays the capped pipelines.
+
+    kawa parity: none; mandate (M) LLM-pipeline extension."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    universe = d.unionByName(
+        spark.createDataFrame(LSH_RECALL_PLANTS, "doc_id long, text string")
+    )
+    mh = minhash_pairs(universe).select(
+        "doc_a", "doc_b", F.lit(True).alias("mh_found")
+    )
+    posts = universe.select(
+        "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
+    )
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    gt = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= GT_JACCARD)
+    )
+    marked = gt.join(mh, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.coalesce(F.col("mh_found"), F.lit(False)).alias("found"),
+    )
+    tot = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("gt_pairs"),
+        F.sum(F.col("found").cast("int")).cast("long").alias("found_pairs"),
+    )
+    return marked.crossJoin(F.broadcast(tot)).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "found",
+        "gt_pairs",
+        "found_pairs",
+        (F.col("found_pairs").cast("double") / F.col("gt_pairs")).alias(
+            "recall"
+        ),
+    )

@@ -106,6 +106,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_dedup_incremental",
     "stream_exec_lateral_movement_3hop",
     "dedup_incremental_minhash",
+    "dedup_lsh_recall",
     # --- changed implementations this round: dedup_minhash's body
     # refactored onto the shared minhash_signatures/band_rows/verify
     # helpers the incremental key reuses; stream_exec_lateral_movement
@@ -114,7 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "stream_exec_lateral_movement",
     # --- fills from the r8-evidence tier (next-oldest), riskiest
     # first: streaming kernels, sketches, LSH variants ---
-    "stream_exec_dedup_watermark",
     "stream_exec_rate_limit",
     "agg_kmv_distinct",
 ]
@@ -161,7 +161,8 @@ DEFERRED: dict[str, str] = {
     "stateful_running_total": "batch window form; online family twin stream_exec_running_total r10-green (displaced by stream_exec_lateral_movement_3hop)",
     "stream_exec_tumbling": "complete-mode streaming agg machinery exercised in-window by stream_exec_dow_drift + dow_association twin family (displaced by dedup_minhash's refactor slot)",
     "agg_kmv_union": "KMV family reps agg_kmv_distinct (in-window) + sliding_window r9-green; union shares the sketch core (displaced by dedup_incremental_minhash)",
-    "stream_exec_stream_stream_join": "interval stream-stream join untouched since r8; streaming-join family keeps dedup_watermark in-window + the stream-static leg via stream_exec_dedup_incremental (displaced by stream_exec_lateral_movement's kernel-unification slot)",
+    "stream_exec_stream_stream_join": "interval stream-stream join untouched since r8; streaming-join family keeps the stream-static leg via stream_exec_dedup_incremental in-window (displaced by stream_exec_lateral_movement's kernel-unification slot)",
+    "stream_exec_dedup_watermark": "family twin stream_dedup IS in-window (37-lead tier); watermarked dropDuplicates untouched since r8 (displaced by dedup_lsh_recall)",
     "logs_pattern_templates": "masking chain shared by logs_template_drift family; plan-pinned no-Python-UDF (displaced by dedup_incremental)",
     "logs_template_drift": "online twin stream_exec_template_drift r9-green (shared SQL)",
     "quality_lm_commonness": "quality tier keeps gopher+repetition in-window",
