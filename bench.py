@@ -120,6 +120,7 @@ HEADLINE = [
     "similarity_recall",
     "events_lateral_movement_3hop",
     "dedup_incremental_minhash",
+    "dedup_lsh_recall",
 ]
 
 
