@@ -153,7 +153,7 @@ DEFERRED: dict[str, str] = {
     "events_sessionize_batch": "session family twin stream_exec_session_totals r10",
     "events_retention_cohorts": "cohort SQL untouched since r7",
     "events_anomaly_zscore": "anomaly family twin events_anomaly_mad r9-green",
-    "events_dedup_adjacent": "dedup family rep stream_exec_dedup_watermark in-window",
+    "events_dedup_adjacent": "dedup family rep stream_dedup in-window (37-lead tier)",
     "events_heavy_hitters": "topk family untouched since r8; agg_cms_freq r9 in family",
     "events_markov_transitions": "transition matrix untouched since r8",
     "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared core)",

@@ -19,8 +19,6 @@ from kawa_spark.queries.llm_dedup import (
 
 registry.load_all()
 
-SF = "/root/testdata/sf0.001"
-
 
 def _shingle_set(text: str) -> frozenset:
     ws = re.split(r"\s+", text.lower())
@@ -51,16 +49,14 @@ def _gt_ref(docs):
     return out
 
 
-def test_lsh_recall_matches_python_ground_truth(spark):
+def test_lsh_recall_matches_python_ground_truth(spark, sf_dir):
     """The registered key's gt pair set and jaccards must equal the
     posting-dict reference over documents+plants at sf0.001, and its
     found marks must equal membership in the registered minhash
     pipeline's own pair output."""
-    import pandas as pd
-
     con = duckdb.connect()
     nat = con.sql(
-        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
     ).fetchall()
     con.close()
     docs = [(int(d), t) for d, t in nat] + LSH_RECALL_PLANTS
@@ -73,7 +69,7 @@ def test_lsh_recall_matches_python_ground_truth(spark):
     }
     got = {
         (r["doc_a"], r["doc_b"]): r
-        for r in registry.QUERIES["dedup_lsh_recall"](spark, SF).collect()
+        for r in registry.QUERIES["dedup_lsh_recall"](spark, sf_dir).collect()
     }
     assert set(got) == set(want), sorted(set(got) ^ set(want))
     for k, jac in want.items():
@@ -86,13 +82,13 @@ def test_lsh_recall_matches_python_ground_truth(spark):
     assert abs(row["recall"] - n_found / len(want)) <= 1e-15
 
 
-def test_lsh_recall_plant_classes(spark):
+def test_lsh_recall_plant_classes(spark, sf_dir):
     """The 0.90 plant pair is found, the 0.23 plant pair is in the
     ground truth but MISSED (the deterministic band-miss class), and
     recall sits strictly between 0 and 1."""
     rows = {
         (r["doc_a"], r["doc_b"]): r
-        for r in registry.QUERIES["dedup_lsh_recall"](spark, SF).collect()
+        for r in registry.QUERIES["dedup_lsh_recall"](spark, sf_dir).collect()
     }
     hi = (LSH_RECALL_PLANTS[1][0], LSH_RECALL_PLANTS[0][0])
     lo = (LSH_RECALL_PLANTS[3][0], LSH_RECALL_PLANTS[2][0])
