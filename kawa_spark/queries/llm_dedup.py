@@ -263,7 +263,9 @@ def _minhash_pairs_sql(src: str) -> str:
     """
 
 
-def minhash_signatures(d: DataFrame, extra: tuple = ()) -> DataFrame:
+def minhash_signatures(
+    d: DataFrame, extra: tuple = (), persist: bool = True
+) -> DataFrame:
     """(doc_id, text[, *extra]) → persisted (doc_id[, *extra], vh,
     mhs) signature table — the shared construction behind
     dedup_minhash AND dedup_incremental_minhash (one definition, the
@@ -296,7 +298,7 @@ def minhash_signatures(d: DataFrame, extra: tuple = ()) -> DataFrame:
             )
         ),
     )
-    return (
+    sig = (
         d.withColumn("hs", hs)
         .withColumn("mhs", mhs)
         .select(
@@ -308,8 +310,10 @@ def minhash_signatures(d: DataFrame, extra: tuple = ()) -> DataFrame:
             ).alias("vh"),
             "mhs",
         )
-        .persist()
     )
+    # persist=False: streaming DataFrames cannot persist — the banked
+    # twin #19 computes this map-side ON the stream and drains it
+    return sig.persist() if persist else sig
 
 
 def minhash_band_rows(sig: DataFrame, extra: tuple = ()) -> DataFrame:
@@ -1321,7 +1325,19 @@ def incremental_minhash_matches(prior: DataFrame, newb: DataFrame) -> DataFrame:
     docs = prior.withColumn("side", F.lit("p")).unionByName(
         newb.withColumn("side", F.lit("n"))
     )
-    sig = minhash_signatures(docs, extra=("side",))
+    return incremental_minhash_from_sigs(
+        minhash_signatures(docs, extra=("side",))
+    )
+
+
+def incremental_minhash_from_sigs(sig: DataFrame) -> DataFrame:
+    """The band/pair/verify half over an ALREADY-COMPUTED side-tagged
+    signature table — split out so the banked streaming twin (#19,
+    docs/STATUS.md round-12 candidates) can feed it DRAINED new-side
+    sigs unioned with the static prior sig state; the batch core
+    above feeds it freshly computed sigs. Composition equality is
+    pinned by tests/test_incremental_minhash.py
+    ::test_sig_level_core_composes_with_drained_stream."""
     bands = minhash_band_rows(sig, extra=("side",))
     bands_n = bands.filter(F.col("side") == "n").select(
         "doc_id", "band_id", "band_hash"

@@ -156,3 +156,71 @@ def test_incremental_minhash_plants_pin(spark):
             assert r["doc_id"] % 10 >= INC_PRIOR_MOD, r
         if r["prior_id"] >= 0:
             assert r["prior_id"] % 10 < INC_PRIOR_MOD, r
+
+
+def test_sig_level_core_composes_with_drained_stream(spark, tmp_path):
+    """The banked twin-#19 shape, minus registration: the NEW side's
+    signatures are computed map-side ON a stream (persist=False) and
+    drained through the real runtime; the drained sigs union the
+    static prior sig state and go through the sig-level core — the
+    result must equal the registered batch key exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kawa_spark.io import table
+    from kawa_spark.queries.llm_dedup import (
+        INC_MH_PLANTS_PRIOR,
+        incremental_minhash_from_sigs,
+        is_prior_doc,
+        minhash_signatures,
+        snapshot_split,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    d = table(spark, SF, "documents").select("doc_id", "text")
+    prior, _ = snapshot_split(spark, d, INC_MH_PLANTS_PRIOR, [])
+    prior_sig = minhash_signatures(
+        prior.withColumn("side", F.lit("p")), extra=("side",)
+    )
+
+    # new side arrives as a STREAM: natural new-split docs + plants
+    # staged as parquet, signatures computed on the streaming frame
+    src = tmp_path / "new_docs"
+    d.filter(~is_prior_doc(F.col("doc_id"))).unionByName(
+        _mk(spark, INC_MH_PLANTS_NEW)
+    ).coalesce(2).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    sig_stream = minhash_signatures(
+        stream.withColumn("side", F.lit("n")),
+        extra=("side",),
+        persist=False,
+    )
+    name = f"mh19_{uuid.uuid4().hex[:8]}"
+    q = (
+        sig_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # localCheckpoint: the verify half joins frames derived from the
+    # drained table with each other (memory-sink self-join trap)
+    drained = spark.table(name).localCheckpoint()
+
+    online = {
+        tuple(r)
+        for r in incremental_minhash_from_sigs(
+            prior_sig.unionByName(drained)
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_incremental_minhash"](
+            spark, SF
+        ).collect()
+    }
+    assert online == batch and batch
