@@ -295,26 +295,34 @@ KMV_K = 64
 _KMV_DENOM = float(1 << 60)
 
 
+def md5_long(col: F.Column) -> F.Column:
+    """First 15 md5 hex chars of a column (stringified) as a POSITIVE
+    long (< 2^60) — the ONE md5→integer rank expression shared by the
+    KMV family (via ``_kmv_u`` below) and the hash-sampled audit
+    universe in llm_dedup.dedup_lsh_recall. Must stay bit-identical
+    to ``md5_long_sql``."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def md5_long_sql(col: str) -> str:
+    """DuckDB twin of ``md5_long`` for oracle interpolation."""
+    return f"('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
 def _kmv_u(col: str = "user_id"):
     """The normalized KMV hash u in (0, 1] — the ONE Spark-side copy
     (code review: three verbatim copies of the most drift-sensitive
     expression in the family). Must stay bit-identical to
     ``_kmv_u_sql``; both read the first 15 md5 hex chars as an
-    integer over 2^60."""
-    return (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .cast("double")
-        / F.lit(_KMV_DENOM)
-    )
+    integer over 2^60 (the shared ``md5_long`` rank expression)."""
+    return md5_long(F.col(col)).cast("double") / F.lit(_KMV_DENOM)
 
 
 def _kmv_u_sql(col: str = "user_id") -> str:
     """DuckDB twin of ``_kmv_u`` for oracle interpolation."""
-    return (
-        f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))"
-        f"::BIGINT AS DOUBLE) / {_KMV_DENOM}"
-    )
+    return f"CAST({md5_long_sql(col)} AS DOUBLE) / {_KMV_DENOM}"
 
 
 # Shared verbatim by the batch key below and the online twin's

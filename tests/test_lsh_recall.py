@@ -1,23 +1,42 @@
 """dedup_lsh_recall: independent Python ground truth for the audit
 (posting-dict exact jaccard over the plant-extended universe) and the
 found/missed marking recomputed from the registered minhash pipeline's
-own output, plus the deterministic plant-class pins.
+own output, plus the deterministic plant-class pins. Since r12 the
+registered key audits a deterministic md5-rank HASH SAMPLE of the
+corpus (relative modulus S = max(1, |docs| // AUDIT_SAMPLE_TARGET)) —
+the reference here applies the identical predicate, and the UNCAPPED
+full-universe posting ground truth is kept as the superset the
+sampled audit must restrict (test_sampled_gt_is_restriction_of_uncapped).
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import duckdb
 
 from kawa_spark import registry
 from kawa_spark.queries.llm_dedup import (
+    AUDIT_SAMPLE_TARGET,
     GT_JACCARD,
     LSH_RECALL_PLANTS,
     minhash_pairs,
 )
 
 registry.load_all()
+
+
+def _in_sample(doc_id: int, s_mod: int) -> bool:
+    """Python twin of the md5-rank sample predicate (stats.md5_long
+    % S == 0) applied to NATURAL docs; plants join post-filter."""
+    u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    return u % s_mod == 0
+
+
+def _sampled(nat: list, plants: list) -> list:
+    s_mod = max(1, len(nat) // AUDIT_SAMPLE_TARGET)
+    return [(d, t) for d, t in nat if _in_sample(d, s_mod)] + plants
 
 
 def _shingle_set(text: str) -> frozenset:
@@ -51,15 +70,16 @@ def _gt_ref(docs):
 
 def test_lsh_recall_matches_python_ground_truth(spark, sf_dir):
     """The registered key's gt pair set and jaccards must equal the
-    posting-dict reference over documents+plants at sf0.001, and its
-    found marks must equal membership in the registered minhash
-    pipeline's own pair output."""
+    posting-dict reference over the SAMPLED documents+plants at
+    sf0.001, and its found marks must equal membership in the
+    registered minhash pipeline's own pair output over the same
+    sampled universe."""
     con = duckdb.connect()
     nat = con.sql(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
     ).fetchall()
     con.close()
-    docs = [(int(d), t) for d, t in nat] + LSH_RECALL_PLANTS
+    docs = _sampled([(int(d), t) for d, t in nat], LSH_RECALL_PLANTS)
     want = _gt_ref(docs)
 
     universe = spark.createDataFrame(docs, "doc_id long, text string")
@@ -80,6 +100,33 @@ def test_lsh_recall_matches_python_ground_truth(spark, sf_dir):
     assert row["gt_pairs"] == len(want)
     assert row["found_pairs"] == n_found
     assert abs(row["recall"] - n_found / len(want)) <= 1e-15
+
+
+def test_sampled_gt_is_restriction_of_uncapped(spark, sf_dir):
+    """The sampled audit is a RESTRICTION of the uncapped
+    full-universe ground truth, never different semantics: every gt
+    pair the registered key emits must appear, with the identical
+    jaccard, in the UNCAPPED posting ground truth over the full
+    plant-extended corpus (the property test's ground-truth form the
+    r11 verdict asked to keep), and the sample must actually bind at
+    this SF (S > 1 → strictly fewer docs than the full universe)."""
+    con = duckdb.connect()
+    nat = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    nat = [(int(d), t) for d, t in nat]
+    full_want = _gt_ref(nat + LSH_RECALL_PLANTS)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_lsh_recall"](spark, sf_dir).collect()
+    }
+    assert set(got) <= set(full_want), sorted(set(got) - set(full_want))
+    for k, jac in got.items():
+        assert abs(full_want[k] - jac) <= 1e-12, k
+    s_mod = max(1, len(nat) // AUDIT_SAMPLE_TARGET)
+    assert s_mod > 1, "sample must bind at the gate SF"
+    assert len(_sampled(nat, [])) < len(nat)
 
 
 def test_lsh_recall_plant_classes(spark, sf_dir):
