@@ -519,14 +519,21 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative corpus-coverage fraction a vocab of that size buys —
     the curve that picks a BPE vocab size.
 
-    Scale: the word-count aggregate partial-aggregates map-side
-    (shuffle ∝ distinct words, not tokens). The ranked cumsum is a
-    global ordered window — fine here because it runs on the
-    COUNTED table (≤ a few million distinct words, not the corpus);
-    at 100 TB the count table still fits one executor, and if it
-    didn't, the two-pass range-partitioned prefix sum from
-    corpus_pack_sequences applies. Only the top rows are emitted;
-    cum/total is exact-int ÷ exact-int, one double division."""
+    Scale (VERDICT r11 item 5): the word-count aggregate
+    partial-aggregates map-side (shuffle ∝ distinct words, not
+    tokens). The top-VOCAB_TOP cut happens FIRST as a TakeOrdered
+    over (n desc, word) — per-partition heaps + a bounded merge, no
+    global sort and no unpartitioned window over the count table
+    (distinct words grow with corpus size; the r11 form's full-table
+    cumsum window sorted ~10⁸ rows in one partition at 100 TB). The
+    rank/cumsum window then runs over that ≤VOCAB_TOP-row set —
+    bounded by construction (the post-limit-window class of
+    llm_similarity's K_CLUSTERS table). Exact rewrite: the top-K by
+    the window's own ordering IS the rank ≤ K prefix, so rank and
+    cum are unchanged. Only the top rows are emitted; cum/total is
+    exact-int ÷ exact-int, one double division. Plan-pinned:
+    TakeOrderedAndProject feeds the Window
+    (test_plan_audit.py::test_vocab_coverage_window_input_is_bounded)."""
     d = table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
@@ -535,14 +542,15 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), "word").limit(VOCAB_TOP)
     w = Window.orderBy(F.col("n").desc(), "word")
-    ranked = counts.select(
+    ranked = top.select(
         "word",
         "n",
         F.row_number().over(w).alias("rank"),
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    ).filter(F.col("rank") <= VOCAB_TOP)
-    return ranked.join(F.broadcast(total), F.col("cum") <= F.col("total")).select(
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         "word",
         "n",
         "rank",

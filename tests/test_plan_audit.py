@@ -614,6 +614,22 @@ def test_session_paths_single_user_exchange_and_takeordered(spark):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_vocab_coverage_window_input_is_bounded(spark):
+    """corpus_vocab_coverage (r12 rewrite, VERDICT r11 item 5): the
+    top-VOCAB_TOP cut is a TakeOrderedAndProject that feeds the
+    rank/cumsum Window — the window's input is ≤ VOCAB_TOP rows by
+    construction, never the full distinct-word count table, and no
+    global Sort exchange of the counts exists."""
+    df = registry.QUERIES["corpus_vocab_coverage"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan, plan
+    # parents print above children: the Window must sit ABOVE the
+    # TakeOrdered cut (i.e. consume its bounded output)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_cms_freq_broadcasts_sketch_and_width(spark):
     """agg_cms_freq: the d x w cell table and the 1-row relative
     width ride in as broadcasts (no SortMergeJoin, no
