@@ -12,7 +12,14 @@ join/aggregate the key uses.
 from __future__ import annotations
 
 from kawa_spark import registry
-from kawa_spark.queries.llm_similarity import N_QUERIES, TOP_K
+from kawa_spark.queries.llm_similarity import (
+    ANN_PLANES,
+    N_QUERIES,
+    TOP_K,
+    _multiprobe_sql,
+    _probe_masks,
+    similarity_lsh_multiprobe_wide,
+)
 
 registry.load_all()
 
@@ -23,6 +30,37 @@ METHOD_KEYS = {
     "lsh_ann": "similarity_lsh_ann",
     "lsh_multiprobe": "similarity_lsh_multiprobe",
 }
+# the wide variant is a core, not (yet) a registered key — banked for
+# the r13 rotation; its recall row IS driver-checked via
+# similarity_recall
+METHOD_FNS = {"lsh_multiprobe_wide": similarity_lsh_multiprobe_wide}
+ALL_METHODS = list(METHOD_KEYS) + list(METHOD_FNS)
+
+
+def _method_pairs(spark, method):
+    if method in METHOD_KEYS:
+        df = registry.QUERIES[METHOD_KEYS[method]](spark, SF)
+    else:
+        df = METHOD_FNS[method](spark, SF)
+    return {(r["q_id"], r["n_id"]) for r in df.collect()}
+
+
+def test_radius1_masks_and_oracle_are_the_r10_form():
+    """The probe-radius parameterization must leave the DEFERRED
+    registered key byte-identical: radius-1 masks are exactly the
+    single-bit flips in plane order, and the generated oracle equals
+    the r10 string construction verbatim."""
+    assert _probe_masks(1) == [1 << k for k in range(ANN_PLANES)]
+    old_probes = ", ".join(
+        f"xor(q.q_sig, {1 << k})" for k in range(ANN_PLANES)
+    )
+    assert old_probes in _multiprobe_sql(1)
+    assert registry.ORACLES["similarity_lsh_multiprobe"] == _multiprobe_sql(1)
+    # radius 2 = the 8 single flips then the 28 lexicographic pairs
+    m2 = _probe_masks(2)
+    assert m2[:ANN_PLANES] == _probe_masks(1)
+    assert len(m2) == ANN_PLANES + ANN_PLANES * (ANN_PLANES - 1) // 2
+    assert len(set(m2)) == len(m2)
 
 
 def test_recall_matches_set_intersection(spark):
@@ -32,17 +70,13 @@ def test_recall_matches_set_intersection(spark):
     }
     got = registry.QUERIES["similarity_recall"](spark, SF).collect()
     by_method = {}
-    for method, key in METHOD_KEYS.items():
-        approx = {
-            (r["q_id"], r["n_id"])
-            for r in registry.QUERIES[key](spark, SF).collect()
-        }
-        inter = exact & approx
+    for method in ALL_METHODS:
+        inter = exact & _method_pairs(spark, method)
         by_method[method] = {
             q: len([1 for qq, _ in inter if qq == q])
             for q in range(N_QUERIES)
         }
-    assert len(got) == len(METHOD_KEYS) * N_QUERIES
+    assert len(got) == len(ALL_METHODS) * N_QUERIES
     for r in got:
         want = by_method[r["method"]][r["q_id"]]
         assert r["n_hits"] == want, (r["method"], r["q_id"], want)
@@ -53,7 +87,7 @@ def test_recall_matches_set_intersection(spark):
             abs(r["method_recall"] - r["method_hits"] / r["method_total"])
             <= 1e-15
         )
-    for method in METHOD_KEYS:
+    for method in ALL_METHODS:
         rows = [r for r in got if r["method"] == method]
         assert rows[0]["method_hits"] == sum(
             by_method[method].values()
@@ -66,7 +100,7 @@ def test_recall_has_both_hit_and_miss_classes(spark):
     recall of exactly 0 or 1 for every method would mean the key
     verifies nothing about approximation quality."""
     got = registry.QUERIES["similarity_recall"](spark, SF).collect()
-    for method in METHOD_KEYS:
+    for method in ALL_METHODS:
         rows = [r for r in got if r["method"] == method]
         total = rows[0]["method_total"]
         hits = rows[0]["method_hits"]
@@ -74,10 +108,16 @@ def test_recall_has_both_hit_and_miss_classes(spark):
         assert hits < total, (method, hits)
     ivf = [r for r in got if r["method"] == "ivf_kmeans"]
     assert ivf[0]["method_hits"] > 0
-    # multiprobe's candidate set is a superset of the single bucket,
-    # so its recall is structurally monotone — pin the ordering
+    # each probe expansion's candidate set is a superset of the
+    # previous tier's, so recall is structurally monotone — pin the
+    # ordering, and pin the r12 wide variant STRICTLY above plain
+    # multiprobe (VERDICT r11 item 4's done criterion: the wider
+    # probes demonstrably improve the measured recall — 14/50 vs
+    # 5/50 at sf0.001, 16/50 vs 3/50 at sf0.01)
     hits = {
         m: [r for r in got if r["method"] == m][0]["method_hits"]
-        for m in METHOD_KEYS
+        for m in ALL_METHODS
     }
     assert hits["lsh_multiprobe"] >= hits["lsh_ann"], hits
+    assert hits["lsh_multiprobe_wide"] >= hits["lsh_multiprobe"], hits
+    assert hits["lsh_multiprobe_wide"] > hits["lsh_multiprobe"], hits
