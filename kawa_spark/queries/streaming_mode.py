@@ -1433,6 +1433,86 @@ def stream_exec_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return classify_incremental(enriched.join(keeper, "h"))
 
 
+def _inc_mh_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_incmh_plants_")
+
+
+def _inc_mh_oracle() -> str:
+    from kawa_spark.queries.llm_dedup import _inc_minhash_oracle
+
+    return _inc_minhash_oracle()
+
+
+@register("stream_exec_dedup_incremental_minhash", oracle=_inc_mh_oracle())
+def stream_exec_dedup_incremental_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental_minhash maintained ONLINE — the nineteenth
+    online/offline twin, and the near-dup sibling of
+    stream_exec_dedup_incremental: today's document STREAM is
+    shingled, md5-minhashed, and signature-tagged MAP-SIDE on the
+    stream (every stage expression-level — the real streaming value:
+    no state store, no ordering contract, a stateless 1:1 transform
+    per microbatch), drained, then unioned with the STATIC prior
+    corpus's signature state and fed to the same sig-level core as
+    the batch key (llm_dedup.incremental_minhash_from_sigs — banding,
+    combined-population bucket cap, new×prior candidate pairing,
+    exact-jaccard verify).
+
+    Oracle = the batch key's SQL verbatim (_inc_minhash_oracle); the
+    planted new docs (the 37/41-jaccard re-crawl + the novel doc)
+    ride the STREAM as a second file source. Composition equality of
+    the drained-sigs path with the batch core is separately pinned by
+    tests/test_incremental_minhash.py
+    ::test_sig_level_core_composes_with_drained_stream; twin equality
+    of THIS registered key against the batch key by
+    ::test_registered_twin_equals_batch_key.
+
+    Scale: per microbatch the stream pays exactly the batch key's
+    map-side signature cost for the day's documents; the prior
+    signature/band state is the persisted bucketed table of the batch
+    key's story (never recomputed in production — here rebuilt from
+    the split for the bounded drain). State held by the RUNTIME is
+    zero rows: the only streaming stage is stateless.
+
+    The localCheckpoint on the drained sigs is the memory-sink
+    self-join guard (the verify half joins two frames derived from
+    the drained table)."""
+    from kawa_spark.queries.llm_dedup import (
+        INC_MH_PLANTS_NEW,
+        INC_MH_PLANTS_PRIOR,
+        incremental_minhash_from_sigs,
+        is_prior_doc,
+        minhash_signatures,
+        snapshot_split,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # batch side: the shared split builds the prior kept corpus (the
+    # new half is discarded here — it arrives as the STREAM below)
+    prior, _ = snapshot_split(spark, d, INC_MH_PLANTS_PRIOR, [])
+    prior_sig = minhash_signatures(
+        prior.withColumn("side", F.lit("p")), extra=("side",)
+    )
+
+    s = stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sn = s.filter(~is_prior_doc(F.col("doc_id")))
+    plants_dir = _inc_mh_plants_dir()
+    spark.createDataFrame(
+        INC_MH_PLANTS_NEW, "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = spark.readStream.schema("doc_id long, text string").parquet(
+        plants_dir
+    )
+    sig_stream = minhash_signatures(
+        sn.unionByName(p).withColumn("side", F.lit("n")),
+        extra=("side",),
+        persist=False,
+    )
+    drained = _drain(sig_stream, spark).localCheckpoint()
+    return incremental_minhash_from_sigs(prior_sig.unionByName(drained))
+
+
 def _quantile_sketch_oracle() -> str:
     from kawa_spark.queries.stats import QUANTILE_SKETCH_SQL
 

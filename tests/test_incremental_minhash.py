@@ -158,6 +158,26 @@ def test_incremental_minhash_plants_pin(spark):
             assert r["prior_id"] % 10 < INC_PRIOR_MOD, r
 
 
+def test_registered_twin_equals_batch_key(spark):
+    """Twin #19 (stream_exec_dedup_incremental_minhash) through the
+    real streaming runtime must emit exactly the batch key's rows —
+    the map-side signature stage is a stateless 1:1 transform, so no
+    ordering contract is needed and equality is exact."""
+    online = {
+        tuple(r)
+        for r in registry.QUERIES["stream_exec_dedup_incremental_minhash"](
+            spark, SF
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_incremental_minhash"](
+            spark, SF
+        ).collect()
+    }
+    assert online == batch and batch
+
+
 def test_sig_level_core_composes_with_drained_stream(spark, tmp_path):
     """The banked twin-#19 shape, minus registration: the NEW side's
     signatures are computed map-side ON a stream (persist=False) and
