@@ -48,136 +48,146 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # deferred set is exactly the oldest-evidence tier outside the
 # window, and (b) window + deferred are disjoint and registered.
 #
-# Round 11's window (VERDICT r10 item 1): the THIRTY-SEVEN deferred
-# r7-evidence keys lead (the oldest tier — 4 rounds stale at r11 —
-# and the r10 registry's standing commitment, pinned by
-# test_deferred_is_exactly_the_oldest_offwindow_tier), then the keys
-# newly registered this round (never driver-checked), then fills
-# from the r8-evidence tier — the next-oldest — complex/risky
-# implementations first (streaming kernels, sketches, LSH variants),
-# leaving the remaining r8 keys in DEFERRED to lead r12. Exactly 50.
-# Max evidence age after this round's driver check: deferred = r8
-# evidence = 3 rounds at r11; everything else <= 2.
+# Round 12's window (VERDICT r11 item 1): the FORTY-SIX deferred
+# r8-evidence keys lead (the oldest tier — 3 rounds stale at r11's
+# close — and the r11 registry's standing commitment, pinned by
+# test_deferred_is_exactly_the_oldest_offwindow_tier), then the one
+# key newly registered this round (never driver-checked), then the
+# three changed implementations. Exactly 50. Notes on keys that
+# changed only provably-identically and therefore may stay
+# off-window (the dedup_exact_norm r11 precedent): the r12
+# stats.md5_long extraction left _kmv_u's expression tree and
+# _kmv_u_sql's SQL string byte-identical (asserted at refactor time;
+# the KMV family reps agg_kmv_union + agg_kmv_sliding_window are
+# in-window anyway), and similarity_lsh_multiprobe's probe-radius
+# parameterization reproduces the r10 construction exactly for
+# radius=1 (oracle equality pinned by
+# test_radius1_masks_and_oracle_are_the_r10_form; the key is
+# in-window via the deferred tier regardless). Max evidence age
+# after this round's driver check: deferred = r9 evidence = 3 rounds
+# at r12 (the standing one-tier lag); everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- the 37 deferred r7-evidence keys (VERDICT r10 item 1) ---
-    "tpch_q1_pricing_summary",
-    "tpch_q2_best_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_relationship",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "agg_hash_groupby",
-    "agg_approx_distinct",
-    "percentile_approx",
-    "grouping_cube",
-    "join_inner_hash",
-    "window_rank",
-    "udf_grouped_agg",
-    "stream_dedup",
-    "embedding_quantize",
-    "similarity_lsh_ann",
-    "multimodal_audio_features",
-    "embedding_centroids",
-    "stream_sliding",
-    "events_funnel",
-    "quality_repetition",
-    "quality_gopher_filter",
-    "corpus_length_filter",
-    "corpus_domain_stats",
-    "corpus_shuffle_deterministic",
-    "corpus_vocab_coverage",
-    # --- new keys this round (never driver-checked) ---
-    "events_dow_drift",
-    "stream_exec_dow_drift",
-    "dedup_incremental",
-    "similarity_recall",
-    "events_lateral_movement_3hop",
-    "stream_exec_dedup_incremental",
-    "stream_exec_lateral_movement_3hop",
-    "dedup_incremental_minhash",
+    # --- the 46 deferred r8-evidence keys (VERDICT r11 item 1) ---
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines",
+    "tpch_q22_global_sales",
+    "agg_distinct",
+    "scalar_string_date_math",
+    "flatmap_explode",
+    "grouping_rollup",
+    "join_outer_left",
+    "join_full_outer",
+    "join_semi",
+    "join_range_theta",
+    "deser_csv",
+    "window_analytic",
+    "window_range_time",
+    "stream_session",
+    "ts_resample_ffill",
+    "events_sessionize_batch",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "events_dedup_adjacent",
+    "events_heavy_hitters",
+    "events_markov_transitions",
+    "events_rate_limit",
+    "stream_exec_stream_static_join",
+    "stateful_running_total",
+    "stream_exec_tumbling",
+    "agg_kmv_union",
+    "stream_exec_stream_stream_join",
+    "stream_exec_dedup_watermark",
+    "logs_pattern_templates",
+    "logs_template_drift",
+    "quality_lm_commonness",
+    "corpus_bigrams",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "dedup_exact",
+    "dedup_exact_norm",
+    "similarity_containment",
+    "similarity_ivf",
+    "similarity_lsh_multiprobe",
+    "text_stats",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    # --- new key this round (never driver-checked): twin #19 ---
+    "stream_exec_dedup_incremental_minhash",
+    # --- changed implementations this round: dedup_lsh_recall now
+    # audits the hash-sampled universe (VERDICT r11 item 2);
+    # corpus_vocab_coverage's cumsum window is bounded by the
+    # TakeOrdered pre-cut (item 5); similarity_recall measures the
+    # fourth method row lsh_multiprobe_wide (item 4) ---
     "dedup_lsh_recall",
-    # --- changed implementations this round: dedup_minhash's body
-    # refactored onto the shared minhash_signatures/band_rows/verify
-    # helpers the incremental key reuses; stream_exec_lateral_movement
-    # now runs on the unified n-slot chain kernel (r11 review pass 2) ---
-    "dedup_minhash",
-    "stream_exec_lateral_movement",
-    # --- fills from the r8-evidence tier (next-oldest), riskiest
-    # first: streaming kernels, sketches, LSH variants ---
-    "stream_exec_rate_limit",
-    "agg_kmv_distinct",
+    "corpus_vocab_coverage",
+    "similarity_recall",
 ]
 
-# Keys whose driver evidence is the OLDEST off-window tier (r8) but
+# Keys whose driver evidence is the OLDEST off-window tier (r9) but
 # which did not fit this round's 50-slot window, with displacement
-# grounds. THESE MUST LEAD THE R12 WINDOW (plus any keys whose
-# implementation changes in r12). tests/test_registry_window.py pins
+# grounds. THESE MUST LEAD THE R13 WINDOW (plus any keys whose
+# implementation changes in r13). tests/test_registry_window.py pins
 # that this dict is exactly the oldest-evidence tier outside the
-# window.
+# window. (The r12 window itself was forced: 46 deferred r8 keys +
+# twin #19 + the three changed implementations = exactly 50 — so the
+# whole r9 tier stays out, each with family/stability grounds.)
 DEFERRED: dict[str, str] = {
-    # stable SQL untouched since registration; the tpch tier's
-    # machinery is exercised in-window by the 17 r7 tpch keys this
-    # round
-    "tpch_q3_shipping_priority": "stable SQL, untouched since r2",
-    "tpch_q6_forecast_revenue": "stable SQL, untouched since r2",
-    "tpch_q10_returned_items": "stable SQL, untouched since r2",
-    "tpch_q12_late_lines": "stable SQL, untouched since r2",
-    "tpch_q22_global_sales": "stable SQL, untouched since r2",
-    # single-op / family-twin displacements: trivially-stable
-    # implementations whose family keeps an in-window representative
-    # this round
-    "agg_distinct": "family twins agg_hash_groupby + approx_distinct in-window",
-    "scalar_string_date_math": "scalar family untouched since r2; extras pair r10-green",
-    "flatmap_explode": "explode family twin flatmap_posexplode r9-green",
-    "grouping_rollup": "family twin grouping_cube in-window",
-    "join_outer_left": "join family rep join_inner_hash in-window",
-    "join_full_outer": "join family rep join_inner_hash in-window",
-    "join_semi": "join family rep join_inner_hash in-window",
-    "join_range_theta": "range-join family twin join_asof r9-green",
-    "deser_csv": "deser family twin deser_json r9-green",
-    "window_analytic": "window family rep window_rank in-window",
-    "window_range_time": "window family rep window_rank in-window",
-    "stream_session": "session family twin stream_exec_session_totals r10-green",
-    "ts_resample_ffill": "family twin ts_resample_ffill_clamped r9-green",
-    "events_sessionize_batch": "session family twin stream_exec_session_totals r10",
-    "events_retention_cohorts": "cohort SQL untouched since r7",
-    "events_anomaly_zscore": "anomaly family twin events_anomaly_mad r9-green",
-    "events_dedup_adjacent": "dedup family rep stream_dedup in-window (37-lead tier)",
-    "events_heavy_hitters": "topk family untouched since r8; agg_cms_freq r9 in family",
-    "events_markov_transitions": "transition matrix untouched since r8",
-    "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared core)",
-    "stream_exec_stream_static_join": "stream-static broadcast join machinery exercised in-window by stream_exec_dedup_incremental (displaced by it)",
-    "stateful_running_total": "batch window form; online family twin stream_exec_running_total r10-green (displaced by stream_exec_lateral_movement_3hop)",
-    "stream_exec_tumbling": "complete-mode streaming agg machinery exercised in-window by stream_exec_dow_drift + dow_association twin family (displaced by dedup_minhash's refactor slot)",
-    "agg_kmv_union": "KMV family reps agg_kmv_distinct (in-window) + sliding_window r9-green; union shares the sketch core (displaced by dedup_incremental_minhash)",
-    "stream_exec_stream_stream_join": "interval stream-stream join untouched since r8; streaming-join family keeps the stream-static leg via stream_exec_dedup_incremental in-window (displaced by stream_exec_lateral_movement's kernel-unification slot)",
-    "stream_exec_dedup_watermark": "family twin stream_dedup IS in-window (37-lead tier); watermarked dropDuplicates untouched since r8 (displaced by dedup_lsh_recall)",
-    "logs_pattern_templates": "masking chain shared by logs_template_drift family; plan-pinned no-Python-UDF (displaced by dedup_incremental)",
-    "logs_template_drift": "online twin stream_exec_template_drift r9-green (shared SQL)",
-    "quality_lm_commonness": "quality tier keeps gopher+repetition in-window",
-    "corpus_bigrams": "corpus tier rep corpus_vocab_coverage in-window",
-    "corpus_mixture_sample": "corpus tier rep corpus_shuffle_deterministic in-window",
-    "corpus_pack_sequences": "corpus tier untouched since r8",
-    "dedup_exact": "digest-groupBy pair dedup_exact_norm equal-age; minhash tier r9",
-    "dedup_exact_norm": "digest-groupBy pair; norm digest re-exercised by dedup_incremental in-window (r11 helper extraction left its oracle SQL byte-identical and its expression tree unchanged — not an implementation change)",
-    "similarity_containment": "posting-join family dedup_ngram_jaccard r10-green",
-    "similarity_ivf": "diagnostic untrained variant; production path ivf_kmeans r10-green + exercised in-window by similarity_recall (displaced by it)",
-    "similarity_lsh_multiprobe": "LSH family: lsh_ann in-window + exercised by similarity_recall (displaced by events_lateral_movement_3hop)",
-    "text_stats": "text tier keeps 0 slots; 5 tier siblings r10-green at latest check",
-    "text_tokens": "text tier; 5 siblings r10-green at latest check",
-    "text_quality": "text tier; 5 siblings r10-green at latest check",
-    "text_langid": "text tier; 5 siblings r10-green at latest check",
+    # relational / set-op / join tier: stable SQL with in-window
+    # family representatives
+    "scan_project": "trivial projection untouched since r1; scan+prune surface exercised by every in-window key",
+    "filter_predicate": "untouched since r1; pushdown plan-pinned (test_plan_audit)",
+    "sort_limit_topk": "TakeOrdered family rep events_heavy_hitters in-window",
+    "union_all": "set-op family, stable SQL untouched since r2",
+    "union_distinct": "set-op family, stable SQL untouched since r2",
+    "intersect": "set-op family, stable SQL untouched since r2",
+    "except_distinct": "set-op family; r9 non-vacuous retarget untouched since",
+    "join_anti": "join family reps join_outer_left/full_outer/semi in-window; r9 URGENT retarget untouched",
+    "join_outer_right": "join family reps join_outer_left + join_full_outer in-window",
+    "join_asof": "range-join family rep join_range_theta in-window",
+    "flatmap_posexplode": "explode family rep flatmap_explode in-window",
+    "deser_json": "deser family rep deser_csv in-window",
+    "subquery_correlated": "stable SQL untouched since r2",
+    "sql_surface": "stable SQL untouched since r2",
+    "map_ops_extra": "scalar/array family rep scalar_string_date_math in-window",
+    "window_rank_extra": "window family reps window_analytic + window_range_time in-window",
+    "agg_stats_moments": "exact decimal power sums untouched since r2; agg family rep agg_distinct in-window",
+    # sketch tier: in-window reps + independent hashlib property tests
+    "agg_cms_freq": "sketch family rep agg_kmv_union in-window; independent hashlib CMS property test",
+    "agg_kmv_sliding_window": "KMV family rep agg_kmv_union in-window; width-parameterized property test vs direct-window KMV",
+    # corpus / text-adjacent tier
+    "corpus_decontaminate": "corpus tier reps corpus_bigrams/mixture_sample/pack_sequences in-window; shares the _shingles core with in-window dedup keys",
+    "corpus_split": "corpus tier reps in-window; judge sf0.01 spot-check r11 green",
+    "multimodal_decode": "from-scratch BMP codec round-trip-tested vs itself and pinned; modality sibling multimodal_audio_features r11-green",
+    "pipeline_dedup_corpus": "composition of in-window dedup_exact + corpus reps; example-pipeline stage ordering test-pinned",
+    "udtf_lateral": "UDTF surface; udf family reps udf_python r10-green + udf_grouped_agg r11-green",
+    # detection tier: online/offline twins share SQL constants, so a
+    # drift is structurally impossible without the partner churning
+    "events_anomaly_mad": "anomaly family rep events_anomaly_zscore in-window; judge sf0.01 spot-check r11 green",
+    "events_beaconing": "online twin stream_exec_beaconing r10-green (shared PLANTS_SQL)",
+    "events_cooccurrence_lift": "association family rep events_markov_transitions in-window; dow_association r11-green shares the lift discipline",
+    "events_first_seen": "equal-age pair with stream_exec_first_seen (shared FIRST_SEEN_SQL); pair-MIN machinery untouched since r9",
+    "events_funnel_daily_conversion": "funnel family rep events_funnel r11-green (shared funnel_stages core)",
+    "events_impossible_travel": "online twin stream_exec_impossible_travel r10-green (shared IMPOSSIBLE_TRAVEL_SQL)",
+    "events_password_spray": "equal-age pair with stream_exec_password_spray (shared PASSWORD_SPRAY_SQL + SPRAY_PLANTS_SQL)",
+    "events_session_paths": "trigram miner on the shared _sessionized core; session family reps events_sessionize_batch + stream_session in-window",
+    "events_session_rarity": "online twin stream_exec_session_rarity r10-green (shared SESSION_RARITY_SQL); brute-force property test",
+    "logs_cidr_enrich": "zero-shuffle LPM plan-pinned; longest_prefix_match core exercised by the r11-green lateral-movement tier",
+    "logs_dga_score": "equal-age pair with stream_exec_dga_score (shared scorer); judge sf0.01 spot-check r11 green",
+    "stream_tumbling_count": "batch twin of in-window stream_exec_tumbling; judge sf0.01 spot-check r11 green",
+    "rollup_multires": "rollup machinery rep grouping_rollup in-window; drain twin stream_exec_incremental_rollup equal-age",
+    # streaming-exec tier: each shares its oracle constant with its
+    # batch twin (above) or keeps an in-window machinery rep
+    "stream_exec_anomaly_mad": "equal-age pair with events_anomaly_mad (shared ANOMALY_MAD_SQL); kernel recovery tests",
+    "stream_exec_dga_score": "equal-age pair with logs_dga_score (shared scorer core)",
+    "stream_exec_first_seen": "complete-mode MIN drain; complete-mode agg machinery rep stream_exec_tumbling in-window",
+    "stream_exec_funnel": "shared FUNNEL_SQL with events_funnel r11-green; stateful-kernel family rep stateful_running_total in-window",
+    "stream_exec_incremental_rollup": "store-conf path re-measured every bench (headline key); rollup SQL untouched since r8",
+    "stream_exec_password_spray": "equal-age pair with events_password_spray (shared SQL); COUNT-only state, order-insensitive",
+    "stream_exec_template_drift": "shared TEMPLATE_DRIFT_SQL with logs_template_drift in-window",
+    "ts_resample_ffill_clamped": "family twin ts_resample_ffill in-window; clamp guard test-pinned; judge sf0.01 spot-check r11 green",
 }
 
 
