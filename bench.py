@@ -123,6 +123,15 @@ HEADLINE = [
     "dedup_lsh_recall",
 ]
 
+# Audit keys (VERDICT r11 item 8): these two deliberately run multiple
+# full pipelines (an exact leg + the measured approximate legs), so
+# their cost tracks how many methods are being AUDITED, not how fast
+# the production paths run. They are measured identically (same reps,
+# same min/median discipline) but reported in a separate
+# queries_audit section — the queries_cold convention — so the
+# production-path headline total stays comparable across rounds.
+AUDIT_KEYS = {"similarity_recall", "dedup_lsh_recall"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -198,8 +207,17 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             samples.setdefault(key, []).append(dt)
 
-    timings = {k: min(v) for k, v in samples.items()}
-    medians = {k: round(statistics.median(v), 3) for k, v in samples.items()}
+    timings = {
+        k: min(v) for k, v in samples.items() if k not in AUDIT_KEYS
+    }
+    medians = {
+        k: round(statistics.median(v), 3)
+        for k, v in samples.items()
+        if k not in AUDIT_KEYS
+    }
+    audit = {
+        k: min(v) for k, v in samples.items() if k in AUDIT_KEYS
+    }
     cold = {
         k: samples[k][0] for k in sorted(lloyd_keys) if samples.get(k)
     }
@@ -214,6 +232,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_audit": audit,
+        "audit_value": round(sum(audit.values()), 3),
         "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
