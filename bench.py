@@ -210,10 +210,11 @@ def main() -> None:
     timings = {
         k: min(v) for k, v in samples.items() if k not in AUDIT_KEYS
     }
+    # queries_median keeps the AUDIT keys too: the min-vs-median
+    # noise/regression classification channel must cover every
+    # measured key, not just the headline total's members
     medians = {
-        k: round(statistics.median(v), 3)
-        for k, v in samples.items()
-        if k not in AUDIT_KEYS
+        k: round(statistics.median(v), 3) for k, v in samples.items()
     }
     audit = {
         k: min(v) for k, v in samples.items() if k in AUDIT_KEYS

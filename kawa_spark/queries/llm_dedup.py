@@ -312,8 +312,9 @@ def minhash_signatures(
             "mhs",
         )
     )
-    # persist=False: streaming DataFrames cannot persist — the banked
-    # twin #19 computes this map-side ON the stream and drains it
+    # persist=False: streaming DataFrames cannot persist — twin #19
+    # (streaming_mode.stream_exec_dedup_incremental_minhash, shipped
+    # r12) computes this map-side ON the stream and drains it
     return sig.persist() if persist else sig
 
 
@@ -1333,12 +1334,14 @@ def incremental_minhash_matches(prior: DataFrame, newb: DataFrame) -> DataFrame:
 
 def incremental_minhash_from_sigs(sig: DataFrame) -> DataFrame:
     """The band/pair/verify half over an ALREADY-COMPUTED side-tagged
-    signature table — split out so the banked streaming twin (#19,
-    docs/STATUS.md round-12 candidates) can feed it DRAINED new-side
-    sigs unioned with the static prior sig state; the batch core
-    above feeds it freshly computed sigs. Composition equality is
-    pinned by tests/test_incremental_minhash.py
-    ::test_sig_level_core_composes_with_drained_stream."""
+    signature table — split out so the streaming twin (#19,
+    streaming_mode.stream_exec_dedup_incremental_minhash, shipped
+    r12) can feed it DRAINED new-side sigs unioned with the static
+    prior sig state; the batch core above feeds it freshly computed
+    sigs. Composition equality is pinned by
+    tests/test_incremental_minhash.py
+    ::test_sig_level_core_composes_with_drained_stream, twin equality
+    by ::test_registered_twin_equals_batch_key."""
     bands = minhash_band_rows(sig, extra=("side",))
     bands_n = bands.filter(F.col("side") == "n").select(
         "doc_id", "band_id", "band_hash"
@@ -1492,9 +1495,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(md5_long(F.col("doc_id")) % F.col("s_mod") == 0)
         .drop("s_mod")
     )
+    # persisted: the ~AUDIT_SAMPLE_TARGET-row universe feeds FOUR plan
+    # branches (the minhash pipeline + posts a/b + sizes); without it
+    # each branch re-runs the count aggregate + md5 sample filter
     universe = sampled.unionByName(
         spark.createDataFrame(LSH_RECALL_PLANTS, "doc_id long, text string")
-    )
+    ).persist()
     mh = minhash_pairs(universe).select(
         "doc_a", "doc_b", F.lit(True).alias("mh_found")
     )

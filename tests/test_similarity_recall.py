@@ -119,5 +119,4 @@ def test_recall_has_both_hit_and_miss_classes(spark):
         for m in ALL_METHODS
     }
     assert hits["lsh_multiprobe"] >= hits["lsh_ann"], hits
-    assert hits["lsh_multiprobe_wide"] >= hits["lsh_multiprobe"], hits
     assert hits["lsh_multiprobe_wide"] > hits["lsh_multiprobe"], hits
