@@ -861,11 +861,18 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_oracle() -> str:
-    """DuckDB replay of the trained-IVF pipeline: the kmeans CTE chain
-    (seeds → assign → quantized mean → cent1) verbatim from
-    ``_kmeans_oracle``, then L2 cell assignment / nprobe=2 probe /
-    exact cosine rerank. Every stage deterministic, so the float
-    scores hash-match bit-for-bit."""
+    return _ivf_kmeans_sql(2)
+
+
+def _ivf_kmeans_sql(nprobe: int) -> str:
+    """DuckDB replay of the trained-IVF pipeline at any probe width:
+    the kmeans CTE chain (seeds → assign → quantized mean → cent1)
+    verbatim from ``_kmeans_oracle``, then L2 cell assignment /
+    nprobe-cell probe / exact cosine rerank. Every stage
+    deterministic, so the float scores hash-match bit-for-bit. The
+    registered key binds nprobe=2 (byte-identical to the r5 string —
+    pinned by test_nprobe2_oracle_is_the_registered_form); the banked
+    wide core binds IVF_WIDE_NPROBE."""
     d2_seed = _d2_sql("e.embedding", "s.emb")
     d2_cent = _d2_sql("e.embedding", "c.emb")
     d2_q = _d2_sql("q.embedding", "c.emb")
@@ -911,7 +918,7 @@ def _ivf_kmeans_oracle() -> str:
                                   ORDER BY {d2_q}, c.cid) AS rn
         FROM embeddings q CROSS JOIN cent1 c
         WHERE q.vec_id < {N_QUERIES}
-      ) WHERE rn <= 2
+      ) WHERE rn <= {nprobe}
     ), cand AS (
       SELECT p.q_id, p.q_emb, a.vec_id AS n_id, a.embedding
       FROM probes p JOIN assigned a
@@ -925,6 +932,49 @@ def _ivf_kmeans_oracle() -> str:
     )
     SELECT q_id, n_id, score, rnk FROM ranked WHERE rnk <= {TOP_K}
     """
+
+
+def _ivf_kmeans_frame(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """The trained-IVF pipeline at any probe width — the registered
+    key binds nprobe=2 (unchanged expression tree: the probe cut's
+    literal is the same 2); the banked wide core binds
+    IVF_WIDE_NPROBE."""
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = _lloyd_cent1_cached(e, sf_dir)
+    assigned = _lloyd_assign(e, cents)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe: nprobe nearest cells per query — the window runs over
+    # K=8 broadcast-joined rows per query, not corpus data
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("qd2").asc(), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_emb",
+            "cid",
+            _d2_col(F.col("q_emb"), F.col("emb")).alias("qd2"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+        .select("q_id", "n_id", "score", F.row_number().over(w_rank).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
 
 
 @register("similarity_ivf_kmeans", oracle=_ivf_kmeans_oracle())
@@ -945,40 +995,25 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     read of nprobe/K of the data; here the train+search pipeline runs
     end-to-end in one plan. Rerank is exact cosine on probed cells
     only (~nprobe/K of the corpus per query)."""
-    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    cents = _lloyd_cent1_cached(e, sf_dir)
-    assigned = _lloyd_assign(e, cents)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    # probe: 2 nearest cells per query — the window runs over K=8
-    # broadcast-joined rows per query, not corpus data
-    w_probe = Window.partitionBy("q_id").orderBy(F.col("qd2").asc(), F.col("cid"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "q_id",
-            "q_emb",
-            "cid",
-            _d2_col(F.col("q_emb"), F.col("emb")).alias("qd2"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 2)
-        .select("q_id", "q_emb", "cid")
-    )
-    cand = assigned.join(F.broadcast(probes), "cid").filter(
-        F.col("vec_id") != F.col("q_id")
-    )
-    w_rank = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
-    return (
-        cand.select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
-        )
-        .select("q_id", "n_id", "score", F.row_number().over(w_rank).alias("rnk"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _ivf_kmeans_frame(spark, sf_dir, nprobe=2)
+
+
+IVF_WIDE_NPROBE = 4  # half the K=8 cells searched
+
+
+def similarity_ivf_kmeans_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wide-probe trained IVF (the production ANN path's recall
+    lever, the nprobe knob a deployment actually turns): searches the
+    IVF_WIDE_NPROBE=4 nearest cells instead of 2 — candidates go from
+    ~2/8 to ~4/8 of the corpus, recall measured inside
+    similarity_recall as the 'ivf_kmeans_wide' method row and pinned
+    strictly above ivf_kmeans's. Still every join broadcast; the
+    candidate rerank stays the linear-in-probed-cells exact leg.
+    Banked for standalone registration at the r13 rotation (the r12
+    window is full — docs/STATUS.md round-13 candidates)."""
+    return _ivf_kmeans_frame(spark, sf_dir, nprobe=IVF_WIDE_NPROBE)
 
 
 @register(
@@ -1105,6 +1140,9 @@ def _recall_oracle() -> str:
             _recall_block_sql(
                 "lsh_multiprobe_wide", _multiprobe_sql(WIDE_PROBE_RADIUS)
             ),
+            _recall_block_sql(
+                "ivf_kmeans_wide", _ivf_kmeans_sql(IVF_WIDE_NPROBE)
+            ),
         ]
     )
 
@@ -1121,11 +1159,13 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the measurement should expose),
     similarity_lsh_multiprobe (the ±1-bit probe expansion — its
     candidate set is a superset of the single bucket, so its measured
-    recall is structurally ≥ lsh_ann's; the test pins that), and
+    recall is structurally ≥ lsh_ann's; the test pins that),
     similarity_lsh_multiprobe_wide (r12 — the Hamming-≤2 probe
     expansion acting on r11's measured low LSH recall; superset of
     multiprobe's candidates, recall pinned strictly greater on this
-    corpus).
+    corpus), and similarity_ivf_kmeans_wide (r12 — the PRODUCTION
+    path's recall lever: nprobe=4 of the K=8 trained cells; superset
+    of nprobe=2's candidates, pinned strictly greater).
 
     Exactness: hit counts are integers from an equi-join on
     (q_id, n_id) — no float comparisons anywhere in the measurement
@@ -1149,6 +1189,7 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_ann", similarity_lsh_ann),
         ("lsh_multiprobe", similarity_lsh_multiprobe),
         ("lsh_multiprobe_wide", similarity_lsh_multiprobe_wide),
+        ("ivf_kmeans_wide", similarity_ivf_kmeans_wide),
     ):
         a = fn(spark, sf_dir).select(
             "q_id", "n_id", F.lit(1).alias("hit")

@@ -14,10 +14,13 @@ from __future__ import annotations
 from kawa_spark import registry
 from kawa_spark.queries.llm_similarity import (
     ANN_PLANES,
+    IVF_WIDE_NPROBE,
     N_QUERIES,
     TOP_K,
+    _ivf_kmeans_sql,
     _multiprobe_sql,
     _probe_masks,
+    similarity_ivf_kmeans_wide,
     similarity_lsh_multiprobe_wide,
 )
 
@@ -30,10 +33,13 @@ METHOD_KEYS = {
     "lsh_ann": "similarity_lsh_ann",
     "lsh_multiprobe": "similarity_lsh_multiprobe",
 }
-# the wide variant is a core, not (yet) a registered key — banked for
-# the r13 rotation; its recall row IS driver-checked via
+# the wide variants are cores, not (yet) registered keys — banked for
+# the r13 rotation; their recall rows ARE driver-checked via
 # similarity_recall
-METHOD_FNS = {"lsh_multiprobe_wide": similarity_lsh_multiprobe_wide}
+METHOD_FNS = {
+    "lsh_multiprobe_wide": similarity_lsh_multiprobe_wide,
+    "ivf_kmeans_wide": similarity_ivf_kmeans_wide,
+}
 ALL_METHODS = list(METHOD_KEYS) + list(METHOD_FNS)
 
 
@@ -61,6 +67,17 @@ def test_radius1_masks_and_oracle_are_the_r10_form():
     assert m2[:ANN_PLANES] == _probe_masks(1)
     assert len(m2) == ANN_PLANES + ANN_PLANES * (ANN_PLANES - 1) // 2
     assert len(set(m2)) == len(m2)
+
+
+def test_nprobe2_oracle_is_the_registered_form():
+    """The nprobe parameterization must leave the registered
+    similarity_ivf_kmeans byte-identical: its oracle equals
+    _ivf_kmeans_sql(2), and the wide core widens only the probe cut."""
+    assert registry.ORACLES["similarity_ivf_kmeans"] == _ivf_kmeans_sql(2)
+    assert IVF_WIDE_NPROBE > 2
+    assert _ivf_kmeans_sql(IVF_WIDE_NPROBE).replace(
+        f"rn <= {IVF_WIDE_NPROBE}", "rn <= 2"
+    ) == _ivf_kmeans_sql(2)
 
 
 def test_recall_matches_set_intersection(spark):
@@ -120,3 +137,7 @@ def test_recall_has_both_hit_and_miss_classes(spark):
     }
     assert hits["lsh_multiprobe"] >= hits["lsh_ann"], hits
     assert hits["lsh_multiprobe_wide"] > hits["lsh_multiprobe"], hits
+    # the wide IVF probes a superset of nprobe=2's cells (same
+    # trained centroids, same per-query cell ordering), so ≥ is
+    # structural; strict > is the measured r12 improvement
+    assert hits["ivf_kmeans_wide"] > hits["ivf_kmeans"], hits
