@@ -90,6 +90,47 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_update(
+    spark: SparkSession, prior: DataFrame, new_batch: DataFrame
+) -> DataFrame:
+    """The INCREMENTAL form of the pipeline above — the shape a
+    daily-crawl deployment actually runs once the first training set
+    is committed (r12; built on the r11 incremental tier): today's
+    batch is classified against the committed corpus instead of
+    rebuilding the world.
+
+      new batch
+        → exact gate     (incremental_dedup vs the prior kept-set
+                          digest index: dup_prior / dup_batch rows
+                          are dropped, the batch's own keepers stay)
+        → near-dup gate  (incremental_minhash_matches vs the prior
+                          corpus's LSH buckets: re-crawls whose ad
+                          block rotated — digest misses — are
+                          dropped)
+
+    Returns the accepted (doc_id, text) rows to append. Both gates
+    are the registry cores (one definition); the prior side's digest
+    index and signature/band tables are what a deployment PERSISTS
+    between runs (bucketed by digest / (band_id, band_hash)) — only
+    the day's batch is scanned, hashed, and shuffled here."""
+    from kawa_spark.queries.llm_dedup import (
+        incremental_dedup,
+        incremental_minhash_matches,
+        prior_digest_index,
+    )
+
+    kept_exact = (
+        incremental_dedup(new_batch, prior_digest_index(prior))
+        .filter(F.col("status") == "kept")
+        .select("doc_id")
+    )
+    exact_survivors = new_batch.join(kept_exact, "doc_id", "left_semi")
+    near_dup = incremental_minhash_matches(prior, exact_survivors).select(
+        "doc_id"
+    )
+    return exact_survivors.join(near_dup, "doc_id", "left_anti")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.001", out: str | None = None) -> dict:
     from kawa_spark.session import get_spark
 

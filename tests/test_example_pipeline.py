@@ -154,6 +154,79 @@ def test_training_data_pipeline_composes(spark, tmp_path):
     assert bitten == {1, 2}
 
 
+def test_daily_update_gates_compose(spark):
+    """examples/training_data_pipeline.daily_update (r12): the
+    incremental form classifies today's batch against the committed
+    prior corpus through the registry cores. Checked independently:
+    accepted docs are exactly the batch minus (exact-gate drops ∪
+    near-dup-gate drops), the exact gate is verified against a
+    hashlib digest reference, and both gates bite (a re-delivered
+    prior doc exercises dup_prior; the natural cross-split near-dups
+    exercise the minhash gate)."""
+    import hashlib
+    import re
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/examples")
+    from training_data_pipeline import daily_update
+
+    from kawa_spark.queries.llm_dedup import (
+        INC_PRIOR_MOD,
+        incremental_minhash_matches,
+        is_prior_doc,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    nat = con.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    nat = [(int(d), t) for d, t in nat]
+    prior_rows = [(d, t) for d, t in nat if d % 10 < INC_PRIOR_MOD]
+    new_rows = [(d, t) for d, t in nat if d % 10 >= INC_PRIOR_MOD]
+    # a re-delivered prior doc (same text, new id) must be dropped by
+    # the EXACT gate — at-least-once redelivery, the tier's raison
+    redelivered = (-1, prior_rows[0][1])
+    new_rows = new_rows + [redelivered]
+
+    prior = spark.createDataFrame(prior_rows, "doc_id long, text string")
+    newb = spark.createDataFrame(new_rows, "doc_id long, text string")
+    accepted = {r["doc_id"] for r in daily_update(spark, prior, newb).collect()}
+
+    def norm_digest(t: str) -> str:
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t).strip().lower().encode()
+        ).hexdigest()
+
+    prior_digests = {norm_digest(t) for _, t in prior_rows}
+    exact_drops = {d for d, t in new_rows if norm_digest(t) in prior_digests}
+    near_drops = {
+        r["doc_id"]
+        for r in incremental_minhash_matches(
+            prior,
+            newb.join(
+                spark.createDataFrame(
+                    [(d,) for d in exact_drops], "doc_id long"
+                ),
+                "doc_id",
+                "left_anti",
+            ),
+        ).collect()
+    }
+    want = {d for d, _ in new_rows} - exact_drops - near_drops
+    assert accepted == want, sorted(accepted ^ want)
+    # both gates bit: the redelivered doc via the exact gate, the
+    # natural cross-split near-dups via the minhash gate
+    assert redelivered[0] in exact_drops
+    assert redelivered[0] not in accepted
+    assert near_drops, "near-dup gate must drop the natural re-crawls"
+    assert len(accepted) < len(new_rows) - 1
+
+
 def test_security_analytics_composes(spark):
     """examples/security_analytics.py: the r8 detection tier composed
     over one debounced stream — detectors agree with their registry
