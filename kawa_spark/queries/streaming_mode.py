@@ -64,6 +64,34 @@ def _drain(
     return spark.table(name)
 
 
+def _drain_files(df: DataFrame, spark: SparkSession, prefix: str) -> DataFrame:
+    """Bounded drain through the real streaming runtime to a PARQUET
+    sink instead of the memory sink: the drained rows stay
+    EXECUTOR-SIDE (distributed write, distributed read-back) rather
+    than materializing on the driver — the right drain when the
+    drained volume scales with data (twin #19's per-doc signature
+    table) instead of with keys/windows. The read-back is a plain
+    parquet scan, so downstream self-joins need no localCheckpoint
+    (no View(MemoryPlan) to trip the conflicting-references bug).
+    Scratch dirs are per-process mkdtemp (the _plants_scratch_dir
+    collision discipline) and die with /tmp."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", f"{root}/data")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"file drain {root} did not finish within 300s")
+    return spark.read.schema(df.schema).parquet(f"{root}/data")
+
+
 @register(
     "stream_exec_tumbling",
     oracle="""
@@ -1473,11 +1501,15 @@ def stream_exec_dedup_incremental_minhash(
     signature/band state is the persisted bucketed table of the batch
     key's story (never recomputed in production — here rebuilt from
     the split for the bounded drain). State held by the RUNTIME is
-    zero rows: the only streaming stage is stateless.
-
-    The localCheckpoint on the drained sigs is the memory-sink
-    self-join guard (the verify half joins two frames derived from
-    the drained table)."""
+    zero rows: the only streaming stage is stateless. The drain goes
+    through the PARQUET sink (_drain_files), not the memory sink —
+    the drained signature table is the one per-DOC (volume-scaling)
+    drain in the twin tier, so it must stay executor-side: a
+    distributed write + scan, never a driver materialization (and the
+    parquet read-back needs no localCheckpoint guard for the verify
+    half's self-join). This is literally the production shape — the
+    stream writes the day's signature table where the next snapshot's
+    prior state will be read from."""
     from kawa_spark.queries.llm_dedup import (
         INC_MH_PLANTS_NEW,
         INC_MH_PLANTS_PRIOR,
@@ -1509,7 +1541,7 @@ def stream_exec_dedup_incremental_minhash(
         extra=("side",),
         persist=False,
     )
-    drained = _drain(sig_stream, spark).localCheckpoint()
+    drained = _drain_files(sig_stream, spark, "kawa_incmh_sigdrain_")
     return incremental_minhash_from_sigs(prior_sig.unionByName(drained))
 
 
