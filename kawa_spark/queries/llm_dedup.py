@@ -1501,6 +1501,16 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe = sampled.unionByName(
         spark.createDataFrame(LSH_RECALL_PLANTS, "doc_id long, text string")
     ).persist()
+    return lsh_recall_report(universe)
+
+
+def lsh_recall_report(universe: DataFrame) -> DataFrame:
+    """The found/missed marking + recall over ANY (doc_id, text)
+    audit universe — the registered key binds the hash-sampled
+    corpus + plants; the property test
+    (tests/test_lsh_recall.py::test_lsh_recall_core_matches_hashlib_reference)
+    drives random graded-similarity corpora against a pure-hashlib
+    minhash + posting-dict reference."""
     mh = minhash_pairs(universe).select(
         "doc_a", "doc_b", F.lit(True).alias("mh_found")
     )

@@ -178,6 +178,57 @@ def test_registered_twin_equals_batch_key(spark):
     assert online == batch and batch
 
 
+def test_twin19_multibatch_drain_accumulates(spark, tmp_path):
+    """Twin #19's map-side signature stage under a FORCED multi-batch
+    drain (maxFilesPerTrigger=1 over a multi-file source): append-mode
+    parquet-sink accumulation across microbatches must equal the
+    batch signatures exactly — the stateless-stage claim, proven
+    under the runtime's actual batching."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kawa_spark.queries.llm_dedup import minhash_signatures
+
+    rows = [(i, f"doc {i} body " + " ".join(f"w{i}x{j}" for j in range(12)))
+            for i in range(40)]
+    src = tmp_path / "docs_mb"
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        4
+    ).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sig_stream = minhash_signatures(
+        stream.withColumn("side", F.lit("n")), extra=("side",), persist=False
+    )
+    out = tmp_path / f"sig_drain_{uuid.uuid4().hex[:6]}"
+    q = (
+        sig_stream.writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(q.recentProgress) > 1, "must run multiple microbatches"
+    drained = {
+        (r["doc_id"], tuple(r["vh"]), tuple(r["mhs"]))
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    batch = {
+        (r["doc_id"], tuple(r["vh"]), tuple(r["mhs"]))
+        for r in minhash_signatures(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            persist=False,
+        ).collect()
+    }
+    assert drained == batch and len(batch) == 40
+
+
 def test_sig_level_core_composes_with_drained_stream(spark, tmp_path):
     """The banked twin-#19 shape, minus registration: the NEW side's
     signatures are computed map-side ON a stream (persist=False) and

@@ -129,6 +129,97 @@ def test_sampled_gt_is_restriction_of_uncapped(spark, sf_dir):
     assert len(_sampled(nat, [])) < len(nat)
 
 
+def _self_matches_ref(docs):
+    """Pure-hashlib reference of the SELF-JOIN minhash pipeline
+    (band buckets, combined-population cap, a<b pairing,
+    SIG_MIN_MATCH prefilter, exact jaccard ≥ 0.2) — the single-side
+    analog of test_incremental_minhash._matches_ref."""
+    from kawa_spark.queries.llm_dedup import (
+        BUCKET_CAP,
+        N_BANDS,
+        N_PERM,
+        SIG_MIN_MATCH,
+    )
+    from tests.test_incremental_minhash import _sig_ref
+
+    rows_per_band = N_PERM // N_BANDS
+    sigs = {}
+    buckets: dict[tuple, list] = {}
+    for d, t in docs:
+        vh, mhs = _sig_ref(t)
+        sigs[d] = (vh, mhs)
+        for b in range(N_BANDS):
+            key = (
+                b,
+                "|".join(
+                    str(mhs[b * rows_per_band + r])
+                    for r in range(rows_per_band)
+                ),
+            )
+            buckets.setdefault(key, []).append(d)
+    out = set()
+    for key, members in buckets.items():
+        if len(members) > BUCKET_CAP:
+            continue
+        for i, da in enumerate(members):
+            for db in members[i + 1 :]:
+                a, b = min(da, db), max(da, db)
+                if (a, b) in out:
+                    continue
+                vh_a, mh_a = sigs[a]
+                vh_b, mh_b = sigs[b]
+                if sum(x == y for x, y in zip(mh_a, mh_b)) < SIG_MIN_MATCH:
+                    continue
+                if len(vh_a & vh_b) / len(vh_a | vh_b) >= 0.2:
+                    out.add((a, b))
+    return out
+
+
+def test_lsh_recall_core_matches_hashlib_reference(spark):
+    """The whole audit chain (ground-truth posting join, minhash
+    found marks, recall arithmetic) driven over RANDOM
+    graded-similarity corpora against pure-Python references — the
+    fixed-corpus test above can't catch errors that happen to cancel
+    on the sf0.001 shape."""
+    import random
+
+    from kawa_spark.queries.llm_dedup import lsh_recall_report
+
+    rng = random.Random(0x12A5)
+    vocab = [f"v{i}" for i in range(50)]
+    for trial in range(3):
+        docs = []
+        for d in range(14):
+            words = [rng.choice(vocab) for _ in range(30)]
+            docs.append((d, " ".join(words)))
+            if d % 3 == 0:
+                mutated = list(words)
+                for k in range(d // 3 + 1):  # graded similarity
+                    mutated[2 * k] = rng.choice(vocab)
+                docs.append((100 + d, " ".join(mutated)))
+        got = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in lsh_recall_report(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            ).collect()
+        }
+        want_gt = _gt_ref(docs)
+        found_ref = _self_matches_ref(docs)
+        assert set(got) == set(want_gt), (trial, set(got) ^ set(want_gt))
+        n_found = 0
+        for k, jac in want_gt.items():
+            assert abs(got[k]["jaccard"] - jac) <= 1e-12, (trial, k)
+            assert got[k]["found"] == (k in found_ref), (trial, k)
+            n_found += k in found_ref
+        row = next(iter(got.values()))
+        assert row["gt_pairs"] == len(want_gt)
+        assert row["found_pairs"] == n_found
+        assert abs(row["recall"] - n_found / len(want_gt)) <= 1e-15
+        # non-trivial probe corpus: ground truth exists and the found
+        # set is a proper subset at least once across trials
+        assert want_gt
+
+
 def test_lsh_recall_plant_classes(spark, sf_dir):
     """The 0.90 plant pair is found, the 0.23 plant pair is in the
     ground truth but MISSED (the deterministic band-miss class), and
