@@ -1138,11 +1138,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Above the broadcast cap a production deployment persists the
     prior kept-set digest index BUCKETED BY digest (sinks/compact.py
     snapshot + bucketed layout), so the join co-locates without ever
-    re-shuffling the corpus — only the day's batch moves. A KMV /
-    Bloom membership sketch can pre-prune the probe (most new docs
-    are novel), but the exact join against the digest index is what
-    makes the drop decision idempotent; the index IS the compact
-    state. tests/test_incremental_dedup.py verifies the
+    re-shuffling the corpus — only the day's batch moves. On that
+    path a Bloom membership pre-prune (r12, functions/bloom.py via
+    ``incremental_dedup(prefilter_bits=)``) broadcasts ~1 byte/key
+    instead of the index and lets the novel majority skip the join;
+    false positives resolve in the exact join, so the composed output
+    is identical (invariance test-pinned) — the exact join against
+    the digest index is still what makes the drop decision
+    idempotent; the index IS the compact state.
+    tests/test_incremental_dedup.py verifies the
     snapshot-composition path (prior index written + read back) is
     row-identical to the in-query construction.
 
@@ -1164,18 +1168,55 @@ def prior_digest_index(prior: DataFrame) -> DataFrame:
     )
 
 
-def incremental_dedup(new_batch: DataFrame, prior_index: DataFrame) -> DataFrame:
+def incremental_dedup(
+    new_batch: DataFrame,
+    prior_index: DataFrame,
+    prefilter_bits: int | None = None,
+) -> DataFrame:
     """Core classifier over any (doc_id, text) new batch + (h,
     prior_id) prior digest index. ONE exchange total: the new batch
     shuffles on h for the keeper window, and the prior index joins
     broadcast (see the registered key's docstring for the
     above-broadcast-cap plan). Brute-force property test:
-    tests/test_incremental_dedup.py."""
+    tests/test_incremental_dedup.py.
+
+    ``prefilter_bits`` (r12 — the docstring promise made code): the
+    above-broadcast-cap path's Bloom membership pre-prune
+    (functions/bloom.py). When set, a prefilter_bits-wide Bloom
+    filter over the index keys broadcasts instead of the index
+    itself; rows whose digest the filter rules out (the novel
+    majority of a daily crawl — no false negatives by construction)
+    classify as non-prior WITHOUT touching the index join, and only
+    the might-contain survivors probe the (bucketed, non-broadcast)
+    index. False positives resolve in the exact join, so the
+    composed output is IDENTICAL —
+    tests/test_incremental_dedup.py::test_prefilter_is_invariant
+    pins it, the kmv_distinct(prefilter=) discipline."""
     nh = new_batch.select("doc_id", _norm_digest(F.col("text")).alias("h"))
     nk = nh.withColumn(
         "keeper_id", F.min("doc_id").over(Window.partitionBy("h"))
     )
-    return classify_incremental(nk.join(F.broadcast(prior_index), "h", "left"))
+    if prefilter_bits is None:
+        return classify_incremental(
+            nk.join(F.broadcast(prior_index), "h", "left")
+        )
+    from kawa_spark.functions.bloom import bloom_build, bloom_might_contain
+
+    bloom = bloom_build(prior_index, "h", prefilter_bits)
+    probed = (
+        nk.crossJoin(F.broadcast(bloom))
+        .withColumn("mc", bloom_might_contain(F.col("h"), prefilter_bits))
+        .drop("words")
+    )
+    candidates = (
+        probed.filter(F.col("mc")).drop("mc").join(prior_index, "h", "left")
+    )
+    novel = (
+        probed.filter(~F.col("mc"))
+        .drop("mc")
+        .withColumn("prior_id", F.lit(None).cast("long"))
+    )
+    return classify_incremental(candidates.unionByName(novel))
 
 
 def classify_incremental(joined: DataFrame) -> DataFrame:

@@ -135,6 +135,73 @@ def test_incremental_snapshot_composition(spark, tmp_path):
     assert via_snapshot == direct and direct
 
 
+def test_bloom_has_no_false_negatives_and_sane_fp(spark):
+    """functions/bloom.py: every built key must test present (the
+    no-false-negative guarantee the prefilter's correctness rests
+    on), and non-members must mostly test absent at the default
+    sizing (fp well under the loose 15% bound; expected ~2.4% at 8
+    bits/key, K_HASH=4)."""
+    from pyspark.sql import functions as F
+
+    from kawa_spark.functions.bloom import (
+        BITS_PER_KEY,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    rng = random.Random(0xB100)
+    members = [f"k{rng.randrange(10**9)}" for _ in range(2000)]
+    others = [f"x{rng.randrange(10**9)}" for _ in range(2000)]
+    m_bits = BITS_PER_KEY * len(members)
+    idx = spark.createDataFrame([(m,) for m in members], "h string")
+    bloom = bloom_build(idx, "h", m_bits)
+
+    def probe(keys):
+        df = (
+            spark.createDataFrame([(k,) for k in keys], "h string")
+            .crossJoin(F.broadcast(bloom))
+            .select(bloom_might_contain(F.col("h"), m_bits).alias("mc"))
+        )
+        return [r["mc"] for r in df.collect()]
+
+    assert all(probe(members)), "false negative — bloom is broken"
+    fp = sum(probe(others)) / len(others)
+    assert fp < 0.15, fp
+
+
+def test_prefilter_is_invariant(spark):
+    """incremental_dedup(prefilter_bits=...) must classify IDENTICALLY
+    to the broadcast-join form on random two-snapshot corpora — the
+    kmv_distinct(prefilter=) discipline. Exercised with cross-split
+    dups (the bloom-pass path), novel docs (the bloom-skip path), and
+    a deliberately TINY filter (high fp rate: false positives must
+    resolve in the exact join, never misclassify)."""
+    rng = random.Random(0xB101)
+    vocab = [f"w{i}" for i in range(40)]
+    prior, newb = [], []
+    for d in range(25):
+        t = " ".join(rng.choice(vocab) for _ in range(12))
+        prior.append((d, t))
+        if d % 4 == 0:
+            newb.append((100 + d, t.upper()))  # norm-equal re-crawl
+    for d in range(30):
+        newb.append((200 + d, " ".join(rng.choice(vocab) for _ in range(12))))
+    newb.append((300, newb[-1][1]))  # within-batch dup
+    idx = prior_digest_index(_mk(spark, prior))
+    base = {tuple(r) for r in incremental_dedup(_mk(spark, newb), idx).collect()}
+    for bits in (8 * len(prior), 64):  # default sizing + tiny/high-fp
+        pre = {
+            tuple(r)
+            for r in incremental_dedup(
+                _mk(spark, newb), idx, prefilter_bits=bits
+            ).collect()
+        }
+        assert pre == base and base, bits
+    # both prefilter paths genuinely exercised at the default sizing
+    assert any(s == "dup_prior" for _, s, _ in base)
+    assert any(s == "kept" for _, s, _ in base)
+
+
 def test_incremental_plan_shape(spark):
     """Only the snapshots shuffle on the digest (prior index build +
     new-batch keeper window = ≤2 exchanges); the probe join itself is
