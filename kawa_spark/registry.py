@@ -63,7 +63,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # parameterization reproduces the r10 construction exactly for
 # radius=1 (oracle equality pinned by
 # test_radius1_masks_and_oracle_are_the_r10_form; the key is
-# in-window via the deferred tier regardless). Max evidence age
+# in-window via the deferred tier regardless);
+# similarity_ivf_kmeans's nprobe parameterization reproduces the
+# registered nprobe=2 form exactly (oracle equality pinned by
+# test_nprobe2_oracle_is_the_registered_form AND verified against
+# the committed r11 string at refactor time); dedup_incremental
+# gained an OPTIONAL prefilter_bits parameter whose default-None
+# branch is the previous construction verbatim (output invariance of
+# the non-default branch pinned by test_prefilter_is_invariant).
+# Max evidence age
 # after this round's driver check: deferred = r9 evidence = 3 rounds
 # at r12 (the standing one-tier lag); everything else <= 2.
 DRIVER_WINDOW: list[str] = [
