@@ -44,7 +44,12 @@ BITS_PER_KEY = 8  # default sizing → ~2.4% false-positive rate
 def _positions(key: Column, m_bits: int) -> list[Column]:
     """The K_HASH bit positions of a key — ONE definition shared by
     build and probe (a drift here would silently break the
-    no-false-negative guarantee)."""
+    no-false-negative guarantee). Validates m_bits HERE so a
+    day-zero caller sizing the filter as bits_per_key·0 gets a clean
+    ValueError at plan-build time instead of an executor-side pmod
+    DIVIDE_BY_ZERO at action time (code review r12)."""
+    if m_bits <= 0:
+        raise ValueError(f"bloom filter width must be positive, got {m_bits}")
     return [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
         for i in range(K_HASH)

@@ -73,11 +73,20 @@ def _drain_files(df: DataFrame, spark: SparkSession, prefix: str) -> DataFrame:
     table) instead of with keys/windows. The read-back is a plain
     parquet scan, so downstream self-joins need no localCheckpoint
     (no View(MemoryPlan) to trip the conflicting-references bug).
-    Scratch dirs are per-process mkdtemp (the _plants_scratch_dir
-    collision discipline) and die with /tmp."""
-    import tempfile
 
-    root = tempfile.mkdtemp(prefix=prefix)
+    Scratch discipline (code review r12): ONE per-process dir per
+    prefix (the _plants_scratch_dir memoization), WIPED at the start
+    of each drain — both the data and the checkpoint, since a stale
+    checkpoint would mark the source files already-processed and
+    silently drain nothing. Serial re-runs in a process therefore
+    reuse a single bounded dir instead of leaking a fresh mkdtemp
+    (and its full drained table) per invocation; frames returned by
+    EARLIER drains of the same prefix are invalidated by the wipe,
+    which matches the memory sink's same-name-requery semantics."""
+    import shutil
+
+    root = _plants_scratch_dir(prefix)
+    shutil.rmtree(root, ignore_errors=True)
     q = (
         df.writeStream.format("parquet")
         .option("path", f"{root}/data")
@@ -89,6 +98,12 @@ def _drain_files(df: DataFrame, spark: SparkSession, prefix: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError(f"file drain {root} did not finish within 300s")
+    import os
+
+    if not os.path.isdir(f"{root}/data"):
+        # zero committed microbatches: the parquet sink never creates
+        # the path — mirror the memory sink's empty-table behavior
+        return spark.createDataFrame([], df.schema)
     return spark.read.schema(df.schema).parquet(f"{root}/data")
 
 

@@ -203,7 +203,19 @@ def test_daily_update_gates_compose(spark):
         ).hexdigest()
 
     prior_digests = {norm_digest(t) for _, t in prior_rows}
-    exact_drops = {d for d, t in new_rows if norm_digest(t) in prior_digests}
+    # exact gate reference covers BOTH exact classes (code review
+    # r12): dup_prior (digest in the prior set) AND dup_batch (not
+    # the min-doc_id keeper of its digest within the batch) — the
+    # pipeline keeps only status=='kept'
+    batch_keeper: dict[str, int] = {}
+    for d, t in new_rows:
+        h = norm_digest(t)
+        batch_keeper[h] = min(batch_keeper.get(h, d), d)
+    exact_drops = {
+        d
+        for d, t in new_rows
+        if norm_digest(t) in prior_digests or d != batch_keeper[norm_digest(t)]
+    }
     near_drops = {
         r["doc_id"]
         for r in incremental_minhash_matches(

@@ -187,6 +187,7 @@ def test_lsh_recall_core_matches_hashlib_reference(spark):
 
     rng = random.Random(0x12A5)
     vocab = [f"v{i}" for i in range(50)]
+    any_found = False
     for trial in range(3):
         docs = []
         for d in range(14):
@@ -197,6 +198,14 @@ def test_lsh_recall_core_matches_hashlib_reference(spark):
                 for k in range(d // 3 + 1):  # graded similarity
                     mutated[2 * k] = rng.choice(vocab)
                 docs.append((100 + d, " ".join(mutated)))
+        # the registered key's LOW plant pair rides every trial: its
+        # fixed texts deterministically band-miss at jaccard 18/78,
+        # so the found=False / recall<1 branch — the class the audit
+        # exists to measure — is exercised EVERY trial, not by luck
+        # (code review r12: the random corpus alone can't guarantee
+        # a missed pair)
+        lo = (-9002, LSH_RECALL_PLANTS[2][1]), (-9001, LSH_RECALL_PLANTS[3][1])
+        docs += list(lo)
         got = {
             (r["doc_a"], r["doc_b"]): r
             for r in lsh_recall_report(
@@ -205,6 +214,7 @@ def test_lsh_recall_core_matches_hashlib_reference(spark):
         }
         want_gt = _gt_ref(docs)
         found_ref = _self_matches_ref(docs)
+        assert want_gt, trial  # non-degenerate before any arithmetic
         assert set(got) == set(want_gt), (trial, set(got) ^ set(want_gt))
         n_found = 0
         for k, jac in want_gt.items():
@@ -215,9 +225,12 @@ def test_lsh_recall_core_matches_hashlib_reference(spark):
         assert row["gt_pairs"] == len(want_gt)
         assert row["found_pairs"] == n_found
         assert abs(row["recall"] - n_found / len(want_gt)) <= 1e-15
-        # non-trivial probe corpus: ground truth exists and the found
-        # set is a proper subset at least once across trials
-        assert want_gt
+        # both classes every trial: the plant pair is missed...
+        assert got[(-9002, -9001)]["found"] is False, trial
+        assert row["recall"] < 1
+        any_found = any_found or n_found > 0
+    # ...and the found class shows up across the trials
+    assert any_found
 
 
 def test_lsh_recall_plant_classes(spark, sf_dir):

@@ -72,8 +72,20 @@ def test_radius1_masks_and_oracle_are_the_r10_form():
 def test_nprobe2_oracle_is_the_registered_form():
     """The nprobe parameterization must leave the registered
     similarity_ivf_kmeans byte-identical: its oracle equals
-    _ivf_kmeans_sql(2), and the wide core widens only the probe cut."""
+    _ivf_kmeans_sql(2), the wide core widens only the probe cut, and
+    the FULL string is pinned by an md5 of the r11 committed form
+    (code review r12: without an independent pin, a future edit to
+    the shared CTE chain — mirrored in _ivf_kmeans_frame so the hash
+    check still agrees — would pass the tautological equality while
+    silently changing the registered key; editing this literal is the
+    conscious act that must put the key in-window)."""
+    import hashlib
+
     assert registry.ORACLES["similarity_ivf_kmeans"] == _ivf_kmeans_sql(2)
+    assert (
+        hashlib.md5(_ivf_kmeans_sql(2).encode()).hexdigest()
+        == "0185e6f870e5478c470a50a4ed9b1ee9"
+    )
     assert IVF_WIDE_NPROBE > 2
     assert _ivf_kmeans_sql(IVF_WIDE_NPROBE).replace(
         f"rn <= {IVF_WIDE_NPROBE}", "rn <= 2"
