@@ -596,6 +596,125 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-snapshot embedding near-dup (r12 core — registration banked
+# for r13): the third modality of the incremental-dedup family
+# (exact digests r11, minhash shingles r11, embedding cosine here).
+# New-side plants are DERIVED in both engines (scaled copies of the
+# first EMB_INC_PLANT_N prior vectors (vec_id < 4, all in the prior
+# split under the %10 predicate) — same direction ⇒ identical
+# sign-LSH signature by construction, cosine exactly 1.0 up to fold
+# rounding), so the match class is deterministic at every SF; the
+# natural new split provides the novel/absent class (the raw corpus
+# has no cross-pair at cosine ≥ 0.9 — the dedup_embedding_cosine
+# vacuity lesson).
+EMB_INC_PLANT_N = 4
+
+
+def _inc_embedding_oracle() -> str:
+    from kawa_spark.queries.llm_dedup import INC_PRIOR_MOD
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    ), prior0 AS (
+      SELECT vec_id, embedding FROM base WHERE vec_id % 10 < {INC_PRIOR_MOD}
+    ), new0 AS (
+      SELECT vec_id, embedding FROM base WHERE vec_id % 10 >= {INC_PRIOR_MOD}
+      UNION ALL
+      SELECT vec_id + 3000000 AS vec_id,
+             list_transform(embedding, x -> x * 1.25) AS embedding
+      FROM prior0 WHERE vec_id < {EMB_INC_PLANT_N}
+    ), corpus0 AS (
+      SELECT vec_id, 'p' AS side, embedding FROM prior0
+      UNION ALL
+      SELECT vec_id, 'n' AS side, embedding FROM new0
+    ), corpus1 AS (
+      SELECT vec_id, side, embedding, {_sig_sql('embedding')} AS sig
+      FROM corpus0
+    ), corpus AS (
+      SELECT vec_id, side, embedding, sig FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY sig) AS bucket_n FROM corpus1
+      ) WHERE bucket_n <= {EMB_BUCKET_CAP}
+    )
+    SELECT n.vec_id AS vec_id, p.vec_id AS prior_id,
+           {_cos_sql('n.embedding', 'p.embedding')} AS cos_sim
+    FROM corpus n JOIN corpus p
+      ON n.sig = p.sig AND n.side = 'n' AND p.side = 'p'
+    WHERE {_cos_sql('n.embedding', 'p.embedding')} >= 0.9
+    """
+
+
+def incremental_embedding_matches(
+    prior: DataFrame, newb: DataFrame
+) -> DataFrame:
+    """Today's embedding batch bucket-joined against the PRIOR
+    corpus's sign-LSH buckets and verified with exact cosine ≥ 0.9 —
+    dedup_embedding_cosine's self-join replaced by the new×prior
+    cross-snapshot form (the dedup_incremental_minhash shape in
+    vector space). Combined-population EMB_BUCKET_CAP guard, output
+    (vec_id, prior_id, cos_sim); novel vectors are absent.
+
+    Scale: a production run persists the prior side's (vec_id, sig)
+    table bucketed by sig with the snapshot (the compact-state
+    discipline of the other two incremental modalities) so only the
+    day's batch is hashed; candidates exist only inside shared
+    capped buckets — never quadratic. Property test:
+    tests/test_embedding_dedup.py drives it against a pure-Python
+    left-fold cosine + signature reference on random vector sets."""
+    docs = prior.select(
+        "vec_id", F.lit("p").alias("side"), "embedding"
+    ).unionByName(newb.select("vec_id", F.lit("n").alias("side"), "embedding"))
+    e = docs.select(
+        "vec_id", "side", "embedding", _signature(F.col("embedding")).alias("sig")
+    )
+    w_bucket = Window.partitionBy("sig")
+    e = (
+        e.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+        .drop("bucket_n")
+        .persist()  # both join sides hash each vector once
+    )
+    n = e.filter(F.col("side") == "n").select(
+        "vec_id", F.col("embedding").alias("n_emb"), "sig"
+    )
+    p = e.filter(F.col("side") == "p").select(
+        F.col("vec_id").alias("prior_id"),
+        F.col("embedding").alias("p_emb"),
+        "sig",
+    )
+    return (
+        n.join(p, "sig")
+        .select(
+            "vec_id",
+            "prior_id",
+            cosine(F.col("n_emb"), F.col("p_emb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registration-ready binding (r12 core, banked for the r13
+    window — docs/STATUS.md round-13 candidates): modulo snapshot
+    split on vec_id (the shared is_prior_doc predicate), derived
+    scaled re-embed plants on the new side, the cross-snapshot core
+    above. Oracle generator: _inc_embedding_oracle — verified
+    hash-green at sf0.001 + sf0.01 at build time; r13 registration is
+    one @register line + a window slot."""
+    from kawa_spark.queries.llm_dedup import is_prior_doc
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    prior = base.filter(is_prior_doc(F.col("vec_id")))
+    plants = prior.filter(F.col("vec_id") < EMB_INC_PLANT_N).select(
+        (F.col("vec_id") + F.lit(3000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    newb = base.filter(~is_prior_doc(F.col("vec_id"))).unionByName(plants)
+    return incremental_embedding_matches(prior, newb)
+
+
 @register(
     "embedding_centroids",
     oracle="""

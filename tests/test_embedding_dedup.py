@@ -48,3 +48,127 @@ def test_nontrivial_cosine_pair_present(result):
 def test_result_is_nonvacuous_and_thresholded(result):
     assert len(result) >= N_PLANT  # never empty again
     assert all(c >= 0.9 for c in result.values())
+
+
+# ---------------------------------------------------------------------------
+# r12: cross-snapshot embedding near-dup (the banked r13 key's core)
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b):
+    """Python twin of llm_similarity.dot — the LEFT fold in float64,
+    same evaluation order, so signatures and cosines replay
+    bit-identically."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _sig_ref(v):
+    from kawa_spark.queries.llm_similarity import N_PLANES, _hyperplanes
+
+    sig = 0
+    for i, plane in enumerate(_hyperplanes()[:N_PLANES]):
+        if _fold_dot(v, plane) > 0:
+            sig += 1 << i
+    return sig
+
+
+def _inc_emb_ref(prior, newb):
+    """Pure-Python cross-snapshot matcher: sign-LSH buckets over both
+    sides, combined-population cap, new×prior pairs in shared
+    buckets, left-fold cosine ≥ 0.9."""
+    import math
+
+    from kawa_spark.queries.llm_similarity import EMB_BUCKET_CAP
+
+    buckets: dict[int, list] = {}
+    vecs = {}
+    for side, rows in (("p", prior), ("n", newb)):
+        for vid, v in rows:
+            vecs[(side, vid)] = v
+            buckets.setdefault(_sig_ref(v), []).append((side, vid))
+    out = {}
+    for members in buckets.values():
+        if len(members) > EMB_BUCKET_CAP:
+            continue
+        for sn, dn in members:
+            if sn != "n":
+                continue
+            for sp, dp in members:
+                if sp != "p":
+                    continue
+                a, b = vecs[("n", dn)], vecs[("p", dp)]
+                cos = _fold_dot(a, b) / (
+                    math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+                )
+                if cos >= 0.9:
+                    out[(dn, dp)] = cos
+    return out
+
+
+def test_incremental_embedding_matches_python_reference(spark):
+    """incremental_embedding_matches on random vector snapshots with
+    planted scaled re-embeds, noisy re-embeds (cosine just under /
+    over the bar), and novel vectors — must equal the pure-Python
+    left-fold reference exactly."""
+    import random
+
+    from kawa_spark.queries.llm_similarity import (
+        DIM,
+        incremental_embedding_matches,
+    )
+
+    rng = random.Random(0xE12B)
+    prior, newb = [], []
+    for d in range(15):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        prior.append((d, v))
+        if d % 3 == 0:
+            newb.append((100 + d, [x * 1.25 for x in v]))  # exact re-embed
+        if d % 3 == 1:
+            noisy = [x + rng.gauss(0, 0.18) for x in v]  # borderline
+            newb.append((200 + d, noisy))
+    for d in range(10):
+        newb.append((300 + d, [rng.gauss(0, 1) for _ in range(DIM)]))
+    got = {
+        (r["vec_id"], r["prior_id"]): r["cos_sim"]
+        for r in incremental_embedding_matches(
+            spark.createDataFrame(prior, "vec_id long, embedding array<double>"),
+            spark.createDataFrame(newb, "vec_id long, embedding array<double>"),
+        ).collect()
+    }
+    want = _inc_emb_ref(prior, newb)
+    assert set(got) == set(want), sorted(set(got) ^ set(want))
+    for k, cos in want.items():
+        assert got[k] == pytest.approx(cos, abs=1e-12), k
+    # non-trivial: the scaled re-embeds all match, and at least one
+    # new vector is novel (absent)
+    assert all((100 + d, d) in want for d in range(0, 15, 3))
+    matched_new = {d for d, _ in want}
+    assert any(300 + d not in matched_new for d in range(10))
+
+
+def test_incremental_embedding_registration_ready(spark):
+    """The banked r13 binding: plants match their prior originals at
+    cosine ~1.0, every output pair goes new → prior across the modulo
+    split, and the oracle generator is hash-consistent (verified at
+    build time; this pins the plant classes)."""
+    from kawa_spark.queries.llm_similarity import (
+        EMB_INC_PLANT_N,
+        dedup_incremental_embedding,
+    )
+
+    rows = dedup_incremental_embedding(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["vec_id"], r["prior_id"]): r["cos_sim"] for r in rows}
+    for vid in range(EMB_INC_PLANT_N):
+        key = (vid + 3000000, vid)
+        assert key in got, f"planted re-embed {key} missing"
+        assert got[key] == pytest.approx(1.0, abs=1e-9)
+    from kawa_spark.queries.llm_dedup import INC_PRIOR_MOD
+
+    for (n, p), _ in got.items():
+        if n < 3000000:
+            assert n % 10 >= INC_PRIOR_MOD, (n, p)
+        assert p % 10 < INC_PRIOR_MOD, (n, p)
