@@ -644,6 +644,51 @@ def _inc_embedding_oracle() -> str:
     """
 
 
+def embedding_sigs(tagged: DataFrame, persist: bool = True) -> DataFrame:
+    """(vec_id, side, embedding) → + the 16-bit sign-LSH sig — the
+    map-side stage of the cross-snapshot embedding matcher, split out
+    (the minhash_signatures discipline) so a streaming twin can
+    compute it ON the embedding stream (persist=False: streaming
+    DataFrames cannot persist) and drain it; the batch core persists
+    because both join sides read it."""
+    e = tagged.select(
+        "vec_id", "side", "embedding", _signature(F.col("embedding")).alias("sig")
+    )
+    return e.persist() if persist else e
+
+
+def incremental_embedding_from_sigs(e: DataFrame) -> DataFrame:
+    """The bucket-cap / new×prior join / cosine-verify half over an
+    ALREADY-COMPUTED side-tagged sig table — the
+    incremental_minhash_from_sigs seam for the embedding modality;
+    composition with a drained stream is pinned by
+    tests/test_embedding_dedup.py
+    ::test_embedding_sig_core_composes_with_drained_stream."""
+    w_bucket = Window.partitionBy("sig")
+    e = (
+        e.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+        .drop("bucket_n")
+    )
+    n = e.filter(F.col("side") == "n").select(
+        "vec_id", F.col("embedding").alias("n_emb"), "sig"
+    )
+    p = e.filter(F.col("side") == "p").select(
+        F.col("vec_id").alias("prior_id"),
+        F.col("embedding").alias("p_emb"),
+        "sig",
+    )
+    return (
+        n.join(p, "sig")
+        .select(
+            "vec_id",
+            "prior_id",
+            cosine(F.col("n_emb"), F.col("p_emb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
 def incremental_embedding_matches(
     prior: DataFrame, newb: DataFrame
 ) -> DataFrame:
@@ -664,33 +709,7 @@ def incremental_embedding_matches(
     docs = prior.select(
         "vec_id", F.lit("p").alias("side"), "embedding"
     ).unionByName(newb.select("vec_id", F.lit("n").alias("side"), "embedding"))
-    e = docs.select(
-        "vec_id", "side", "embedding", _signature(F.col("embedding")).alias("sig")
-    )
-    w_bucket = Window.partitionBy("sig")
-    e = (
-        e.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
-        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
-        .drop("bucket_n")
-        .persist()  # both join sides hash each vector once
-    )
-    n = e.filter(F.col("side") == "n").select(
-        "vec_id", F.col("embedding").alias("n_emb"), "sig"
-    )
-    p = e.filter(F.col("side") == "p").select(
-        F.col("vec_id").alias("prior_id"),
-        F.col("embedding").alias("p_emb"),
-        "sig",
-    )
-    return (
-        n.join(p, "sig")
-        .select(
-            "vec_id",
-            "prior_id",
-            cosine(F.col("n_emb"), F.col("p_emb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.9)
-    )
+    return incremental_embedding_from_sigs(embedding_sigs(docs))
 
 
 def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -172,3 +172,69 @@ def test_incremental_embedding_registration_ready(spark):
         if n < 3000000:
             assert n % 10 >= INC_PRIOR_MOD, (n, p)
         assert p % 10 < INC_PRIOR_MOD, (n, p)
+
+
+def test_embedding_sig_core_composes_with_drained_stream(spark, tmp_path):
+    """The banked twin-#20 shape, minus registration (the twin-#19
+    pre-stage discipline): NEW-side sign-LSH sigs computed map-side
+    ON an embedding stream (persist=False), drained through the real
+    runtime via the parquet file sink, unioned with the static prior
+    sig state, and fed to the sig-level core — must equal the banked
+    batch binding exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kawa_spark.io import table
+    from kawa_spark.queries.llm_dedup import is_prior_doc
+    from kawa_spark.queries.llm_similarity import (
+        EMB_INC_PLANT_N,
+        dedup_incremental_embedding,
+        embedding_sigs,
+        incremental_embedding_from_sigs,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    base = table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    prior = base.filter(is_prior_doc(F.col("vec_id")))
+    prior_sig = embedding_sigs(prior.withColumn("side", F.lit("p")))
+
+    plants = prior.filter(F.col("vec_id") < EMB_INC_PLANT_N).select(
+        (F.col("vec_id") + F.lit(3000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    src = tmp_path / "new_embs"
+    base.filter(~is_prior_doc(F.col("vec_id"))).unionByName(plants).coalesce(
+        2
+    ).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(src))
+    sig_stream = embedding_sigs(
+        stream.withColumn("side", F.lit("n")), persist=False
+    )
+    out = tmp_path / f"emb_drain_{uuid.uuid4().hex[:6]}"
+    q = (
+        sig_stream.writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    drained = spark.read.schema(sig_stream.schema).parquet(str(out / "data"))
+
+    online = {
+        (r["vec_id"], r["prior_id"])
+        for r in incremental_embedding_from_sigs(
+            prior_sig.unionByName(drained)
+        ).collect()
+    }
+    batch = {
+        (r["vec_id"], r["prior_id"])
+        for r in dedup_incremental_embedding(spark, SF).collect()
+    }
+    assert online == batch and batch
