@@ -970,9 +970,13 @@ def _lloyd_cent1_cached(e: DataFrame, sf_dir: str) -> DataFrame:
 
 
 def _cache_evict(sf_dir: str) -> None:
-    """Drop every cached model for ``sf_dir`` (tests / bench cold runs)."""
+    """Drop every cached model for ``sf_dir`` (tests / bench cold
+    runs) — the Lloyd centroids and the PQ codebook share the evict
+    hook so a cold run retrains both."""
     for k in [k for k in _CENT1_CACHE if k[0] == sf_dir]:
         del _CENT1_CACHE[k]
+    for k in [k for k in _PQ_CB_CACHE if k[0] == sf_dir]:
+        del _PQ_CB_CACHE[k]
 
 
 @register("kmeans_lloyd", oracle=_kmeans_oracle())
@@ -1320,15 +1324,32 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kawa parity: none; mandate (M) similarity-search extension
     (VERDICT r10 'What's missing' #2)."""
+    return _recall_frame(spark, sf_dir, _RECALL_METHODS)
+
+
+# The registered method list. _recall_frame is the method-list-
+# parameterized core (the multiprobe-radius / ivf-nprobe refactor
+# discipline): binding _RECALL_METHODS reproduces the registered
+# similarity_recall expression tree exactly — the loop body is
+# unchanged, only the tuple it iterates moved to a constant — and
+# _recall_oracle() is untouched, so the oracle string is byte-
+# identical by construction. The banked six-method form below adds
+# the pq_adc row.
+_RECALL_METHODS: tuple = (
+    ("ivf_kmeans", similarity_ivf_kmeans),
+    ("lsh_ann", similarity_lsh_ann),
+    ("lsh_multiprobe", similarity_lsh_multiprobe),
+    ("lsh_multiprobe_wide", similarity_lsh_multiprobe_wide),
+    ("ivf_kmeans_wide", similarity_ivf_kmeans_wide),
+)
+
+
+def _recall_frame(
+    spark: SparkSession, sf_dir: str, methods: tuple
+) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).select("q_id", "n_id")
     frames = []
-    for name, fn in (
-        ("ivf_kmeans", similarity_ivf_kmeans),
-        ("lsh_ann", similarity_lsh_ann),
-        ("lsh_multiprobe", similarity_lsh_multiprobe),
-        ("lsh_multiprobe_wide", similarity_lsh_multiprobe_wide),
-        ("ivf_kmeans_wide", similarity_ivf_kmeans_wide),
-    ):
+    for name, fn in methods:
         a = fn(spark, sf_dir).select(
             "q_id", "n_id", F.lit(1).alias("hit")
         )
@@ -1367,3 +1388,413 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: trained codebooks, ADC scan, exact rerank
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                 # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 16 dims each
+PQ_CODES = 8             # codes per subspace (a 3-bit code)
+PQ_RERANK = 50           # ADC candidates reranked with exact cosine
+
+
+def _d2_sql_dim(a: str, c: str, ndim: int) -> str:
+    """``_d2_sql`` at an arbitrary dimensionality — the sub-vector
+    legs of the PQ pipeline fold over PQ_SUBDIM elements, the ADC leg
+    over the full DIM."""
+    return f"""list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, {ndim}),
+          i -> (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))
+             * (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)))),
+      (acc, x) -> acc + x)"""
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB replay of the full PQ pipeline: per-subspace seed pick /
+    one quantized-Lloyd training round / encode / reconstruct /
+    integer-quantized ADC scan / exact cosine rerank — every stage
+    deterministic, so the float scores hash-match bit-for-bit (the
+    ``_ivf_kmeans_sql`` discipline applied per subspace)."""
+    d2_seed = _d2_sql_dim("s.sub", "d.semb", PQ_SUBDIM)
+    d2_cb = _d2_sql_dim("s.sub", "c.cemb", PQ_SUBDIM)
+    d2_q = _d2_sql_dim("q.embedding", "r.vec_hat", DIM)
+    cos = _cos_sql("c.q_emb", "e.embedding")
+    lo = f"t.m * {PQ_SUBDIM} + 1"
+    hi = f"t.m * {PQ_SUBDIM} + {PQ_SUBDIM}"
+    return f"""
+    WITH seeds AS (
+      SELECT embedding AS emb,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS code
+      FROM embeddings
+      QUALIFY code < {PQ_CODES}
+    ), sseed AS (
+      SELECT t.m AS m, code, emb[{lo} : {hi}] AS semb
+      FROM seeds, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+    ), subs AS (
+      SELECT vec_id, t.m AS m, embedding[{lo} : {hi}] AS sub
+      FROM embeddings, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+    ), a1 AS (
+      SELECT s.vec_id, s.m, s.sub, d.code,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {d2_seed}, d.code) AS rn
+      FROM subs s JOIN sseed d ON d.m = s.m
+    ), ex AS (
+      SELECT m, code, unnest(list_transform(generate_series(1, {PQ_SUBDIM}),
+        i -> {{'dim': i,
+              'qv': CAST(ROUND(CAST(sub[i] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)}})) AS u
+      FROM a1 WHERE rn = 1
+    ), cm AS (
+      SELECT m, code, u.dim AS dim,
+             CAST(CAST(SUM(u.qv) AS DOUBLE) / COUNT(*) / 1000000 AS DOUBLE)
+               AS mv
+      FROM ex GROUP BY m, code, u.dim
+    ), cb AS (
+      SELECT m, code, list(mv ORDER BY dim) AS cemb FROM cm GROUP BY m, code
+    ), a2 AS (
+      SELECT s.vec_id, s.m, c.cemb,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {d2_cb}, c.code) AS rn
+      FROM subs s JOIN cb c ON c.m = s.m
+    ), recon AS (
+      SELECT vec_id, flatten(list(cemb ORDER BY m)) AS vec_hat
+      FROM a2 WHERE rn = 1 GROUP BY vec_id
+    ), adc AS (
+      SELECT q.vec_id AS q_id, q.embedding AS q_emb, r.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY CAST(ROUND({d2_q} * 1000000, 0)
+                                              AS BIGINT), r.vec_id) AS rn
+      FROM embeddings q JOIN recon r ON r.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT q_id, q_emb, n_id FROM adc WHERE rn <= {PQ_RERANK}
+    ), rer AS (
+      SELECT c.q_id, c.n_id, {cos} AS score,
+             ROW_NUMBER() OVER (PARTITION BY c.q_id
+                                ORDER BY {cos} DESC, c.n_id) AS rnk
+      FROM cand c JOIN embeddings e ON e.vec_id = c.n_id
+    )
+    SELECT q_id, n_id, score, rnk FROM rer WHERE rnk <= {TOP_K}
+    """
+
+
+def _pq_seed_subs(e: DataFrame) -> list[tuple[int, int, list[float]]]:
+    """The PQ_CODES seed vectors minimal in (md5(vec_id), vec_id)
+    order — the ``_lloyd_seeds`` move — collected (PQ_CODES rows, a
+    bounded control artifact) and sliced into per-subspace
+    (m, code, semb) entries. float32 → Python float widening is
+    exact, so the oracle's in-SQL seed pick computes the identical
+    sub-vectors."""
+    rows = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_CODES)
+        .collect()
+    )
+    return [
+        (
+            m,
+            code,
+            [float(v) for v in r["embedding"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]],
+        )
+        for code, r in enumerate(rows)
+        for m in range(PQ_M)
+    ]
+
+
+def _one_row_cb(spark: SparkSession, entries: list[tuple]) -> DataFrame:
+    """ONE row carrying a whole codebook as an array<struct> column —
+    the broadcast-1-row-scalar idiom. Deliberately data, not literal
+    trees: unrolling M·PQ_CODES·PQ_SUBDIM values into F.lit nodes is
+    the r6 dot-unroll mistake (hundreds of expression nodes balloon
+    Catalyst planning); one broadcast row keeps the plan small and
+    the match map-side."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(
+                "cb",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("m", IntegerType()),
+                            StructField("code", IntegerType()),
+                            StructField("cemb", ArrayType(DoubleType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    return spark.createDataFrame([(entries,)], schema)
+
+
+def _pq_best(m: int, sub: Column) -> Column:
+    """(d2, code, cemb) of the nearest code in subspace ``m`` — an
+    in-row HOF argmin over the broadcast codebook array column ``cb``.
+    array_min's struct comparison is (d2, code, …) lexicographic, so
+    ties break to the lower code exactly like the oracle's
+    ORDER BY d2, code; cemb rides the struct and is never compared
+    ((d2, code) is unique per subspace)."""
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("cb"), lambda s: s.getField("m") == F.lit(m)),
+            lambda s: F.struct(
+                _d2_col(sub, s.getField("cemb")).alias("d2"),
+                s.getField("code").alias("code"),
+                s.getField("cemb").alias("cemb"),
+            ),
+        )
+    )
+
+
+def _pq_sub(m: int) -> Column:
+    return F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+# Trained-codebook cache — the _CENT1_CACHE discipline (fingerprint
+# key so a rewritten sf_dir can never replay a stale model).
+_PQ_CB_CACHE: dict[tuple, list] = {}
+
+
+def _pq_codebook_rows(e: DataFrame, sf_dir: str) -> list[tuple]:
+    """Train the PQ codebook — one quantized-Lloyd round per subspace
+    — and collect it (≤ M·PQ_CODES rows, a model artifact).
+
+    Plan shape: the corpus is scanned ONCE, map-side — seed
+    sub-centroids arrive as a broadcast 1-row array, the per-(m)
+    argmin is an in-row HOF, and the only exchange is the quantized
+    mean's (m, code, dim) rollup (≤ M·PQ_CODES·PQ_SUBDIM = 512 groups,
+    partial-agg'd map-side). Cheaper than the full-kmeans assign
+    (no vec_id shuffle at any volume)."""
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    hit = _PQ_CB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    spark = e.sparkSession
+    seeds = _one_row_cb(spark, _pq_seed_subs(e))
+    chosen = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            _pq_best(m, _pq_sub(m)).getField("code").alias("code"),
+                            _pq_sub(m).alias("sub"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.m", "s.code", "s.sub")
+    )
+    ex = chosen.select(
+        "m", "code", F.posexplode("sub").alias("dim0", "v")
+    ).select(
+        "m",
+        "code",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    cm = ex.groupBy("m", "code", "dim").agg(
+        (F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1000000))
+        .cast("double")
+        .alias("mv")
+    )
+    cb = cm.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s.getField("mv"),
+        ).alias("cemb")
+    )
+    rows = sorted(
+        (int(r["m"]), int(r["code"]), [float(v) for v in r["cemb"]])
+        for r in cb.collect()
+    )
+    _PQ_CB_CACHE[key] = rows
+    return rows
+
+
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the third ANN family next to LSH
+    and IVF, and the memory-bound answer at corpus scale: each vector
+    is encoded as PQ_M sub-space code ids (4 bytes here vs 256 bytes
+    of float32), search scans RECONSTRUCTIONS (asymmetric distance
+    computation), and only the PQ_RERANK best ADC candidates are
+    fetched for exact cosine rerank.
+
+    Pipeline: (1) train — per subspace, one quantized-Lloyd round
+    from md5-ranked seeds (the kmeans_lloyd discipline sliced into
+    PQ_M independent 16-dim problems); the collected codebook is a
+    model artifact cached by input fingerprint. (2) encode+ADC — one
+    map-side corpus scan: in-row HOF argmin per subspace against the
+    broadcast 1-row codebook, reconstruction by concatenating chosen
+    sub-centroids, and the query-set distance as an integer-quantized
+    micro-unit BIGINT (order-independent, so the cross-engine hash
+    holds). (3) rerank — the top-PQ_RERANK ids per query join BACK to
+    the corpus by id for exact cosine: in production the ADC scan
+    reads the 4-byte code table and only the rerank touches original
+    vectors — the id-join-back is the honest PQ shape, not a
+    shortcut.
+
+    Scale: training exchanges 512 rollup groups, never the corpus;
+    the ADC scan is map-side over codes (the WindowGroupLimit rank
+    cut keeps per-partition heaps of PQ_RERANK rows before the
+    |Q|-key exchange); rerank is a broadcast of |Q|·PQ_RERANK ids
+    against one more scan. Banked for registration at a window
+    rotation (docs/STATUS.md round-13 candidates).
+
+    kawa parity: none; mandate (M) similarity-search extension —
+    the IVF/LSH tier's missing memory-compression sibling."""
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    cb = _one_row_cb(spark, _pq_codebook_rows(e, sf_dir))
+    recon = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        F.concat(
+            *[_pq_best(m, _pq_sub(m)).getField("cemb") for m in range(PQ_M)]
+        ).alias("vec_hat"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    adc = recon.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "q_emb",
+        F.col("vec_id").alias("n_id"),
+        F.round(_d2_col(F.col("q_emb"), F.col("vec_hat")) * 1000000, 0)
+        .cast("long")
+        .alias("adc_q"),
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("n_id"))
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("q_id", "q_emb", "n_id")
+    )
+    rer = e.join(F.broadcast(cand), F.col("vec_id") == F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+    )
+    w_rnk = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return rer.select(
+        "q_id", "n_id", "score", F.row_number().over(w_rnk).alias("rnk")
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized exact top-k: the Arrow/numpy fast path for the linear leg
+# ---------------------------------------------------------------------------
+
+
+def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy exact cosine top-k, BIT-IDENTICAL to
+    ``similarity_topk``: per-element float64 products are single IEEE
+    ops and the reduction is ``np.cumsum`` along the dim axis — a
+    strictly sequential left fold per row, the same add order as
+    F.aggregate's fold and DuckDB's list_reduce — so the scores
+    REPRODUCE the JVM fold bit-for-bit (0.0 + x₁ ≡ x₁ in IEEE, then
+    identical adds; pinned by
+    tests/test_pq_adc.py::test_vectorized_topk_bit_identical), and
+    sqrt/multiply/divide are exact single ops in both runtimes.
+
+    Shape: mapInPandas over the corpus scan with the |Q|-row query
+    set shipped in the closure; each Arrow batch computes all |Q|
+    dot products vectorized (one (n×DIM) elementwise product +
+    cumsum per query — numpy's per-element loops at C speed instead
+    of one Catalyst fold evaluation per row) and emits only its
+    batch-local top-k per query, so the final exact merge window
+    sees batches·|Q|·k rows, not the corpus. This is the sanctioned
+    slow-path discipline (Arrow-batched, never row-at-a-time) applied
+    to the one deliberately-linear audit leg the similarity tier
+    keeps (similarity_recall's exact side). Banked as the swap-in
+    body for that leg; registration would be a changed-implementation
+    window slot (docs/STATUS.md)."""
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # sequential-fold norms: cumsum, take the last partial
+    q_norm = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+
+    def batch_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            em = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            e_norm = np.sqrt(np.cumsum(em * em, axis=1)[:, -1])
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                dots = np.cumsum(em * qm[qi], axis=1)[:, -1]
+                score = dots / (q_norm[qi] * e_norm)
+                mask = ids != qid
+                sids, sscore = ids[mask], score[mask]
+                if len(sids) == 0:
+                    continue
+                # (score desc, n_id asc), batch-local k
+                order = np.lexsort((sids, -sscore))[:TOP_K]
+                out_q.extend([qid] * len(order))
+                out_n.extend(sids[order])
+                out_s.extend(sscore[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "score": out_s}
+            ).astype({"q_id": "int64", "n_id": "int64", "score": "float64"})
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        batch_topk, schema="q_id long, n_id long, score double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return local.select(
+        "q_id", "n_id", "score", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+def _recall_pq_oracle() -> str:
+    """The registered recall oracle plus the pq_adc method block —
+    the banked six-method audit."""
+    return (
+        _recall_oracle()
+        + "\nUNION ALL\n"
+        + _recall_block_sql("pq_adc", _pq_adc_sql())
+    )
+
+
+def similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_recall with the PQ-ADC method row added (SIX
+    pipelines) — the one-line upgrade that makes the third ANN
+    family's recall driver-hash-checked the same way the r12 wide
+    rows were. Banked: registering it (or swapping the registered
+    key's method list) is a changed-implementation window slot
+    (docs/STATUS.md round-13 candidates)."""
+    return _recall_frame(
+        spark, sf_dir, _RECALL_METHODS + (("pq_adc", similarity_pq_adc),)
+    )

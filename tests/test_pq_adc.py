@@ -1,0 +1,231 @@
+"""Product-quantization ANN (banked core) + the vectorized exact
+top-k: oracle parity, an independent pure-Python replay of the whole
+train/encode/ADC/rerank pipeline, bit-identity of the numpy fold, and
+the plan/cache pins.
+
+``similarity_pq_adc`` and ``similarity_topk_vectorized`` are BANKED
+for a window-rotation registration (docs/STATUS.md round-13
+candidates); these tests keep them release-ready in the meantime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+import kawa_spark.queries.llm_similarity as S
+from tests.oracle_harness import compare
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_adc_matches_oracle(spark):
+    rep = compare(spark, SF, S.similarity_pq_adc, S._pq_adc_sql())
+    assert rep["values_match"], rep
+
+
+def test_vectorized_topk_bit_identical(spark):
+    """np.cumsum along the dim axis is a strictly sequential left
+    fold, so the Arrow fast path must reproduce the JVM fold's floats
+    BIT-FOR-BIT — not approximately."""
+    jvm = sorted(tuple(r) for r in S.similarity_topk(spark, SF).collect())
+    vec = sorted(
+        tuple(r) for r in S.similarity_topk_vectorized(spark, SF).collect()
+    )
+    assert jvm == vec
+
+
+# ---------------------------------------------------------------------------
+# independent pure-Python replay on a synthetic corpus
+# ---------------------------------------------------------------------------
+
+
+def _ref_round(x: float) -> int:
+    """Spark's ROUND(double, 0): BigDecimal.valueOf(d) parses the
+    SHORTEST decimal repr (== Python repr) then HALF_UP."""
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _ref_d2(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _ref_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _ref_pq_adc(vecs: dict[int, list[float]]) -> list[tuple]:
+    """The whole PQ pipeline as plain Python floats (IEEE doubles,
+    left folds in index order — the same arithmetic both engines
+    run), independent of Spark AND DuckDB."""
+    M, SUB = S.PQ_M, S.PQ_SUBDIM
+    seeds = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[: S.PQ_CODES]
+
+    # train: one quantized-Lloyd round per subspace
+    cb: dict[tuple[int, int], list[float]] = {}
+    for m in range(M):
+        sseed = {c: vecs[s][m * SUB : (m + 1) * SUB] for c, s in enumerate(seeds)}
+        groups: dict[int, list[list[float]]] = {}
+        for v in vecs.values():
+            sub = v[m * SUB : (m + 1) * SUB]
+            _, best = min((_ref_d2(sub, sseed[c]), c) for c in sseed)
+            groups.setdefault(best, []).append(sub)
+        for c, subs in groups.items():
+            cb[(m, c)] = [
+                float(sum(_ref_round(s[d] * 1000000) for s in subs))
+                / len(subs)
+                / 1000000
+                for d in range(SUB)
+            ]
+
+    # encode + reconstruct
+    recon: dict[int, list[float]] = {}
+    for vid, v in vecs.items():
+        hat: list[float] = []
+        for m in range(M):
+            sub = v[m * SUB : (m + 1) * SUB]
+            _, best = min(
+                (_ref_d2(sub, cb[(m, c)]), c) for mm, c in cb if mm == m
+            )
+            hat.extend(cb[(m, best)])
+        recon[vid] = hat
+
+    # ADC scan + exact rerank
+    out = []
+    for qid in sorted(vecs):
+        if qid >= S.N_QUERIES:
+            continue
+        q = vecs[qid]
+        adc = sorted(
+            (_ref_round(_ref_d2(q, recon[n]) * 1000000), n)
+            for n in vecs
+            if n != qid
+        )
+        cand = [n for _, n in adc[: S.PQ_RERANK]]
+        scored = sorted(
+            (
+                -(
+                    _ref_dot(q, vecs[n])
+                    / (
+                        np.sqrt(_ref_dot(q, q))
+                        * np.sqrt(_ref_dot(vecs[n], vecs[n]))
+                    )
+                ),
+                n,
+            )
+            for n in cand
+        )
+        for rnk, (neg, n) in enumerate(scored[: S.TOP_K], start=1):
+            out.append((qid, n, float(-neg), rnk))
+    return sorted(out)
+
+
+def test_pq_adc_matches_pure_python_reference(spark, tmp_path):
+    """Random float32 corpus → the Spark pipeline's rows (scores
+    included, bitwise) equal the pure-Python replay."""
+    rng = np.random.RandomState(7)
+    n = 60
+    emb32 = rng.rand(n, S.DIM).astype(np.float32)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = [
+        (int(i), [float(x) for x in emb32[i]], int(i % 3)) for i in range(n)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+
+    got = sorted(tuple(r) for r in S.similarity_pq_adc(spark, sf_dir).collect())
+    # the reference sees the float32 values exactly as doubles
+    vecs = {i: [float(np.float64(x)) for x in emb32[i]] for i in range(n)}
+    assert got == _ref_pq_adc(vecs)
+
+
+# ---------------------------------------------------------------------------
+# cache + plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebook_cache_reuse_and_evict(spark):
+    S._cache_evict(SF)
+    e = S.spread(S.table(spark, SF, "embeddings"), "vec_id")
+    first = S._pq_codebook_rows(e, SF)
+    again = S._pq_codebook_rows(e, SF)
+    assert first is again  # replayed, not retrained
+    assert [(m, c) for m, c, _ in first] == sorted(
+        (m, c) for m, c, _ in first
+    )
+    assert all(len(cemb) == S.PQ_SUBDIM for _, _, cemb in first)
+    assert {m for m, _, _ in first} == set(range(S.PQ_M))
+    S._cache_evict(SF)
+    assert all(k[0] != SF for k in S._PQ_CB_CACHE)
+
+
+def test_pq_adc_plan_pins(spark):
+    """The search plan never shuffles the corpus on vec_id (encode is
+    map-side against the broadcast 1-row codebook; the only exchanges
+    are the |Q|-key rank windows), the ADC rank cut prunes
+    per-partition (WindowGroupLimit), and every join is broadcast."""
+    df = S.similarity_pq_adc(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    # the only vec_id exchanges are spread()'s deliberate input
+    # repartitions (REPARTITION_BY_NUM) — no stage may REQUIRE a
+    # corpus shuffle on vec_id
+    for ln in plan.splitlines():
+        if "hashpartitioning(vec_id" in ln:
+            assert "REPARTITION_BY_NUM" in ln, ln
+
+
+def test_pq_adc_is_deterministic(spark):
+    a = sorted(tuple(r) for r in S.similarity_pq_adc(spark, SF).collect())
+    S._cache_evict(SF)  # retrain from scratch — same model, same rows
+    b = sorted(tuple(r) for r in S.similarity_pq_adc(spark, SF).collect())
+    assert a == b
+
+
+def test_recall_pq_matches_oracle_and_contains_registered(spark):
+    """The banked six-method audit: (a) hash-green vs its oracle,
+    (b) its five registered method rows are EXACTLY the registered
+    similarity_recall output (the parameterized core cannot drift
+    from the registered binding), (c) the pq_adc row is non-vacuous
+    — PQ finds a nonzero share of the exact top-k."""
+    rep = compare(spark, SF, S.similarity_recall_pq, S._recall_pq_oracle())
+    assert rep["values_match"], rep
+
+    full = S.similarity_recall_pq(spark, SF).collect()
+    five = sorted(tuple(r) for r in full if r["method"] != "pq_adc")
+    reg = sorted(tuple(r) for r in S.similarity_recall(spark, SF).collect())
+    assert five == reg
+    pq = [r for r in full if r["method"] == "pq_adc"]
+    assert len(pq) == S.N_QUERIES
+    assert pq[0]["method_total"] == S.N_QUERIES * S.TOP_K
+    assert pq[0]["method_hits"] > 0
