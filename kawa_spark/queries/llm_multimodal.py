@@ -546,3 +546,166 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return d.mapInPandas(resize, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Image dedup: perceptual difference-hash over the REAL BMP decode path
+# ---------------------------------------------------------------------------
+
+# dHash geometry: the top 64-wide x 8-row crop of the decoded raster
+# (zero-padded, exactly the codec's own padding convention) reduced to
+# 64 cells of 8 consecutive bytes; bit_k = cell_k > cell_{k+1}
+# (k = 0..62) -- the gradient hash, pure integer comparisons. An
+# average-hash variant was measured first and REJECTED: byte values of
+# natural text cluster so tightly that cell-vs-mean thresholds
+# collided 68% of the corpus into shared hashes (340/500 at sf0.001);
+# the gradient form reads 12/500 -- the honest near-dup rate.
+AHASH_CROP_ROWS = 8
+AHASH_CELLS = 64
+AHASH_CELL_BYTES = 8
+
+
+def _ahash_plant_texts() -> tuple[str, str]:
+    """Two planted documents with IDENTICAL first-512-byte crops but
+    different tails: the same IMAGE carried by different byte streams
+    -- the duplicate class byte-level dedup (dedup_exact) structurally
+    misses and image-level dedup must catch. Fully literal (no corpus
+    dependence), embedded verbatim in both engines."""
+    base = "imagebase-plant"
+    pad = "abcdefg"
+    crop = (base + pad * ((512 - len(base)) // len(pad) + 1))[:512]
+    return crop + "tail-a", crop + "tail-b"
+
+
+def _image_dedup_sql() -> str:
+    """DuckDB twin of the dHash dedup: recomputes the crop cells
+    analytically from the document bytes (ASCII corpus => byte n ==
+    codepoint n -- the multimodal_meta contract), so the REAL
+    BMP-roundtrip path is checked against an engine that never runs
+    the codec."""
+    ta, tb = _ahash_plant_texts()
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE strlen(text) > 0
+      UNION ALL SELECT -101, '{ta}'
+      UNION ALL SELECT -102, '{tb}'
+    ), cells AS (
+      SELECT doc_id, t.k AS k,
+        list_reduce(list_prepend(0, list_transform(generate_series(0, {AHASH_CELL_BYTES - 1}),
+          j -> CASE WHEN t.k * {AHASH_CELL_BYTES} + j + 1 <= strlen(text)
+                    THEN unicode(substring(text, t.k * {AHASH_CELL_BYTES} + j + 1, 1))
+                    ELSE 0 END)), (a, b) -> a + b) AS cell_sum
+      FROM docs, UNNEST(generate_series(0, {AHASH_CELLS - 1})) AS t(k)
+    ), vecs AS (
+      SELECT doc_id, list(cell_sum ORDER BY k) AS cs FROM cells GROUP BY doc_id
+    ), hashes AS (
+      SELECT doc_id,
+             array_to_string(list_transform(generate_series(1, {AHASH_CELLS - 1}),
+               k -> CASE WHEN cs[k] > cs[k + 1] THEN '1' ELSE '0' END), '')
+               AS dhash
+      FROM vecs
+    ), grp AS (
+      SELECT dhash, MIN(doc_id) AS keeper, COUNT(*) AS n_group
+      FROM hashes GROUP BY dhash
+    )
+    SELECT h.doc_id, h.dhash, g.keeper, h.doc_id <> g.keeper AS is_dup,
+           CAST(g.n_group AS BIGINT) AS n_group
+    FROM hashes h JOIN grp g USING (dhash)
+    """
+
+
+def _dhash_bits(pixels) -> str:
+    """63-bit difference-hash of a decoded raster: top AHASH_CROP_ROWS
+    rows (zero-padded to the fixed 64x8 crop), 64 cells of 8
+    consecutive bytes, bit_k = cell_k > cell_{k+1}."""
+    import numpy as np
+
+    crop = np.zeros((AHASH_CROP_ROWS, 64), dtype=np.int64)
+    rows = min(pixels.shape[0], AHASH_CROP_ROWS)
+    crop[:rows] = pixels[:rows].astype(np.int64)
+    cells = crop.reshape(AHASH_CELLS, AHASH_CELL_BYTES).sum(axis=1)
+    return "".join(
+        "1" if int(cells[k]) > int(cells[k + 1]) else "0"
+        for k in range(AHASH_CELLS - 1)
+    )
+
+
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level duplicate detection -- the multimodal tier joined to
+    the dedup tier: every payload rides the REAL codec round trip
+    (render to a genuine 8-bit palette BMP, parse it back with the
+    from-scratch decoder), the decoded raster is reduced to a 63-bit
+    perceptual difference-hash (top-crop cell gradients -- integer
+    comparisons only), and duplicates are hash-equality groups with
+    min-id keepers -- the dedup_exact shape applied to IMAGE content.
+
+    The planted pair (-101/-102) carries the class this key exists
+    for: identical pixels, different byte streams (distinct tails) --
+    dedup_exact's digest misses it, the image hash catches it. The
+    natural corpus contributes ~12 colliding docs at sf0.001 (the
+    re-crawl near-dups whose crops agree), so both classes are
+    non-vacuous at every SF.
+
+    Scale: encode/decode/hash are Arrow-batched mapInPandas over one
+    corpus scan (map-only; in production the hash is computed at
+    ingest and stored as a column); the dedup itself is ONE shuffle
+    keyed on the 63-bit hash -- exactly dedup_exact's plan at any
+    volume. Banked for a window-rotation registration
+    (docs/STATUS.md round-13 candidates).
+
+    kawa parity: none; mandate (M) multimodal + dedup extension."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    ta, tb = _ahash_plant_texts()
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    plants = spark.createDataFrame(
+        [(-101, ta), (-102, tb)], schema="doc_id long, text string"
+    )
+    docs = d.unionByName(plants).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def encode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kawa_spark.queries.llm_multimodal import _bmp_encode
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bmp": [_bmp_encode(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    bmps = docs.mapInPandas(encode_bmp, schema="doc_id long, bmp binary")
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kawa_spark.queries.llm_multimodal import _bmp_decode, _dhash_bits
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": [
+                        _dhash_bits(_bmp_decode(bytes(b))["pixels"])
+                        for b in pdf["bmp"]
+                    ],
+                }
+            )
+
+    hashed = bmps.mapInPandas(hash_images, schema="doc_id long, dhash string")
+    groups = hashed.groupBy("dhash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).cast("long").alias("n_group"),
+    )
+    return hashed.join(groups, "dhash").select(
+        "doc_id",
+        "dhash",
+        "keeper",
+        (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+        "n_group",
+    )

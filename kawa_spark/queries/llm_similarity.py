@@ -1414,14 +1414,27 @@ def _d2_sql_dim(a: str, c: str, ndim: int) -> str:
 
 def _pq_adc_sql() -> str:
     """DuckDB replay of the full PQ pipeline: per-subspace seed pick /
-    one quantized-Lloyd training round / encode / reconstruct /
-    integer-quantized ADC scan / exact cosine rerank — every stage
+    one quantized-Lloyd training round / encode / integer
+    lookup-table ADC / exact cosine rerank — every stage
     deterministic, so the float scores hash-match bit-for-bit (the
-    ``_ivf_kmeans_sql`` discipline applied per subspace)."""
+    ``_ivf_kmeans_sql`` discipline applied per subspace).
+
+    The ADC distance is the SUM over subspaces of the per-(query,
+    code) micro-unit BIGINT table entries — the textbook asymmetric
+    distance decomposition, and deliberately INTEGER per subspace so
+    the sum is order-independent (a float sum of four per-subspace
+    doubles would depend on add order across engines)."""
     d2_seed = _d2_sql_dim("s.sub", "d.semb", PQ_SUBDIM)
     d2_cb = _d2_sql_dim("s.sub", "c.cemb", PQ_SUBDIM)
-    d2_q = _d2_sql_dim("q.embedding", "r.vec_hat", DIM)
-    cos = _cos_sql("c.q_emb", "e.embedding")
+    # per-subspace query-to-code distance: q's m-th slice vs the code
+    qi = f"q.embedding[c.m * {PQ_SUBDIM} + i]"
+    d2_qc = f"""list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, {PQ_SUBDIM}),
+          i -> (CAST({qi} AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+             * (CAST({qi} AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
+      (acc, x) -> acc + x)"""
+    cos = _cos_sql("q.embedding", "e.embedding")
     lo = f"t.m * {PQ_SUBDIM} + 1"
     hi = f"t.m * {PQ_SUBDIM} + {PQ_SUBDIM}"
     return f"""
@@ -1456,27 +1469,35 @@ def _pq_adc_sql() -> str:
     ), cb AS (
       SELECT m, code, list(mv ORDER BY dim) AS cemb FROM cm GROUP BY m, code
     ), a2 AS (
-      SELECT s.vec_id, s.m, c.cemb,
+      SELECT s.vec_id, s.m, c.code,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                                 ORDER BY {d2_cb}, c.code) AS rn
       FROM subs s JOIN cb c ON c.m = s.m
-    ), recon AS (
-      SELECT vec_id, flatten(list(cemb ORDER BY m)) AS vec_hat
-      FROM a2 WHERE rn = 1 GROUP BY vec_id
-    ), adc AS (
-      SELECT q.vec_id AS q_id, q.embedding AS q_emb, r.vec_id AS n_id,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                ORDER BY CAST(ROUND({d2_q} * 1000000, 0)
-                                              AS BIGINT), r.vec_id) AS rn
-      FROM embeddings q JOIN recon r ON r.vec_id <> q.vec_id
+    ), dt AS (
+      SELECT q.vec_id AS q_id, c.m, c.code,
+             CAST(ROUND({d2_qc} * 1000000, 0) AS BIGINT) AS dq
+      FROM embeddings q, cb c
       WHERE q.vec_id < {N_QUERIES}
+    ), adc AS (
+      SELECT d.q_id, a.vec_id AS n_id, SUM(d.dq) AS adc_q
+      FROM (SELECT vec_id, m, code FROM a2 WHERE rn = 1) a
+      JOIN dt d ON d.m = a.m AND d.code = a.code
+      WHERE a.vec_id <> d.q_id
+      GROUP BY d.q_id, a.vec_id
     ), cand AS (
-      SELECT q_id, q_emb, n_id FROM adc WHERE rn <= {PQ_RERANK}
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_q, n_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_RERANK}
     ), rer AS (
       SELECT c.q_id, c.n_id, {cos} AS score,
              ROW_NUMBER() OVER (PARTITION BY c.q_id
                                 ORDER BY {cos} DESC, c.n_id) AS rnk
-      FROM cand c JOIN embeddings e ON e.vec_id = c.n_id
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.q_id
+      JOIN embeddings e ON e.vec_id = c.n_id
     )
     SELECT q_id, n_id, score, rnk FROM rer WHERE rnk <= {TOP_K}
     """
@@ -1635,66 +1656,170 @@ def _pq_codebook_rows(e: DataFrame, sf_dir: str) -> list[tuple]:
     return rows
 
 
+def _pq_round_micro(x: float) -> int:
+    """CAST(ROUND(x · 1e6, 0) AS BIGINT) replayed in driver Python:
+    Spark's Round(double) goes through the shortest decimal repr then
+    HALF_UP — Decimal(repr(·)) is that exact value. Used only for the
+    |Q|·M·PQ_CODES-entry ADC lookup table (a model-sized artifact)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(x * 1000000)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _py_d2(a: list[float], b: list[float]) -> float:
+    """The _d2_col / _d2_sql left fold in plain Python (driver-side
+    LUT construction only) — same IEEE adds in the same order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the third ANN family next to LSH
     and IVF, and the memory-bound answer at corpus scale: each vector
     is encoded as PQ_M sub-space code ids (4 bytes here vs 256 bytes
-    of float32), search scans RECONSTRUCTIONS (asymmetric distance
-    computation), and only the PQ_RERANK best ADC candidates are
-    fetched for exact cosine rerank.
+    of float32), search is the textbook integer lookup-table ADC
+    (asymmetric distance = Σ over subspaces of a per-(query, code)
+    table entry — O(M) per candidate, NOT O(DIM)), and only the
+    PQ_RERANK best ADC candidates are fetched for exact cosine
+    rerank. A first in-plan form that recomputed reconstructions per
+    scan measured as expensive as brute force at 100× (SCALE.md) —
+    this LUT form is the one a production build runs.
 
     Pipeline: (1) train — per subspace, one quantized-Lloyd round
     from md5-ranked seeds (the kmeans_lloyd discipline sliced into
     PQ_M independent 16-dim problems); the collected codebook is a
-    model artifact cached by input fingerprint. (2) encode+ADC — one
-    map-side corpus scan: in-row HOF argmin per subspace against the
-    broadcast 1-row codebook, reconstruction by concatenating chosen
-    sub-centroids, and the query-set distance as an integer-quantized
-    micro-unit BIGINT (order-independent, so the cross-engine hash
-    holds). (3) rerank — the top-PQ_RERANK ids per query join BACK to
-    the corpus by id for exact cosine: in production the ADC scan
+    model artifact cached by input fingerprint. (2) LUT — the
+    |Q|·M·PQ_CODES integer distance table is built DRIVER-side from
+    the collected codebook + query rows (micro-unit BIGINTs, so the
+    cross-subspace sum is order-independent and the cross-engine hash
+    holds; floats summed per subspace would hash-diverge on add
+    order). (3) encode+ADC — ONE Arrow-batched mapInPandas corpus
+    scan: per-subspace argmin via the same sequential cumsum fold the
+    JVM/DuckDB folds run (bit-identical ties), ADC by integer gather,
+    batch-local top-PQ_RERANK per query. (4) the global rank window
+    merges batches·|Q|·PQ_RERANK rows and the winners join BACK to
+    the corpus by id for exact cosine — in production the ADC scan
     reads the 4-byte code table and only the rerank touches original
-    vectors — the id-join-back is the honest PQ shape, not a
-    shortcut.
+    vectors.
 
     Scale: training exchanges 512 rollup groups, never the corpus;
-    the ADC scan is map-side over codes (the WindowGroupLimit rank
-    cut keeps per-partition heaps of PQ_RERANK rows before the
-    |Q|-key exchange); rerank is a broadcast of |Q|·PQ_RERANK ids
-    against one more scan. Banked for registration at a window
-    rotation (docs/STATUS.md round-13 candidates).
+    the scan is map-only (no vec_id exchange — plan-pinned) and emits
+    ≤ batches·|Q|·PQ_RERANK rows; rerank is a broadcast of
+    |Q|·PQ_RERANK ids against one more scan. Banked for registration
+    at a window rotation (docs/STATUS.md round-13 candidates).
 
     kawa parity: none; mandate (M) similarity-search extension —
     the IVF/LSH tier's missing memory-compression sibling."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    cb = _one_row_cb(spark, _pq_codebook_rows(e, sf_dir))
-    recon = e.crossJoin(F.broadcast(cb)).select(
-        "vec_id",
-        F.concat(
-            *[_pq_best(m, _pq_sub(m)).getField("cemb") for m in range(PQ_M)]
-        ).alias("vec_hat"),
+    cb_rows = _pq_codebook_rows(e, sf_dir)
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    adc = recon.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-        "q_id",
-        "q_emb",
-        F.col("vec_id").alias("n_id"),
-        F.round(_d2_col(F.col("q_emb"), F.col("vec_hat")) * 1000000, 0)
-        .cast("long")
-        .alias("adc_q"),
+    q_id_arr = np.array([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    q_embs = [[float(v) for v in r["embedding"]] for r in q_rows]
+
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, code, cemb in cb_rows:
+        by_m.setdefault(m, []).append((code, cemb))
+    # per subspace: centroid matrix in ascending-code order (argmin's
+    # first-minimum therefore breaks ties to the LOWER code, exactly
+    # the oracle's ORDER BY d2, code)
+    cents = {
+        m: np.array([ce for _, ce in sorted(by_m[m])], dtype=np.float64)
+        for m in by_m
+    }
+    # integer ADC lookup tables: dt[qi][m][code_index]
+    dt = [
+        {
+            m: np.array(
+                [
+                    _pq_round_micro(
+                        _py_d2(
+                            qe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM], ce
+                        )
+                    )
+                    for _, ce in sorted(by_m[m])
+                ],
+                dtype=np.int64,
+            )
+            for m in by_m
+        }
+        for qe in q_embs
+    ]
+    n_q, n_m, subdim, rerank = len(q_id_arr), PQ_M, PQ_SUBDIM, PQ_RERANK
+
+    def adc_scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            em = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(ids)
+            code_idx = np.zeros((n, n_m), dtype=np.int64)
+            for m in range(n_m):
+                sub = em[:, m * subdim : (m + 1) * subdim]
+                # sequential-fold d2 per code: elementwise square then
+                # cumsum along the dim axis (bit-identical to the
+                # engine folds, so argmin ties cannot diverge)
+                d2s = np.stack(
+                    [
+                        np.cumsum((sub - c) * (sub - c), axis=1)[:, -1]
+                        for c in cents[m]
+                    ]
+                )
+                code_idx[:, m] = np.argmin(d2s, axis=0)
+            out_q, out_n, out_a = [], [], []
+            for qi in range(n_q):
+                adc = np.zeros(n, dtype=np.int64)
+                for m in range(n_m):
+                    adc += dt[qi][m][code_idx[:, m]]
+                mask = ids != q_id_arr[qi]
+                sids, sadc = ids[mask], adc[mask]
+                if len(sids) == 0:
+                    continue
+                order = np.lexsort((sids, sadc))[:rerank]
+                out_q.extend([q_id_arr[qi]] * len(order))
+                out_n.extend(sids[order])
+                out_a.extend(sadc[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "adc_q": out_a}
+            ).astype({"q_id": "int64", "n_id": "int64", "adc_q": "int64"})
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        adc_scan, schema="q_id long, n_id long, adc_q long"
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc_q").asc(), F.col("n_id"))
     cand = (
-        adc.withColumn("rn", F.row_number().over(w_adc))
+        local.select("q_id", "n_id", F.row_number().over(w_adc).alias("rn"))
         .filter(F.col("rn") <= PQ_RERANK)
-        .select("q_id", "q_emb", "n_id")
+        .select("q_id", "n_id")
     )
-    rer = e.join(F.broadcast(cand), F.col("vec_id") == F.col("n_id")).select(
-        "q_id",
-        "n_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+    q_df = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        e.join(F.broadcast(cand), F.col("vec_id") == F.col("n_id"))
+        .join(F.broadcast(q_df), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
     )
     w_rnk = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return rer.select(
@@ -1730,6 +1855,9 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps (similarity_recall's exact side). Banked as the swap-in
     body for that leg; registration would be a changed-implementation
     window slot (docs/STATUS.md)."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     q_rows = (
         e.filter(F.col("vec_id") < N_QUERIES)

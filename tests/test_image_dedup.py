@@ -1,0 +1,71 @@
+"""multimodal_image_dedup (banked core): oracle parity, the dHash
+kernel against hand-computed bits, codec round-trip property, and the
+plant pins (same image / different bytes — the class byte-level dedup
+misses)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import kawa_spark.queries.llm_multimodal as M
+from tests.oracle_harness import compare
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_image_dedup_matches_oracle(spark):
+    rep = compare(spark, SF, M.multimodal_image_dedup, M._image_dedup_sql())
+    assert rep["values_match"], rep
+
+
+def test_dhash_kernel_hand_computed():
+    """A raster whose cell sums are forced: cells alternate high/low,
+    so the gradient bits alternate 1/0 starting with the high→low
+    edge."""
+    # 8 rows × 64 cols; cell k = bytes k*8..k*8+7 of the flattened crop
+    flat = np.zeros(512, dtype=np.uint8)
+    for k in range(64):
+        flat[k * 8 : (k + 1) * 8] = 200 if k % 2 == 0 else 10
+    bits = M._dhash_bits(flat.reshape(8, 64))
+    assert bits == "10" * 31 + "1"  # 63 bits: high>low, low<high, …
+    # short raster: missing rows are zero cells — trailing gradient 0s
+    two_rows = np.full((2, 64), 50, dtype=np.uint8)
+    bits2 = M._dhash_bits(two_rows)
+    # 16 equal cells then zeros: only the 16th cell (index 15 → bit 15,
+    # 0-indexed) sees a drop
+    assert bits2 == "0" * 15 + "1" + "0" * 47
+
+
+def test_dhash_survives_codec_roundtrip():
+    """The REAL BMP encode→decode path must hand the hash kernel the
+    original payload bytes exactly (identity palette, zero row pad):
+    hash(decode(encode(p))) == hash computed straight from p."""
+    rng = np.random.RandomState(3)
+    for n in (1, 63, 64, 65, 511, 512, 513, 4096, 5000):
+        payload = bytes(rng.randint(0, 256, size=n, dtype=np.uint8))
+        pixels = M._bmp_decode(M._bmp_encode(payload))["pixels"]
+        # direct computation from the raw bytes
+        crop = np.zeros(512, dtype=np.int64)
+        take = min(n, 512)
+        crop[:take] = np.frombuffer(payload[:take], dtype=np.uint8)
+        cells = crop.reshape(64, 8).sum(axis=1)
+        want = "".join(
+            "1" if cells[k] > cells[k + 1] else "0" for k in range(63)
+        )
+        assert M._dhash_bits(pixels) == want, n
+
+
+def test_image_dedup_plants_and_shape(spark):
+    ta, tb = M._ahash_plant_texts()
+    assert ta != tb and ta[:512] == tb[:512] and len(ta) > 512
+    rows = {r["doc_id"]: r for r in M.multimodal_image_dedup(spark, SF).collect()}
+    a, b = rows[-101], rows[-102]
+    # same image hash from different byte streams; min-id keeper wins
+    assert a["dhash"] == b["dhash"]
+    assert a["keeper"] == b["keeper"] == -102
+    assert a["is_dup"] and not b["is_dup"]
+    assert a["n_group"] == 2
+    # both classes non-vacuous on the natural corpus too
+    nat = [r for d, r in rows.items() if d >= 0]
+    assert any(r["is_dup"] for r in nat)
+    assert any(not r["is_dup"] for r in nat)

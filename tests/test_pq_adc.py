@@ -99,26 +99,33 @@ def _ref_pq_adc(vecs: dict[int, list[float]]) -> list[tuple]:
                 for d in range(SUB)
             ]
 
-    # encode + reconstruct
-    recon: dict[int, list[float]] = {}
+    # encode: per-subspace nearest code (ties → lower code)
+    codes: dict[int, list[int]] = {}
     for vid, v in vecs.items():
-        hat: list[float] = []
-        for m in range(M):
-            sub = v[m * SUB : (m + 1) * SUB]
-            _, best = min(
-                (_ref_d2(sub, cb[(m, c)]), c) for mm, c in cb if mm == m
-            )
-            hat.extend(cb[(m, best)])
-        recon[vid] = hat
+        codes[vid] = [
+            min(
+                (_ref_d2(v[m * SUB : (m + 1) * SUB], cb[(m, c)]), c)
+                for mm, c in cb
+                if mm == m
+            )[1]
+            for m in range(M)
+        ]
 
-    # ADC scan + exact rerank
+    # integer LUT ADC scan + exact rerank: adc = Σ over subspaces of
+    # the per-(query, code) micro-unit table entry
     out = []
     for qid in sorted(vecs):
         if qid >= S.N_QUERIES:
             continue
         q = vecs[qid]
+        dt = {
+            (m, c): _ref_round(
+                _ref_d2(q[m * SUB : (m + 1) * SUB], cb[(m, c)]) * 1000000
+            )
+            for (m, c) in cb
+        }
         adc = sorted(
-            (_ref_round(_ref_d2(q, recon[n]) * 1000000), n)
+            (sum(dt[(m, codes[n][m])] for m in range(M)), n)
             for n in vecs
             if n != qid
         )
