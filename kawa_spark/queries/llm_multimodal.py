@@ -560,12 +560,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # natural text cluster so tightly that cell-vs-mean thresholds
 # collided 68% of the corpus into shared hashes (340/500 at sf0.001);
 # the gradient form reads 12/500 -- the honest near-dup rate.
-AHASH_CROP_ROWS = 8
-AHASH_CELLS = 64
-AHASH_CELL_BYTES = 8
+DHASH_CROP_ROWS = 8
+DHASH_CELLS = 64
+DHASH_CELL_BYTES = 8
 
 
-def _ahash_plant_texts() -> tuple[str, str]:
+def _dhash_plant_texts() -> tuple[str, str]:
     """Two planted documents with IDENTICAL first-512-byte crops but
     different tails: the same IMAGE carried by different byte streams
     -- the duplicate class byte-level dedup (dedup_exact) structurally
@@ -583,7 +583,7 @@ def _image_dedup_sql() -> str:
     codepoint n -- the multimodal_meta contract), so the REAL
     BMP-roundtrip path is checked against an engine that never runs
     the codec."""
-    ta, tb = _ahash_plant_texts()
+    ta, tb = _dhash_plant_texts()
     return f"""
     WITH docs AS (
       SELECT doc_id, text FROM documents WHERE strlen(text) > 0
@@ -591,16 +591,16 @@ def _image_dedup_sql() -> str:
       UNION ALL SELECT -102, '{tb}'
     ), cells AS (
       SELECT doc_id, t.k AS k,
-        list_reduce(list_prepend(0, list_transform(generate_series(0, {AHASH_CELL_BYTES - 1}),
-          j -> CASE WHEN t.k * {AHASH_CELL_BYTES} + j + 1 <= strlen(text)
-                    THEN unicode(substring(text, t.k * {AHASH_CELL_BYTES} + j + 1, 1))
+        list_reduce(list_prepend(0, list_transform(generate_series(0, {DHASH_CELL_BYTES - 1}),
+          j -> CASE WHEN t.k * {DHASH_CELL_BYTES} + j + 1 <= strlen(text)
+                    THEN unicode(substring(text, t.k * {DHASH_CELL_BYTES} + j + 1, 1))
                     ELSE 0 END)), (a, b) -> a + b) AS cell_sum
-      FROM docs, UNNEST(generate_series(0, {AHASH_CELLS - 1})) AS t(k)
+      FROM docs, UNNEST(generate_series(0, {DHASH_CELLS - 1})) AS t(k)
     ), vecs AS (
       SELECT doc_id, list(cell_sum ORDER BY k) AS cs FROM cells GROUP BY doc_id
     ), hashes AS (
       SELECT doc_id,
-             array_to_string(list_transform(generate_series(1, {AHASH_CELLS - 1}),
+             array_to_string(list_transform(generate_series(1, {DHASH_CELLS - 1}),
                k -> CASE WHEN cs[k] > cs[k + 1] THEN '1' ELSE '0' END), '')
                AS dhash
       FROM vecs
@@ -615,18 +615,18 @@ def _image_dedup_sql() -> str:
 
 
 def _dhash_bits(pixels) -> str:
-    """63-bit difference-hash of a decoded raster: top AHASH_CROP_ROWS
+    """63-bit difference-hash of a decoded raster: top DHASH_CROP_ROWS
     rows (zero-padded to the fixed 64x8 crop), 64 cells of 8
     consecutive bytes, bit_k = cell_k > cell_{k+1}."""
     import numpy as np
 
-    crop = np.zeros((AHASH_CROP_ROWS, 64), dtype=np.int64)
-    rows = min(pixels.shape[0], AHASH_CROP_ROWS)
+    crop = np.zeros((DHASH_CROP_ROWS, 64), dtype=np.int64)
+    rows = min(pixels.shape[0], DHASH_CROP_ROWS)
     crop[:rows] = pixels[:rows].astype(np.int64)
-    cells = crop.reshape(AHASH_CELLS, AHASH_CELL_BYTES).sum(axis=1)
+    cells = crop.reshape(DHASH_CELLS, DHASH_CELL_BYTES).sum(axis=1)
     return "".join(
         "1" if int(cells[k]) > int(cells[k + 1]) else "0"
-        for k in range(AHASH_CELLS - 1)
+        for k in range(DHASH_CELLS - 1)
     )
 
 
@@ -657,7 +657,7 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kawa_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    ta, tb = _ahash_plant_texts()
+    ta, tb = _dhash_plant_texts()
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -670,34 +670,31 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
-    def encode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from kawa_spark.queries.llm_multimodal import _bmp_encode
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "bmp": [_bmp_encode(bytes(p)) for p in pdf["payload"]],
-                }
-            )
-
-    bmps = docs.mapInPandas(encode_bmp, schema="doc_id long, bmp binary")
-
+    # ONE fused Arrow stage: encode→decode→hash per document. The BMP
+    # bytes are consumed by nothing else, so materializing them as an
+    # intermediate binary column would ship the corpus across the
+    # JVM↔Python boundary twice for no reader (code review r12).
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from kawa_spark.queries.llm_multimodal import _bmp_decode, _dhash_bits
+        from kawa_spark.queries.llm_multimodal import (
+            _bmp_decode,
+            _bmp_encode,
+            _dhash_bits,
+        )
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "dhash": [
-                        _dhash_bits(_bmp_decode(bytes(b))["pixels"])
-                        for b in pdf["bmp"]
+                        _dhash_bits(
+                            _bmp_decode(_bmp_encode(bytes(p)))["pixels"]
+                        )
+                        for p in pdf["payload"]
                     ],
                 }
             )
 
-    hashed = bmps.mapInPandas(hash_images, schema="doc_id long, dhash string")
+    hashed = docs.mapInPandas(hash_images, schema="doc_id long, dhash string")
     groups = hashed.groupBy("dhash").agg(
         F.min("doc_id").alias("keeper"),
         F.count(F.lit(1)).cast("long").alias("n_group"),

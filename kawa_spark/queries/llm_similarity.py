@@ -784,14 +784,23 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_CLUSTERS = 8
 
 
-def _d2_sql(a: str, c: str) -> str:
-    """Squared L2 distance as the same left fold both engines run."""
+def _d2_sql_dim(a: str, c: str, ndim: int) -> str:
+    """Squared L2 distance as the same left fold both engines run, at
+    an arbitrary dimensionality — the PQ sub-vector legs fold over
+    PQ_SUBDIM elements, everything else over the full DIM."""
     return f"""list_reduce(
       list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(generate_series(1, {DIM}),
+        list_transform(generate_series(1, {ndim}),
           i -> (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))
              * (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)))),
       (acc, x) -> acc + x)"""
+
+
+def _d2_sql(a: str, c: str) -> str:
+    """The full-DIM form — delegates to ``_d2_sql_dim`` (the emitted
+    SQL is byte-identical to the historical inline template, so every
+    registered oracle string is unchanged)."""
+    return _d2_sql_dim(a, c, DIM)
 
 
 def _kmeans_oracle() -> str:
@@ -1400,41 +1409,13 @@ PQ_CODES = 8             # codes per subspace (a 3-bit code)
 PQ_RERANK = 50           # ADC candidates reranked with exact cosine
 
 
-def _d2_sql_dim(a: str, c: str, ndim: int) -> str:
-    """``_d2_sql`` at an arbitrary dimensionality — the sub-vector
-    legs of the PQ pipeline fold over PQ_SUBDIM elements, the ADC leg
-    over the full DIM."""
-    return f"""list_reduce(
-      list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(generate_series(1, {ndim}),
-          i -> (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))
-             * (CAST({a}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)))),
-      (acc, x) -> acc + x)"""
-
-
-def _pq_adc_sql() -> str:
-    """DuckDB replay of the full PQ pipeline: per-subspace seed pick /
-    one quantized-Lloyd training round / encode / integer
-    lookup-table ADC / exact cosine rerank — every stage
-    deterministic, so the float scores hash-match bit-for-bit (the
-    ``_ivf_kmeans_sql`` discipline applied per subspace).
-
-    The ADC distance is the SUM over subspaces of the per-(query,
-    code) micro-unit BIGINT table entries — the textbook asymmetric
-    distance decomposition, and deliberately INTEGER per subspace so
-    the sum is order-independent (a float sum of four per-subspace
-    doubles would depend on add order across engines)."""
+def _pq_train_ctes() -> str:
+    """The PQ training CTE chain (seeds → per-subspace slices →
+    assignment → quantized means → codebook), shared VERBATIM by the
+    search oracle (_pq_adc_sql) and the code-table oracle
+    (_pq_codes_sql) so the two hash-checks can never validate
+    different codebooks."""
     d2_seed = _d2_sql_dim("s.sub", "d.semb", PQ_SUBDIM)
-    d2_cb = _d2_sql_dim("s.sub", "c.cemb", PQ_SUBDIM)
-    # per-subspace query-to-code distance: q's m-th slice vs the code
-    qi = f"q.embedding[c.m * {PQ_SUBDIM} + i]"
-    d2_qc = f"""list_reduce(
-      list_prepend(CAST(0.0 AS DOUBLE),
-        list_transform(generate_series(1, {PQ_SUBDIM}),
-          i -> (CAST({qi} AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
-             * (CAST({qi} AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
-      (acc, x) -> acc + x)"""
-    cos = _cos_sql("q.embedding", "e.embedding")
     lo = f"t.m * {PQ_SUBDIM} + 1"
     hi = f"t.m * {PQ_SUBDIM} + {PQ_SUBDIM}"
     return f"""
@@ -1468,7 +1449,32 @@ def _pq_adc_sql() -> str:
       FROM ex GROUP BY m, code, u.dim
     ), cb AS (
       SELECT m, code, list(mv ORDER BY dim) AS cemb FROM cm GROUP BY m, code
-    ), a2 AS (
+    )"""
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB replay of the full PQ pipeline: per-subspace seed pick /
+    one quantized-Lloyd training round / encode / integer
+    lookup-table ADC / exact cosine rerank — every stage
+    deterministic, so the float scores hash-match bit-for-bit (the
+    ``_ivf_kmeans_sql`` discipline applied per subspace).
+
+    The ADC distance is the SUM over subspaces of the per-(query,
+    code) micro-unit BIGINT table entries — the textbook asymmetric
+    distance decomposition, and deliberately INTEGER per subspace so
+    the sum is order-independent (a float sum of four per-subspace
+    doubles would depend on add order across engines)."""
+    d2_cb = _d2_sql_dim("s.sub", "c.cemb", PQ_SUBDIM)
+    # per-subspace query-to-code distance: q's m-th slice vs the code
+    qi = f"q.embedding[c.m * {PQ_SUBDIM} + i]"
+    d2_qc = f"""list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, {PQ_SUBDIM}),
+          i -> (CAST({qi} AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+             * (CAST({qi} AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
+      (acc, x) -> acc + x)"""
+    cos = _cos_sql("q.embedding", "e.embedding")
+    return f"""{_pq_train_ctes()}, a2 AS (
       SELECT s.vec_id, s.m, c.code,
              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                                 ORDER BY {d2_cb}, c.code) AS rn
@@ -1925,4 +1931,60 @@ def similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs/STATUS.md round-13 candidates)."""
     return _recall_frame(
         spark, sf_dir, _RECALL_METHODS + (("pq_adc", similarity_pq_adc),)
+    )
+
+
+def _pq_codes_sql() -> str:
+    """DuckDB twin of the code-table write: the shared training CTE
+    chain (``_pq_train_ctes`` — the same string the search oracle
+    embeds, so the two hash-checks validate ONE codebook), then
+    per-vector code assignment and the micro-unit integer
+    quantization error."""
+    d2_cb = _d2_sql_dim("s.sub", "c.cemb", PQ_SUBDIM)
+    return f"""{_pq_train_ctes()}, a2 AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(ROUND({d2_cb} * 1000000, 0) AS BIGINT) AS err_q,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {d2_cb}, c.code) AS rn
+      FROM subs s JOIN cb c ON c.m = s.m
+    )
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ',')
+             AS pq_codes,
+           CAST(SUM(err_q) AS BIGINT) AS q_err
+    FROM a2 WHERE rn = 1
+    GROUP BY vec_id
+    """
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ PERSISTENCE step: encode every vector to its PQ_M code
+    ids (the 4-byte column a production corpus stores — 64× smaller
+    than the float32 vectors) plus the micro-unit integer quantization
+    error (the distortion audit column a deployment tracks when
+    deciding codebook size). This is the table the LUT ADC search
+    reads instead of re-encoding — the 'reading stored codes sheds
+    the encode term' step named in similarity_pq_adc's docstring.
+
+    Plan: map-only after the cached training round — the broadcast
+    1-row codebook crossJoin plus in-row HOF argmins per subspace;
+    zero data exchanges (embedding_quantize's cost class: scan speed,
+    write back columnar). err is Σ over subspaces of the quantized
+    integer sub-distance — order-independent, so hash-exact. Codes
+    emit CSV-stringified (the array-column canonicalizer rule).
+    Banked for a window-rotation registration (docs/STATUS.md).
+
+    kawa parity: none; mandate (M) similarity-search extension."""
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    cb = _one_row_cb(spark, _pq_codebook_rows(e, sf_dir))
+    bests = [_pq_best(m, _pq_sub(m)) for m in range(PQ_M)]
+    codes = F.concat_ws(
+        ",", *[b.getField("code").cast("string") for b in bests]
+    )
+    err = None
+    for b in bests:
+        term = F.round(b.getField("d2") * 1000000, 0).cast("long")
+        err = term if err is None else err + term
+    return e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", codes.alias("pq_codes"), err.alias("q_err")
     )

@@ -56,7 +56,7 @@ def test_dhash_survives_codec_roundtrip():
 
 
 def test_image_dedup_plants_and_shape(spark):
-    ta, tb = M._ahash_plant_texts()
+    ta, tb = M._dhash_plant_texts()
     assert ta != tb and ta[:512] == tb[:512] and len(ta) > 512
     rows = {r["doc_id"]: r for r in M.multimodal_image_dedup(spark, SF).collect()}
     a, b = rows[-101], rows[-102]

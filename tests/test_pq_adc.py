@@ -14,9 +14,7 @@ import hashlib
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
-import pytest
 
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -73,16 +71,14 @@ def _ref_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _ref_pq_adc(vecs: dict[int, list[float]]) -> list[tuple]:
-    """The whole PQ pipeline as plain Python floats (IEEE doubles,
-    left folds in index order — the same arithmetic both engines
-    run), independent of Spark AND DuckDB."""
+def _ref_train(vecs: dict[int, list[float]]) -> dict[tuple[int, int], list[float]]:
+    """One quantized-Lloyd round per subspace in plain Python — the
+    single copy of the training replay (shared by the pipeline
+    reference and the code-table test; code review r12)."""
     M, SUB = S.PQ_M, S.PQ_SUBDIM
     seeds = sorted(
         vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
     )[: S.PQ_CODES]
-
-    # train: one quantized-Lloyd round per subspace
     cb: dict[tuple[int, int], list[float]] = {}
     for m in range(M):
         sseed = {c: vecs[s][m * SUB : (m + 1) * SUB] for c, s in enumerate(seeds)}
@@ -98,11 +94,16 @@ def _ref_pq_adc(vecs: dict[int, list[float]]) -> list[tuple]:
                 / 1000000
                 for d in range(SUB)
             ]
+    return cb
 
-    # encode: per-subspace nearest code (ties → lower code)
-    codes: dict[int, list[int]] = {}
-    for vid, v in vecs.items():
-        codes[vid] = [
+
+def _ref_encode(
+    vecs: dict[int, list[float]], cb: dict[tuple[int, int], list[float]]
+) -> dict[int, list[int]]:
+    """Per-subspace nearest code (ties → lower code)."""
+    M, SUB = S.PQ_M, S.PQ_SUBDIM
+    return {
+        vid: [
             min(
                 (_ref_d2(v[m * SUB : (m + 1) * SUB], cb[(m, c)]), c)
                 for mm, c in cb
@@ -110,6 +111,17 @@ def _ref_pq_adc(vecs: dict[int, list[float]]) -> list[tuple]:
             )[1]
             for m in range(M)
         ]
+        for vid, v in vecs.items()
+    }
+
+
+def _ref_pq_adc(vecs: dict[int, list[float]]) -> list[tuple]:
+    """The whole PQ pipeline as plain Python floats (IEEE doubles,
+    left folds in index order — the same arithmetic both engines
+    run), independent of Spark AND DuckDB."""
+    M, SUB = S.PQ_M, S.PQ_SUBDIM
+    cb = _ref_train(vecs)
+    codes = _ref_encode(vecs, cb)
 
     # integer LUT ADC scan + exact rerank: adc = Σ over subspaces of
     # the per-(query, code) micro-unit table entry
@@ -236,3 +248,31 @@ def test_recall_pq_matches_oracle_and_contains_registered(spark):
     assert len(pq) == S.N_QUERIES
     assert pq[0]["method_total"] == S.N_QUERIES * S.TOP_K
     assert pq[0]["method_hits"] > 0
+
+
+def test_pq_codes_matches_oracle_and_reference(spark):
+    """The code-table write: hash-green vs the analytic oracle, zero
+    requirement-driven exchanges (map-only, embedding_quantize's cost
+    class), and the codes agree with an independent pure-Python
+    encode over the whole corpus."""
+    rep = compare(spark, SF, S.embedding_pq_codes, S._pq_codes_sql())
+    assert rep["values_match"], rep
+
+    df = S.embedding_pq_codes(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "REPARTITION_BY_NUM" in ln, ln
+
+    got = {r["vec_id"]: r["pq_codes"] for r in df.collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = {int(v): [float(np.float64(np.float32(x))) for x in emb] for v, emb in raw}
+    codes = _ref_encode(vecs, _ref_train(vecs))
+    for vid, want in codes.items():
+        assert got[vid] == ",".join(str(c) for c in want), vid
