@@ -327,3 +327,42 @@ def test_security_analytics_spray_and_typosquat_fire(spark):
         r["subject"] for r in alerts if r["alert"] == "typosquat"
     }
     assert typos == {dom for dom, _ in TYPO_PLANTS}
+
+
+def test_vector_pipeline_composes(spark):
+    """The embedding-side index build: one card per vector with every
+    index column populated, and the six-method audit with the exact
+    structural orderings (wide probes ≥ narrow for both families —
+    superset candidate sets)."""
+    import re
+
+    from vector_pipeline import audit_report, build_vector_index
+
+    sf = "/root/testdata/sf0.001"
+    idx = build_vector_index(spark, sf).collect()
+    assert len(idx) == 500  # one card per vector
+    code_re = re.compile(r"^\d+(,\d+){3}$")
+    for r in idx:
+        assert code_re.match(r["pq_codes"]), r["pq_codes"]
+        assert r["q_err"] >= 0
+        assert 0 <= r["cluster_id"] < 8
+        assert r["scale"] is not None and r["q8_csv"]
+
+    audit = {r["method"]: r for r in audit_report(spark, sf).collect()}
+    assert set(audit) == {
+        "ivf_kmeans",
+        "ivf_kmeans_wide",
+        "lsh_ann",
+        "lsh_multiprobe",
+        "lsh_multiprobe_wide",
+        "pq_adc",
+    }
+    assert all(r["method_total"] == 50 for r in audit.values())
+    # superset candidate sets ⇒ recall can only go up with the knob
+    assert audit["ivf_kmeans_wide"]["method_hits"] >= audit["ivf_kmeans"]["method_hits"]
+    assert (
+        audit["lsh_multiprobe_wide"]["method_hits"]
+        >= audit["lsh_multiprobe"]["method_hits"]
+        >= audit["lsh_ann"]["method_hits"]
+    )
+    assert audit["pq_adc"]["method_hits"] > 0
