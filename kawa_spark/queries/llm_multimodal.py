@@ -654,9 +654,6 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs/STATUS.md round-13 candidates).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
-    from kawa_spark.shipping import ensure_shipped
-
-    ensure_shipped(spark)
     ta, tb = _dhash_plant_texts()
     d = (
         table(spark, sf_dir, "documents")
@@ -669,11 +666,21 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.unionByName(plants).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+    return image_dedup_from_hashes(image_hashes(docs))
 
-    # ONE fused Arrow stage: encode→decode→hash per document. The BMP
-    # bytes are consumed by nothing else, so materializing them as an
-    # intermediate binary column would ship the corpus across the
-    # JVM↔Python boundary twice for no reader (code review r12).
+
+def image_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → (doc_id, dhash): the fused codec
+    round trip + dHash as ONE Arrow stage. The BMP bytes are consumed
+    by nothing else, so materializing them as an intermediate binary
+    column would ship the corpus across the JVM↔Python boundary twice
+    for no reader (code review r12). A stateless 1:1 transform, so the
+    SAME core hashes a batch frame and a document STREAM (the banked
+    streaming twin maps it per microbatch — zero state-store rows)."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kawa_spark.queries.llm_multimodal import (
             _bmp_decode,
@@ -694,7 +701,14 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashed = docs.mapInPandas(hash_images, schema="doc_id long, dhash string")
+    return docs.mapInPandas(hash_images, schema="doc_id long, dhash string")
+
+
+def image_dedup_from_hashes(hashed: DataFrame) -> DataFrame:
+    """(doc_id, dhash) → the dedup verdict: hash-equality groups with
+    min-id keepers — ONE shuffle keyed on the hash (dedup_exact's
+    plan). Shared by the batch key and the banked streaming twin so
+    the two bindings cannot drift."""
     groups = hashed.groupBy("dhash").agg(
         F.min("doc_id").alias("keeper"),
         F.count(F.lit(1)).cast("long").alias("n_group"),

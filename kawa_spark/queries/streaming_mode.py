@@ -1671,3 +1671,56 @@ def stream_exec_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared estimator core — the online twin must never grow its
     # own copy of the (K-1)/u_K formula (code review r10)
     return kmv_scores(sk, exact)
+
+
+def _img_dedup_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_imgdedup_plants_")
+
+
+def stream_exec_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_image_dedup maintained ONLINE — the banked
+    twenty-first online/offline twin candidate (docs/STATUS.md
+    round-13 bank): the codec round trip + 63-bit dHash run MAP-SIDE
+    on the document stream (a stateless Arrow transform per
+    microbatch — zero state-store rows, no ordering contract; the
+    shared ``image_hashes`` core binds batch and stream identically),
+    the per-doc hash table drains through the PARQUET sink
+    (volume-scaling drain stays executor-side — the twin-#19 rule),
+    and the shared dedup half (``image_dedup_from_hashes``:
+    hash-equality groups, min-id keepers, one hash-keyed shuffle)
+    runs on the drained table. This is literally the production
+    shape: the ingest stream writes the perceptual-hash column, the
+    dedup job reads it.
+
+    The planted pair (identical pixels, different byte tails) rides
+    the stream as a second file source. Oracle once registered = the
+    batch key's ``_image_dedup_sql`` verbatim; until then the twin is
+    pinned row-identical to the batch key through the real streaming
+    runtime by tests/test_image_dedup.py
+    ::test_streaming_twin_equals_batch_key."""
+    from kawa_spark.queries.llm_multimodal import (
+        _dhash_plant_texts,
+        image_dedup_from_hashes,
+        image_hashes,
+    )
+
+    s = (
+        stream_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    ta, tb = _dhash_plant_texts()
+    plants_dir = _img_dedup_plants_dir()
+    spark.createDataFrame(
+        [(-101, ta), (-102, tb)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    p = spark.readStream.schema("doc_id long, text string").parquet(
+        plants_dir
+    )
+    docs = s.unionByName(p).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    drained = _drain_files(
+        image_hashes(docs), spark, "kawa_imgdedup_drain_"
+    )
+    return image_dedup_from_hashes(drained)

@@ -69,3 +69,19 @@ def test_image_dedup_plants_and_shape(spark):
     nat = [r for d, r in rows.items() if d >= 0]
     assert any(r["is_dup"] for r in nat)
     assert any(not r["is_dup"] for r in nat)
+
+
+def test_streaming_twin_equals_batch_key(spark):
+    """The banked streaming twin (map-side hash on the document
+    stream, parquet drain, shared dedup half) is row-identical to the
+    batch key through the REAL streaming runtime — plants riding the
+    stream included."""
+    from kawa_spark.queries.streaming_mode import stream_exec_image_dedup
+
+    batch = sorted(
+        tuple(r) for r in M.multimodal_image_dedup(spark, SF).collect()
+    )
+    online = sorted(
+        tuple(r) for r in stream_exec_image_dedup(spark, SF).collect()
+    )
+    assert online == batch
