@@ -577,18 +577,20 @@ def _dhash_plant_texts() -> tuple[str, str]:
     return crop + "tail-a", crop + "tail-b"
 
 
-def _image_dedup_sql() -> str:
-    """DuckDB twin of the dHash dedup: recomputes the crop cells
-    analytically from the document bytes (ASCII corpus => byte n ==
-    codepoint n -- the multimodal_meta contract), so the REAL
-    BMP-roundtrip path is checked against an engine that never runs
-    the codec."""
-    ta, tb = _dhash_plant_texts()
+def _dhash_ctes(plants: list[tuple[int, str]]) -> str:
+    """The analytic dHash CTE chain (docs-with-plants → crop cells →
+    63-bit gradient hashes) recomputed from the document bytes (ASCII
+    corpus => byte n == codepoint n -- the multimodal_meta contract),
+    so the REAL BMP-roundtrip path is checked against an engine that
+    never runs the codec. ONE generator, parameterized on the plant
+    set, shared by the exact-dedup and near-dup oracles (the shared-
+    training-CTE rule from _pq_train_ctes)."""
+    plant_rows = "".join(
+        f"\n      UNION ALL SELECT {i}, '{t}'" for i, t in plants
+    )
     return f"""
     WITH docs AS (
-      SELECT doc_id, text FROM documents WHERE strlen(text) > 0
-      UNION ALL SELECT -101, '{ta}'
-      UNION ALL SELECT -102, '{tb}'
+      SELECT doc_id, text FROM documents WHERE strlen(text) > 0{plant_rows}
     ), cells AS (
       SELECT doc_id, t.k AS k,
         list_reduce(list_prepend(0, list_transform(generate_series(0, {DHASH_CELL_BYTES - 1}),
@@ -604,7 +606,14 @@ def _image_dedup_sql() -> str:
                k -> CASE WHEN cs[k] > cs[k + 1] THEN '1' ELSE '0' END), '')
                AS dhash
       FROM vecs
-    ), grp AS (
+    )"""
+
+
+def _image_dedup_sql() -> str:
+    """DuckDB twin of the exact dHash dedup: the shared analytic hash
+    chain, then hash-equality groups with min-id keepers."""
+    ta, tb = _dhash_plant_texts()
+    return f"""{_dhash_ctes([(-101, ta), (-102, tb)])}, grp AS (
       SELECT dhash, MIN(doc_id) AS keeper, COUNT(*) AS n_group
       FROM hashes GROUP BY dhash
     )
@@ -720,3 +729,197 @@ def image_dedup_from_hashes(hashed: DataFrame) -> DataFrame:
         (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
         "n_group",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image NEAR-dup: Hamming-banded LSH over the perceptual hashes
+# ---------------------------------------------------------------------------
+
+IMG_HAM_T = 2        # near-dup threshold on the 63-bit gradient hash
+IMG_BANDS = 3        # T+1 disjoint bands — the pigeonhole minimum
+IMG_BAND_BITS = 21   # 63 = 3 x 21 exactly
+IMG_BUCKET_CAP = 64  # the dedup tier's LSH bucket guard (measured below)
+
+
+def _dhash_near_plants() -> list[tuple[int, str]]:
+    """Trio with CONSTRUCTED pairwise Hamming distances: the crop is
+    63 equal cells ('m'·8, sum 872) plus one final cell that alone
+    decides bit 62 — low ('!'·8 = 264 ⇒ bit62 = 1) for the base pair,
+    high ('~'·8 = 1008 ⇒ bit62 = 0) for the flip — so
+    hamming(base, flip) == 1 EXACTLY by construction (every other
+    cell comparison is an equality → bit 0), independent of corpus
+    content. The base pair (different tails, same crop) pins the
+    hamming-0 class; the flip pins the 0 < hamming ≤ IMG_HAM_T class
+    the exact-equality key structurally misses."""
+    body = "m" * (DHASH_CELL_BYTES * (DHASH_CELLS - 1))
+    base = body + "!" * DHASH_CELL_BYTES
+    flip = body + "~" * DHASH_CELL_BYTES
+    return [
+        (-111, base + "tail-a"),
+        (-112, base + "tail-b"),
+        (-113, flip + "tail-c"),
+    ]
+
+
+def _band_of(h: str, b: int) -> str:
+    """Band b of a bit string: the INTERLEAVED positions b, b+3,
+    b+6, … (python h[b::3]). Interleaving is load-bearing: gradient
+    hashes of text rasters are low-entropy at the tail (short docs
+    zero-pad), so CONTIGUOUS bands put half the corpus into one
+    trailing-zeros bucket; spreading each band across the whole hash
+    mixes high- and low-entropy positions (measured at the 100×
+    build: max contiguous-16-bit bucket 281k members vs interleaved
+    6.4k). Disjoint position sets keep the pigeonhole guarantee
+    exact: ≤ IMG_HAM_T flipped bits touch ≤ IMG_HAM_T of the
+    IMG_BANDS = IMG_HAM_T + 1 bands, so every true pair shares ≥ 1
+    untouched band."""
+    return h[b::IMG_BANDS]
+
+
+def _image_near_sql() -> str:
+    """DuckDB twin of the banded near-dup search: the SHARED analytic
+    hash chain (_dhash_ctes — the exact key's oracle embeds the same
+    string), the Horner-fold integer form of each hash, interleaved
+    band explode, bucket cap, distinct candidate pairs, and the
+    integer xor/bit_count Hamming verify."""
+    return f"""{_dhash_ctes(_dhash_near_plants())}, ints AS (
+      SELECT doc_id, dhash,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, {DHASH_CELLS - 1}),
+                 k -> CAST(CASE WHEN substring(dhash, k, 1) = '1'
+                           THEN 1 ELSE 0 END AS BIGINT))),
+               (a, x) -> a * 2 + x) AS dhash_int
+      FROM hashes
+    ), bands AS (
+      SELECT doc_id, dhash_int, t.b AS band_id,
+             array_to_string(list_transform(
+               generate_series(0, {IMG_BAND_BITS - 1}),
+               j -> substring(dhash, t.b + j * {IMG_BANDS} + 1, 1)), '')
+               AS band_str
+      FROM ints, UNNEST(generate_series(0, {IMG_BANDS - 1})) AS t(b)
+    ), sized AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_str)
+              <= {IMG_BUCKET_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.dhash_int AS ia, b.dhash_int AS ib
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.band_str = b.band_str
+       AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(ia, ib)) AS INTEGER) AS hamming
+      FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {IMG_HAM_T}
+    """
+
+
+def multimodal_image_dedup_near(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image NEAR-duplicate search — the scale-honest completion of
+    multimodal_image_dedup: exact hash equality misses a re-encoded
+    image whose perceptual hash flips a single bit, so the near form
+    bands the 63-bit gradient hash into IMG_BANDS = T+1 disjoint
+    INTERLEAVED 21-bit bands (pigeonhole-exact for T = IMG_HAM_T; see
+    _band_of for why interleaving, not contiguity), pairs only inside
+    bucket-capped shared bands (the dedup tier's LSH discipline —
+    never all-pairs), and verifies candidates with one integer
+    xor + bit_count per pair (the hash rides as a 63-bit BIGINT; no
+    per-position work in the verify).
+
+    Geometry was MEASURED, not guessed (docs/SCALE.md r12): a first
+    form with four contiguous 16-bit bands and cap 200 sat in the
+    fixed-cap drift window at the 100× build — 58M capped candidate
+    pairs, 229 s — because text-raster hashes are low-entropy; the
+    shipped 3×21 interleaved geometry with cap 64 reads 19k candidate
+    pairs on the same build. The cap is the deliberate recall/scale
+    tradeoff (it evicts crowded junk-gradient buckets), mirrored in
+    the oracle, and the full capped semantics are replayed exactly by
+    the pure-Python reference in tests/test_image_dedup.py.
+
+    Plants: a constructed trio whose pairwise distances are 0 and
+    EXACTLY 1 by design (_dhash_near_plants) — both the
+    crop-identical class and the bit-flip class the exact key misses
+    verify at every SF.
+
+    Scale: hashes are the map-only codec scan; bands explode
+    IMG_BANDS narrow rows per doc; the self-join moves (doc_id,
+    21-bit band) rows inside capped buckets only; the verify is O(1)
+    integer ops per candidate. ONE band-keyed shuffle (the band
+    counts reuse the same key). Banked for a window-rotation
+    registration (docs/STATUS.md round-13 candidates).
+
+    kawa parity: none; mandate (M) multimodal + dedup extension."""
+    ta = _dhash_near_plants()
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    plants = spark.createDataFrame(
+        ta, schema="doc_id long, text string"
+    )
+    docs = d.unionByName(plants).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    hashed = image_hashes(docs).select(
+        "doc_id",
+        "dhash",
+        F.conv(F.col("dhash"), 2, 10).cast("long").alias("dhash_int"),
+    )
+    bands = hashed.select(
+        "doc_id",
+        "dhash_int",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[
+                                F.substring(
+                                    F.col("dhash"), b + j * IMG_BANDS + 1, 1
+                                )
+                                for j in range(IMG_BAND_BITS)
+                            ]
+                        ).alias("band_str"),
+                    )
+                    for b in range(IMG_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "dhash_int", "s.band_id", "s.band_str")
+    counts = bands.groupBy("band_id", "band_str").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    sized = bands.join(counts, ["band_id", "band_str"]).filter(
+        F.col("n_bucket") <= IMG_BUCKET_CAP
+    )
+    left = sized.select(
+        "band_id",
+        "band_str",
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_int").alias("ia"),
+    )
+    right = sized.select(
+        "band_id",
+        "band_str",
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_int").alias("ib"),
+    )
+    cand = (
+        left.join(right, ["band_id", "band_str"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ia", "ib")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ia").bitwiseXOR(F.col("ib")))
+        .cast("int")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= IMG_HAM_T)

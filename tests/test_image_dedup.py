@@ -85,3 +85,79 @@ def test_streaming_twin_equals_batch_key(spark):
         tuple(r) for r in stream_exec_image_dedup(spark, SF).collect()
     )
     assert online == batch
+
+
+def test_image_near_dup_matches_oracle_and_plants(spark):
+    rep = compare(spark, SF, M.multimodal_image_dedup_near, M._image_near_sql())
+    assert rep["values_match"], rep
+    rows = M.multimodal_image_dedup_near(spark, SF).collect()
+    plant = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"]) for r in rows if r["doc_a"] < 0
+    )
+    # constructed distances: the base pair at 0, the bit-flip at
+    # EXACTLY 1 to both — the class exact-hash dedup misses
+    assert plant == [(-113, -112, 1), (-113, -111, 1), (-112, -111, 0)]
+    nat = [r for r in rows if r["doc_a"] >= 0]
+    assert any(r["hamming"] == 0 for r in nat)
+    assert any(0 < r["hamming"] <= M.IMG_HAM_T for r in nat)
+
+
+def test_image_near_equals_capped_brute_force(spark):
+    """The registered semantics replayed in pure Python: band the
+    hashes, evict buckets over IMG_BUCKET_CAP (the dedup tier's LSH
+    guard — the corpus's trailing-zero bands are the crowded junk the
+    cap exists for), pair docs sharing a SURVIVING band, keep
+    hamming ≤ T. The banded plan must equal this reference EXACTLY —
+    and the reference documents the cap's recall cost: without the
+    cap the pigeonhole guarantee (T=2 < 4 bands ⇒ some band
+    untouched) would make banding lossless, and the uncapped
+    brute-force set is asserted to be a SUPERSET (the plan never
+    invents pairs)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    d = (
+        M.table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    plants = spark.createDataFrame(
+        M._dhash_near_plants(), schema="doc_id long, text string"
+    )
+    docs = d.unionByName(plants).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    hstr = {
+        r["doc_id"]: r["dhash"] for r in M.image_hashes(docs).collect()
+    }
+    hint = {i: int(h, 2) for i, h in hstr.items()}
+    # band membership (interleaved positions) + cap eviction
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    for i, h in hstr.items():
+        for b in range(M.IMG_BANDS):
+            buckets[(b, M._band_of(h, b))].append(i)
+    ref = set()
+    for members in buckets.values():
+        if len(members) > M.IMG_BUCKET_CAP:
+            continue
+        ms = sorted(members)
+        for x, a in enumerate(ms):
+            for b2 in ms[x + 1 :]:
+                hd = (hint[a] ^ hint[b2]).bit_count()
+                if hd <= M.IMG_HAM_T:
+                    ref.add((a, b2, hd))
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in M.multimodal_image_dedup_near(spark, SF).collect()
+    }
+    assert banded == ref
+    ids = sorted(hint)
+    uncapped = {
+        (a, b, (hint[a] ^ hint[b]).bit_count())
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (hint[a] ^ hint[b]).bit_count() <= M.IMG_HAM_T
+    }
+    assert banded <= uncapped  # the plan never invents pairs
+    assert banded  # and finds a non-vacuous set
