@@ -716,13 +716,22 @@ def image_hashes(docs: DataFrame) -> DataFrame:
 def image_dedup_from_hashes(hashed: DataFrame) -> DataFrame:
     """(doc_id, dhash) → the dedup verdict: hash-equality groups with
     min-id keepers — ONE shuffle keyed on the hash (dedup_exact's
-    plan). Shared by the batch key and the banked streaming twin so
-    the two bindings cannot drift."""
-    groups = hashed.groupBy("dhash").agg(
-        F.min("doc_id").alias("keeper"),
-        F.count(F.lit(1)).cast("long").alias("n_group"),
-    )
-    return hashed.join(groups, "dhash").select(
+    plan), as a WINDOW over the hash groups rather than a
+    groupBy + join-back: the join form consumed the un-persisted
+    hash frame twice, which re-ran the expensive codec+hash Arrow
+    stage per side (code review r12 pass 2 — 2 MapInPandas nodes in
+    the executed plan). The window reads the frame once; group sizes
+    are corpus-dup-group-bounded. Shared by the batch key and the
+    banked streaming twin so the two bindings cannot drift."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dhash")
+    return hashed.select(
+        "doc_id",
+        "dhash",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_group"),
+    ).select(
         "doc_id",
         "dhash",
         "keeper",
@@ -742,16 +751,24 @@ IMG_BUCKET_CAP = 64  # the dedup tier's LSH bucket guard (measured below)
 
 
 def _dhash_near_plants() -> list[tuple[int, str]]:
-    """Trio with CONSTRUCTED pairwise Hamming distances: the crop is
-    63 equal cells ('m'·8, sum 872) plus one final cell that alone
-    decides bit 62 — low ('!'·8 = 264 ⇒ bit62 = 1) for the base pair,
-    high ('~'·8 = 1008 ⇒ bit62 = 0) for the flip — so
-    hamming(base, flip) == 1 EXACTLY by construction (every other
-    cell comparison is an equality → bit 0), independent of corpus
-    content. The base pair (different tails, same crop) pins the
-    hamming-0 class; the flip pins the 0 < hamming ≤ IMG_HAM_T class
-    the exact-equality key structurally misses."""
-    body = "m" * (DHASH_CELL_BYTES * (DHASH_CELLS - 1))
+    """Trio with CONSTRUCTED pairwise Hamming distances: cells 0..62
+    follow a fixed pseudo-random letter pattern (cell j = 8 copies of
+    chr(97 + (j·37) mod 26)) and only the FINAL cell differs between
+    the variants — low ('!'·8 = 264 ⇒ bit62 = 1, since cell62 =
+    824 > 264) for the base pair, high ('~'·8 = 1008 ⇒ bit62 = 0) for
+    the flip — so hamming(base, flip) == 1 EXACTLY by construction
+    (cell 63 participates in no other comparison).
+
+    The irregular body is load-bearing (code review r12 pass 2): a
+    first all-equal-cells construction hashed to '0'*63 — whose
+    interleaved bands are the corpus's CROWDED all-zero buckets, so
+    the flip pair's only shared bands got cap-evicted as the corpus
+    grew. The letter pattern's 63-bit signature gives the plants
+    band strings essentially private buckets; survival is verified
+    at both gate SFs by the tests and at the 100× probe build
+    (SCALE.md r12)."""
+    cells = [97 + (j * 37) % 26 for j in range(DHASH_CELLS - 1)]
+    body = "".join(chr(c) * DHASH_CELL_BYTES for c in cells)
     base = body + "!" * DHASH_CELL_BYTES
     flip = body + "~" * DHASH_CELL_BYTES
     return [
@@ -845,11 +862,13 @@ def multimodal_image_dedup_near(
     crop-identical class and the bit-flip class the exact key misses
     verify at every SF.
 
-    Scale: hashes are the map-only codec scan; bands explode
-    IMG_BANDS narrow rows per doc; the self-join moves (doc_id,
+    Scale: hashes are the map-only codec scan, MATERIALIZED once
+    (persist — the dedup tier's self-join discipline); bands explode
+    IMG_BANDS narrow rows per doc; the bucket guard is the shared
+    llm_dedup._cap_buckets window on the SAME (band_id, band_str)
+    key the self-join shuffles on; the self-join moves (doc_id,
     21-bit band) rows inside capped buckets only; the verify is O(1)
-    integer ops per candidate. ONE band-keyed shuffle (the band
-    counts reuse the same key). Banked for a window-rotation
+    integer ops per candidate. Banked for a window-rotation
     registration (docs/STATUS.md round-13 candidates).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
@@ -865,11 +884,18 @@ def multimodal_image_dedup_near(
     docs = d.unionByName(plants).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+    from kawa_spark.queries.llm_dedup import _cap_buckets
+
+    # persist the codec output: it feeds the band explode AND both
+    # self-join sides — un-persisted, every consumer re-ran the
+    # Arrow codec+hash corpus scan (4 MapInPandas nodes in the
+    # executed plan; code review r12 pass 2). The dedup tier's
+    # materialize-once precedent (dedup_minhash/_simhash).
     hashed = image_hashes(docs).select(
         "doc_id",
         "dhash",
         F.conv(F.col("dhash"), 2, 10).cast("long").alias("dhash_int"),
-    )
+    ).persist()
     bands = hashed.select(
         "doc_id",
         "dhash_int",
@@ -892,12 +918,12 @@ def multimodal_image_dedup_near(
             )
         ).alias("s"),
     ).select("doc_id", "dhash_int", "s.band_id", "s.band_str")
-    counts = bands.groupBy("band_id", "band_str").agg(
-        F.count(F.lit(1)).alias("n_bucket")
-    )
-    sized = bands.join(counts, ["band_id", "band_str"]).filter(
-        F.col("n_bucket") <= IMG_BUCKET_CAP
-    )
+    # the shared bucket guard: a window count on the SAME key the
+    # self-join shuffles on (llm_dedup._cap_buckets — not a third
+    # hand-rolled copy of the cap)
+    sized = _cap_buckets(
+        bands, cap=IMG_BUCKET_CAP, keys=("band_id", "band_str")
+    ).persist()
     left = sized.select(
         "band_id",
         "band_str",

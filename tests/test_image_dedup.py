@@ -109,7 +109,7 @@ def test_image_near_equals_capped_brute_force(spark):
     cap exists for), pair docs sharing a SURVIVING band, keep
     hamming ≤ T. The banded plan must equal this reference EXACTLY —
     and the reference documents the cap's recall cost: without the
-    cap the pigeonhole guarantee (T=2 < 4 bands ⇒ some band
+    cap the pigeonhole guarantee (T=2 < IMG_BANDS=3 ⇒ some band
     untouched) would make banding lossless, and the uncapped
     brute-force set is asserted to be a SUPERSET (the plan never
     invents pairs)."""
