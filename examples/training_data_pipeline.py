@@ -7,6 +7,11 @@ standard corpus build:
     → exact dedup         (normalized-hash keepers)
     → near-dup dedup      (posting-list jaccard → connected
                            components; only cluster keepers survive)
+    → image-level dedup   (r12: the SURVIVORS' leading bytes render
+                           through the real BMP codec to a 63-bit
+                           perceptual dHash; docs whose image equals
+                           another survivor's are the cross-byte
+                           duplicate class every TEXT gate misses)
     → span contamination  (r10: docs whose 8-word windows mostly
                            duplicate OTHER docs are dropped — the
                            boilerplate/licence-chrome pages that
@@ -70,6 +75,30 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact_keepers, "doc_id", "left_semi")
         .join(near_dup_losers, "doc_id", "left_anti")
     )
+    # image-level dedup OVER THE SURVIVOR SET (r12 — the same
+    # survivor-set rationale as the span gate below): the plant-free
+    # shared cores (image_hashes → image_dedup_from_hashes) hash each
+    # survivor's rendered image and drop non-keeper image-duplicates
+    # — the same-pixels/different-bytes class that byte- and
+    # shingle-level dedup structurally miss
+    from kawa_spark.queries.llm_multimodal import (
+        image_dedup_from_hashes,
+        image_hashes,
+    )
+
+    img_losers = (
+        image_dedup_from_hashes(
+            image_hashes(
+                deduped.filter(F.length("text") > 0).select(
+                    "doc_id",
+                    F.encode(F.col("text"), "UTF-8").alias("payload"),
+                )
+            )
+        )
+        .filter(F.col("is_dup"))
+        .select("doc_id")
+    )
+    deduped = deduped.join(img_losers, "doc_id", "left_anti")
     # span-level contamination OVER THE SURVIVOR SET (code review
     # r10): running the gate on the raw corpus would (a) flag a dup
     # group's keeper against the very copies dedup just removed —

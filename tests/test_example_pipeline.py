@@ -121,8 +121,26 @@ def test_training_data_pipeline_composes(spark, tmp_path):
         r["keeper_id"] for r in dedup_exact_norm(spark, sf).collect()
     }
     dedup_survivors = (q_ok & keepers) - losers
-    gate_in = docs.filter(
+    # image-level gate (r12 stage): plant-free cores on the survivor
+    # set, exactly as the pipeline composes them
+    from kawa_spark.queries.llm_multimodal import (
+        image_dedup_from_hashes,
+        image_hashes,
+    )
+
+    img_in = docs.filter(
         F.col("doc_id").isin([int(x) for x in dedup_survivors])
+        & (F.length("text") > 0)
+    ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    img_losers = {
+        r["doc_id"]
+        for r in image_dedup_from_hashes(image_hashes(img_in))
+        .filter(F.col("is_dup"))
+        .collect()
+    }
+    post_img = dedup_survivors - img_losers
+    gate_in = docs.filter(
+        F.col("doc_id").isin([int(x) for x in post_img])
     )
     contaminated = {
         r["doc_id"]
@@ -130,7 +148,25 @@ def test_training_data_pipeline_composes(spark, tmp_path):
         .filter(F.col("is_contaminated"))
         .collect()
     }
-    assert survivors == dedup_survivors - contaminated
+    assert survivors == post_img - contaminated
+    # prove the image gate BITES where every text gate can't: same
+    # rendered image (shared leading 512 bytes), different byte tails
+    crop = ("x" * 512)[:512]
+    ibite = spark.createDataFrame(
+        [
+            (1, crop + " tail one"),
+            (2, crop + " tail two"),
+            (3, "entirely different content"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    idup = {
+        r["doc_id"]
+        for r in image_dedup_from_hashes(image_hashes(ibite))
+        .filter(F.col("is_dup"))
+        .collect()
+    }
+    assert idup == {2}  # min-id keeper survives, its image-twin drops
     # on THIS corpus the near-dup stage already removes every
     # majority-duplicated doc, so the gate is a no-op here — honest
     # (its target is boilerplate that survives dedup). Prove the gate
