@@ -121,6 +121,11 @@ HEADLINE = [
     "events_lateral_movement_3hop",
     "dedup_incremental_minhash",
     "dedup_lsh_recall",
+    # r13 additions (batch keys; streaming drains stay out of the
+    # headline per the r9 convention — twin #20 is a drain)
+    "similarity_lsh_multiprobe_wide",
+    "similarity_ivf_kmeans_wide",
+    "dedup_incremental_embedding",
 ]
 
 # Audit keys (VERDICT r11 item 8): these two deliberately run multiple

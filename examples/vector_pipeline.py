@@ -11,7 +11,7 @@ into the standard ANN index build + audit:
                            partitioned/clustered write would key on)
     → one index table     (vec_id → codes + scale + cell + distortion
                            audit columns: what a vector store persists)
-  + ANN quality audit     (similarity_recall_pq — measured recall@k of
+  + ANN quality audit     (similarity_recall — measured recall@k of
                            all SIX methods incl. the PQ path vs the
                            exact top-k)
 
@@ -39,7 +39,7 @@ from kawa_spark.queries.llm_similarity import (
     embedding_pq_codes,
     embedding_quantize,
     kmeans_lloyd,
-    similarity_recall_pq,
+    similarity_recall,
 )
 
 
@@ -72,7 +72,7 @@ def audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-level recall@k of every ANN tier vs the exact top-k —
     the offline audit a deployment runs before turning a knob."""
     return (
-        similarity_recall_pq(spark, sf_dir)
+        similarity_recall(spark, sf_dir)
         .select("method", "method_hits", "method_total", "method_recall")
         .distinct()
         .orderBy("method")

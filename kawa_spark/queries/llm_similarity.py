@@ -306,6 +306,10 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIDE_PROBE_RADIUS = 2  # Hamming ≤ 2 probes: 1 + 8 + 28 = 37 buckets
 
 
+@register(
+    "similarity_lsh_multiprobe_wide",
+    oracle=_multiprobe_sql(WIDE_PROBE_RADIUS),
+)
 def similarity_lsh_multiprobe_wide(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -317,10 +321,11 @@ def similarity_lsh_multiprobe_wide(
     lsh_multiprobe's, so measured recall is structurally ≥; on this
     corpus it is strictly greater — driver-hash-checked as the
     'lsh_multiprobe_wide' method row of similarity_recall, and pinned
-    strictly above lsh_multiprobe's by the recall test. Banked for
-    standalone registration when the r13 window rotates (the r12
-    window is full with the 46-key deferred tier + 4 forced slots —
-    docs/STATUS.md round-13 candidates)."""
+    strictly above lsh_multiprobe's by the recall test. Built r12,
+    registered at the r13 rotation (VERDICT r12 item 1); the oracle
+    is the same _multiprobe_sql(radius=2) string the recall audit's
+    method block embeds, so the standalone check and the recall row
+    validate ONE construction."""
     return _multiprobe_frame(spark, sf_dir, radius=WIDE_PROBE_RADIUS)
 
 
@@ -712,14 +717,17 @@ def incremental_embedding_matches(
     return incremental_embedding_from_sigs(embedding_sigs(docs))
 
 
+@register("dedup_incremental_embedding", oracle=_inc_embedding_oracle())
 def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registration-ready binding (r12 core, banked for the r13
-    window — docs/STATUS.md round-13 candidates): modulo snapshot
-    split on vec_id (the shared is_prior_doc predicate), derived
-    scaled re-embed plants on the new side, the cross-snapshot core
-    above. Oracle generator: _inc_embedding_oracle — verified
-    hash-green at sf0.001 + sf0.01 at build time; r13 registration is
-    one @register line + a window slot."""
+    """Cross-snapshot embedding near-dup — the THIRD modality of the
+    incremental-dedup family (exact digests, minhash shingles,
+    embedding cosine), built r12 and registered at the r13 rotation
+    (VERDICT r12 item 1): modulo snapshot split on vec_id (the shared
+    is_prior_doc predicate), derived scaled re-embed plants on the
+    new side, then the new×prior sign-LSH bucket join with exact
+    left-fold cosine ≥ 0.9 verify (incremental_embedding_matches —
+    combined-population EMB_BUCKET_CAP, never quadratic). Oracle:
+    _inc_embedding_oracle."""
     from kawa_spark.queries.llm_dedup import is_prior_doc
 
     base = table(spark, sf_dir, "embeddings").select(
@@ -1152,6 +1160,10 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_WIDE_NPROBE = 4  # half the K=8 cells searched
 
 
+@register(
+    "similarity_ivf_kmeans_wide",
+    oracle=_ivf_kmeans_sql(IVF_WIDE_NPROBE),
+)
 def similarity_ivf_kmeans_wide(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1162,8 +1174,9 @@ def similarity_ivf_kmeans_wide(
     similarity_recall as the 'ivf_kmeans_wide' method row and pinned
     strictly above ivf_kmeans's. Still every join broadcast; the
     candidate rerank stays the linear-in-probed-cells exact leg.
-    Banked for standalone registration at the r13 rotation (the r12
-    window is full — docs/STATUS.md round-13 candidates)."""
+    Built r12, registered at the r13 rotation (VERDICT r12 item 1);
+    the oracle is the same _ivf_kmeans_sql(nprobe=4) string the
+    recall audit's method block embeds."""
     return _ivf_kmeans_frame(spark, sf_dir, nprobe=IVF_WIDE_NPROBE)
 
 
@@ -1298,52 +1311,13 @@ def _recall_oracle() -> str:
     )
 
 
-@register("similarity_recall", oracle=_recall_oracle())
-def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality MEASURED, not asserted: per-query hit counts of
-    each approximate method's top-k against the exact cosine top-k
-    (similarity_topk), plus the method-level recall ratio — the audit
-    job a production ANN deployment runs offline to tune
-    nprobe/n_planes. Methods: similarity_ivf_kmeans (the trained
-    production path), similarity_lsh_ann (the single-bucket variant,
-    whose low recall on this near-orthogonal synthetic corpus is
-    exactly what the measurement should expose),
-    similarity_lsh_multiprobe (the ±1-bit probe expansion — its
-    candidate set is a superset of the single bucket, so its measured
-    recall is structurally ≥ lsh_ann's; the test pins that),
-    similarity_lsh_multiprobe_wide (r12 — the Hamming-≤2 probe
-    expansion acting on r11's measured low LSH recall; superset of
-    multiprobe's candidates, recall pinned strictly greater on this
-    corpus), and similarity_ivf_kmeans_wide (r12 — the PRODUCTION
-    path's recall lever: nprobe=4 of the K=8 trained cells; superset
-    of nprobe=2's candidates, pinned strictly greater).
-
-    Exactness: hit counts are integers from an equi-join on
-    (q_id, n_id) — no float comparisons anywhere in the measurement
-    (ties inside the underlying top-k are broken by n_id in BOTH
-    engines, so the compared SETS are deterministic); recall_q /
-    method_recall are single divisions of exact ints.
-
-    Scale: the exact side is the expensive leg (one linear corpus
-    scan per query batch) — a production audit runs it over a SAMPLED
-    query set, which is precisely this shape (N_QUERIES queries);
-    both result sides are k·|Q| rows, so the measurement joins are
-    broadcast-trivial. The 1-row method totals attach via the
-    broadcast scalar idiom (no second pass).
-
-    kawa parity: none; mandate (M) similarity-search extension
-    (VERDICT r10 'What's missing' #2)."""
-    return _recall_frame(spark, sf_dir, _RECALL_METHODS)
-
-
-# The registered method list. _recall_frame is the method-list-
-# parameterized core (the multiprobe-radius / ivf-nprobe refactor
-# discipline): binding _RECALL_METHODS reproduces the registered
-# similarity_recall expression tree exactly — the loop body is
-# unchanged, only the tuple it iterates moved to a constant — and
-# _recall_oracle() is untouched, so the oracle string is byte-
-# identical by construction. The banked six-method form below adds
-# the pq_adc row.
+# The r12-registered five-method list. _recall_frame is the
+# method-list-parameterized core (the multiprobe-radius / ivf-nprobe
+# refactor discipline); since r13 the REGISTERED similarity_recall
+# binds _RECALL_METHODS + the pq_adc row (see the registration after
+# similarity_pq_adc below — the PQ pipeline must be defined first),
+# and the five-row prefix is pinned identical to this tuple's frame
+# by tests/test_pq_adc.py::test_registered_recall_contains_five_row_core.
 _RECALL_METHODS: tuple = (
     ("ivf_kmeans", similarity_ivf_kmeans),
     ("lsh_ann", similarity_lsh_ann),
@@ -1922,13 +1896,43 @@ def _recall_pq_oracle() -> str:
     )
 
 
-def similarity_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """similarity_recall with the PQ-ADC method row added (SIX
-    pipelines) — the one-line upgrade that makes the third ANN
-    family's recall driver-hash-checked the same way the r12 wide
-    rows were. Banked: registering it (or swapping the registered
-    key's method list) is a changed-implementation window slot
-    (docs/STATUS.md round-13 candidates)."""
+@register("similarity_recall", oracle=_recall_pq_oracle())
+def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality MEASURED, not asserted: per-query hit counts of
+    each approximate method's top-k against the exact cosine top-k
+    (similarity_topk), plus the method-level recall ratio — the audit
+    job a production ANN deployment runs offline to tune
+    nprobe/n_planes/codebooks. SIX measured pipelines (r13 — the
+    changed-implementation slot of VERDICT r12 item 1, carrying the
+    third ANN family's recall into the driver window):
+    similarity_ivf_kmeans (the trained production path),
+    similarity_lsh_ann (the single-bucket variant, whose low recall
+    on this near-orthogonal synthetic corpus is exactly what the
+    measurement should expose), similarity_lsh_multiprobe (the
+    ±1-bit probe expansion — candidate superset of the single
+    bucket, so measured recall is structurally ≥ lsh_ann's; the test
+    pins that), similarity_lsh_multiprobe_wide (the Hamming-≤2
+    expansion, pinned strictly above multiprobe), similarity_
+    ivf_kmeans_wide (nprobe=4 of the K=8 trained cells, pinned
+    strictly above ivf_kmeans), and similarity_pq_adc (r12's product
+    quantization with integer LUT ADC — 64× less vector memory; its
+    recall row is the honest cost-of-compression number).
+
+    Exactness: hit counts are integers from an equi-join on
+    (q_id, n_id) — no float comparisons anywhere in the measurement
+    (ties inside the underlying top-k are broken by n_id in BOTH
+    engines, so the compared SETS are deterministic); recall_q /
+    method_recall are single divisions of exact ints.
+
+    Scale: the exact side is the expensive leg (one linear corpus
+    scan per query batch) — a production audit runs it over a SAMPLED
+    query set, which is precisely this shape (N_QUERIES queries);
+    both result sides are k·|Q| rows, so the measurement joins are
+    broadcast-trivial. The 1-row method totals attach via the
+    broadcast scalar idiom (no second pass).
+
+    kawa parity: none; mandate (M) similarity-search extension
+    (VERDICT r10 'What's missing' #2)."""
     return _recall_frame(
         spark, sf_dir, _RECALL_METHODS + (("pq_adc", similarity_pq_adc),)
     )

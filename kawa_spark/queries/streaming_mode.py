@@ -1560,6 +1560,85 @@ def stream_exec_dedup_incremental_minhash(
     return incremental_minhash_from_sigs(prior_sig.unionByName(drained))
 
 
+def _inc_emb_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_incemb_plants_")
+
+
+def _inc_emb_oracle() -> str:
+    from kawa_spark.queries.llm_similarity import _inc_embedding_oracle
+
+    return _inc_embedding_oracle()
+
+
+@register(
+    "stream_exec_dedup_incremental_embedding", oracle=_inc_emb_oracle()
+)
+def stream_exec_dedup_incremental_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental_embedding maintained ONLINE — the twentieth
+    online/offline twin, completing the incremental-dedup family's
+    third modality (digest twin #17, minhash twin #19, embedding
+    here): today's embedding STREAM is sign-LSH-signature-tagged
+    MAP-SIDE (stateless 1:1 transform per microbatch — no state
+    store, no ordering contract), drained through the PARQUET sink
+    (the per-VECTOR signature table is the volume-scaling drain, so
+    it stays executor-side like twin #19's), unioned with the STATIC
+    prior corpus's signature state, and fed to the same sig-level
+    core as the batch key (llm_similarity.incremental_embedding_
+    from_sigs — combined-population bucket cap, new×prior pairing,
+    exact left-fold cosine ≥ 0.9 verify).
+
+    Oracle = the batch key's SQL verbatim (_inc_embedding_oracle);
+    the derived scaled re-embed plants ride the STREAM as a second
+    file source (written once from the prior split — the same rows
+    both engines derive). Composition equality of the drained-sigs
+    path with the batch core is separately pinned by
+    tests/test_embedding_dedup.py
+    ::test_embedding_sig_core_composes_with_drained_stream; twin
+    equality of THIS registered key against the batch key by
+    ::test_registered_twin20_equals_batch_key.
+
+    Scale: per microbatch the stream pays exactly the batch key's
+    map-side signature cost for the day's vectors; the prior
+    signature state is the persisted bucketed table of the batch
+    key's story (here rebuilt from the split for the bounded drain).
+    Runtime state is zero rows — the only streaming stage is
+    stateless — and the drained sig table is the parquet state the
+    next snapshot's prior side reads: the production shape."""
+    from kawa_spark.queries.llm_dedup import is_prior_doc
+    from kawa_spark.queries.llm_similarity import (
+        EMB_INC_PLANT_N,
+        embedding_sigs,
+        incremental_embedding_from_sigs,
+    )
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    prior = base.filter(is_prior_doc(F.col("vec_id")))
+    prior_sig = embedding_sigs(prior.withColumn("side", F.lit("p")))
+
+    plants_dir = _inc_emb_plants_dir()
+    prior.filter(F.col("vec_id") < EMB_INC_PLANT_N).select(
+        (F.col("vec_id") + F.lit(3000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+
+    s = stream_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sn = s.filter(~is_prior_doc(F.col("vec_id")))
+    p = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(plants_dir)
+    sig_stream = embedding_sigs(
+        sn.unionByName(p).withColumn("side", F.lit("n")), persist=False
+    )
+    drained = _drain_files(sig_stream, spark, "kawa_incemb_sigdrain_")
+    return incremental_embedding_from_sigs(prior_sig.unionByName(drained))
+
+
 def _quantile_sketch_oracle() -> str:
     from kawa_spark.queries.stats import QUANTILE_SKETCH_SQL
 

@@ -48,154 +48,153 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # deferred set is exactly the oldest-evidence tier outside the
 # window, and (b) window + deferred are disjoint and registered.
 #
-# Round 12's window (VERDICT r11 item 1): the FORTY-SIX deferred
-# r8-evidence keys lead (the oldest tier — 3 rounds stale at r11's
-# close — and the r11 registry's standing commitment, pinned by
-# test_deferred_is_exactly_the_oldest_offwindow_tier), then the one
-# key newly registered this round (never driver-checked), then the
-# three changed implementations. Exactly 50. Notes on keys that
-# changed only provably-identically and therefore may stay
-# off-window (the dedup_exact_norm r11 precedent): the r12
-# stats.md5_long extraction left _kmv_u's expression tree and
-# _kmv_u_sql's SQL string byte-identical (asserted at refactor time;
-# the KMV family reps agg_kmv_union + agg_kmv_sliding_window are
-# in-window anyway), and similarity_lsh_multiprobe's probe-radius
-# parameterization reproduces the r10 construction exactly for
-# radius=1 (oracle equality pinned by
-# test_radius1_masks_and_oracle_are_the_r10_form; the key is
-# in-window via the deferred tier regardless);
-# similarity_ivf_kmeans's nprobe parameterization reproduces the
-# registered nprobe=2 form exactly (oracle equality pinned by
-# test_nprobe2_oracle_is_the_registered_form AND verified against
-# the committed r11 string at refactor time); dedup_incremental
-# gained an OPTIONAL prefilter_bits parameter whose default-None
-# branch is the previous construction verbatim (output invariance of
-# the non-default branch pinned by test_prefilter_is_invariant).
-# Max evidence age
-# after this round's driver check: deferred = r9 evidence = 3 rounds
-# at r12 (the standing one-tier lag); everything else <= 2.
+# Round 13's window (VERDICT r12 item 1): the FORTY-FIVE deferred
+# r9-evidence keys lead (the oldest tier — 3 rounds stale at r12's
+# close — and the r12 registry's standing commitment, verified
+# mechanically by the r12 judge and pinned by
+# test_deferred_is_exactly_the_oldest_offwindow_tier), then the four
+# keys newly registered this round (never driver-checked: the two
+# wide ANN keys, the third incremental-dedup modality, and its twin
+# #20), then the one changed implementation (similarity_recall now
+# measures the SIXTH method row pq_adc — carrying the PQ family's
+# recall into the driver window). Exactly 50. The similarity_topk
+# vectorized-body swap (VERDICT r12 item 2) is deliberately NOT done
+# this round: similarity_topk sits in the r10-evidence tier that
+# must lead r14, so the changed implementation rides r14's MANDATORY
+# slot for free instead of displacing one of this round's five
+# banked registrations — see docs/STATUS.md round-13 notes.
+# Max evidence age after this round's driver check: deferred = r10
+# evidence = 3 rounds at r13 (the standing one-tier lag);
+# everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- the 46 deferred r8-evidence keys (VERDICT r11 item 1) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_lines",
-    "tpch_q22_global_sales",
-    "agg_distinct",
-    "scalar_string_date_math",
-    "flatmap_explode",
-    "grouping_rollup",
-    "join_outer_left",
-    "join_full_outer",
-    "join_semi",
-    "join_range_theta",
-    "deser_csv",
-    "window_analytic",
-    "window_range_time",
-    "stream_session",
-    "ts_resample_ffill",
-    "events_sessionize_batch",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "events_dedup_adjacent",
-    "events_heavy_hitters",
-    "events_markov_transitions",
-    "events_rate_limit",
-    "stream_exec_stream_static_join",
-    "stateful_running_total",
-    "stream_exec_tumbling",
-    "agg_kmv_union",
-    "stream_exec_stream_stream_join",
-    "stream_exec_dedup_watermark",
-    "logs_pattern_templates",
-    "logs_template_drift",
-    "quality_lm_commonness",
-    "corpus_bigrams",
-    "corpus_mixture_sample",
-    "corpus_pack_sequences",
-    "dedup_exact",
-    "dedup_exact_norm",
-    "similarity_containment",
-    "similarity_ivf",
-    "similarity_lsh_multiprobe",
-    "text_stats",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    # --- new key this round (never driver-checked): twin #19 ---
-    "stream_exec_dedup_incremental_minhash",
-    # --- changed implementations this round: dedup_lsh_recall now
-    # audits the hash-sampled universe (VERDICT r11 item 2);
-    # corpus_vocab_coverage's cumsum window is bounded by the
-    # TakeOrdered pre-cut (item 5); similarity_recall measures the
-    # fourth method row lsh_multiprobe_wide (item 4) ---
-    "dedup_lsh_recall",
-    "corpus_vocab_coverage",
+    # --- the 45 deferred r9-evidence keys (VERDICT r12 item 1) ---
+    "scan_project",
+    "filter_predicate",
+    "sort_limit_topk",
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "except_distinct",
+    "join_anti",
+    "join_outer_right",
+    "join_asof",
+    "flatmap_posexplode",
+    "deser_json",
+    "subquery_correlated",
+    "sql_surface",
+    "map_ops_extra",
+    "window_rank_extra",
+    "agg_stats_moments",
+    "agg_cms_freq",
+    "agg_kmv_sliding_window",
+    "corpus_decontaminate",
+    "corpus_split",
+    "multimodal_decode",
+    "pipeline_dedup_corpus",
+    "udtf_lateral",
+    "events_anomaly_mad",
+    "events_beaconing",
+    "events_cooccurrence_lift",
+    "events_first_seen",
+    "events_funnel_daily_conversion",
+    "events_impossible_travel",
+    "events_password_spray",
+    "events_session_paths",
+    "events_session_rarity",
+    "logs_cidr_enrich",
+    "logs_dga_score",
+    "stream_tumbling_count",
+    "rollup_multires",
+    "stream_exec_anomaly_mad",
+    "stream_exec_dga_score",
+    "stream_exec_first_seen",
+    "stream_exec_funnel",
+    "stream_exec_incremental_rollup",
+    "stream_exec_password_spray",
+    "stream_exec_template_drift",
+    "ts_resample_ffill_clamped",
+    # --- new keys this round (never driver-checked): the r12 bank's
+    # committed intents (VERDICT r12 item 1 / STATUS r13 priority) ---
+    "similarity_lsh_multiprobe_wide",
+    "similarity_ivf_kmeans_wide",
+    "dedup_incremental_embedding",
+    "stream_exec_dedup_incremental_embedding",
+    # --- changed implementation this round: similarity_recall adds
+    # the pq_adc method row (six measured pipelines; oracle gains the
+    # pq_adc UNION ALL block) ---
     "similarity_recall",
 ]
 
-# Keys whose driver evidence is the OLDEST off-window tier (r9) but
+# Keys whose driver evidence is the OLDEST off-window tier (r10) but
 # which did not fit this round's 50-slot window, with displacement
-# grounds. THESE MUST LEAD THE R13 WINDOW (plus any keys whose
-# implementation changes in r13). tests/test_registry_window.py pins
-# that this dict is exactly the oldest-evidence tier outside the
-# window. (The r12 window itself was forced: 46 deferred r8 keys +
-# twin #19 + the three changed implementations = exactly 50 — so the
-# whole r9 tier stays out, each with family/stability grounds.)
+# grounds. THESE MUST LEAD THE R14 WINDOW (plus any keys whose
+# implementation changes in r14 — note similarity_topk below is BOTH:
+# its vectorized-body swap is scheduled exactly because its mandatory
+# r14 slot makes the changed-implementation check free).
+# tests/test_registry_window.py pins that this dict is exactly the
+# oldest-evidence tier outside the window. (The r13 window itself was
+# forced: 45 deferred r9 keys + the four banked registrations + the
+# similarity_recall method-list change = exactly 50 — so the whole
+# r10 tier stays out, each with family/stability grounds.)
 DEFERRED: dict[str, str] = {
-    # relational / set-op / join tier: stable SQL with in-window
-    # family representatives
-    "scan_project": "trivial projection untouched since r1; scan+prune surface exercised by every in-window key",
-    "filter_predicate": "untouched since r1; pushdown plan-pinned (test_plan_audit)",
-    "sort_limit_topk": "TakeOrdered family rep events_heavy_hitters in-window",
-    "union_all": "set-op family, stable SQL untouched since r2",
-    "union_distinct": "set-op family, stable SQL untouched since r2",
-    "intersect": "set-op family, stable SQL untouched since r2",
-    "except_distinct": "set-op family; r9 non-vacuous retarget untouched since",
-    "join_anti": "join family reps join_outer_left/full_outer/semi in-window; r9 URGENT retarget untouched",
-    "join_outer_right": "join family reps join_outer_left + join_full_outer in-window",
-    "join_asof": "range-join family rep join_range_theta in-window",
-    "flatmap_posexplode": "explode family rep flatmap_explode in-window",
-    "deser_json": "deser family rep deser_csv in-window",
-    "subquery_correlated": "stable SQL untouched since r2",
-    "sql_surface": "stable SQL untouched since r2",
-    "map_ops_extra": "scalar/array family rep scalar_string_date_math in-window",
-    "window_rank_extra": "window family reps window_analytic + window_range_time in-window",
-    "agg_stats_moments": "exact decimal power sums untouched since r2; agg family rep agg_distinct in-window",
-    # sketch tier: in-window reps + independent hashlib property tests
-    "agg_cms_freq": "sketch family rep agg_kmv_union in-window; independent hashlib CMS property test",
-    "agg_kmv_sliding_window": "KMV family rep agg_kmv_union in-window; width-parameterized property test vs direct-window KMV",
-    # corpus / text-adjacent tier
-    "corpus_decontaminate": "corpus tier reps corpus_bigrams/mixture_sample/pack_sequences in-window; shares the _shingles core with in-window dedup keys",
-    "corpus_split": "corpus tier reps in-window; judge sf0.01 spot-check r11 green",
-    "multimodal_decode": "from-scratch BMP codec round-trip-tested vs itself and pinned; modality sibling multimodal_audio_features r11-green",
-    "pipeline_dedup_corpus": "composition of in-window dedup_exact + corpus reps; example-pipeline stage ordering test-pinned",
-    "udtf_lateral": "UDTF surface; udf family reps udf_python r10-green + udf_grouped_agg r11-green",
+    # relational / scalar / agg tier: stable SQL untouched for many
+    # rounds, with in-window family representatives
+    "agg_argminmax": "agg family rep agg_stats_moments in-window; stable SQL untouched since r3",
+    "agg_bitwise_bool": "agg family rep agg_stats_moments in-window; stable SQL untouched since r3",
+    "agg_string_collect": "deterministic sorted-collect; agg family rep agg_stats_moments in-window",
+    "array_map_ops": "scalar/array family rep map_ops_extra in-window",
+    "scalar_string_extra": "scalar family rep map_ops_extra in-window; stable SQL untouched since r3",
+    "null_handling": "stable SQL untouched since r2",
+    "interval_arithmetic": "stable SQL untouched since r3",
+    "histogram_width_bucket": "stable SQL untouched since r3",
+    "pivot_wide": "stable SQL untouched since r3",
+    "data_profile": "profiling aggregate over stable columns; agg reps in-window",
+    "percentile_cont": "exact percentile family; agg family rep agg_stats_moments in-window",
+    "percentile_disc": "exact percentile family; agg family rep agg_stats_moments in-window",
+    "json_roundtrip": "deser family rep deser_json in-window",
+    "sample_hash": "md5-rank hash-sampling discipline shared with in-window corpus_split and the r12-green dedup_lsh_recall sampler",
+    "udf_python": "udf surface; UDTF sibling udtf_lateral in-window, udf_grouped_agg r11-green",
+    # sketch / stats tier: in-window reps + hashlib property tests
+    "agg_quantile_sketch": "equal-age pair with stream_exec_quantile_sketch (shared QUANTILE_SKETCH_SQL); bottom-K merge-identity property test; sketch reps agg_cms_freq + agg_kmv_sliding_window in-window",
+    "stream_exec_quantile_sketch": "equal-age pair with agg_quantile_sketch (shared SQL); merge-idempotent state, no ordering contract",
+    "stream_exec_kmv_distinct": "KMV family rep agg_kmv_sliding_window in-window; merge-identity property test",
+    # corpus / text tier: r12-green family reps
+    "corpus_tfidf": "corpus family reps corpus_split + corpus_decontaminate in-window; corpus_bigrams r12-green",
+    "corpus_stratified_sample": "corpus family rep corpus_split in-window (shared hash-sampling discipline)",
+    "corpus_dedup_report": "composition over dedup cores; pipeline rep pipeline_dedup_corpus in-window",
+    "text_chunking": "text family reps text_stats/tokens/quality/langid all r12-green",
+    "text_edit_distance": "text family reps r12-green; DP kernel property-tested vs pure-Python reference",
+    "text_fingerprint": "text family reps r12-green; rolling-hash property test",
+    "text_normalize": "text family reps r12-green; shared normalizer with in-window dedup keys (dedup_exact_norm r12-green)",
+    "text_redact_pii": "text family reps r12-green; regex surface untouched since r10",
+    # dedup / similarity tier: the family's three incremental
+    # modalities and both wide ANN keys are in-window this round
+    "dedup_clusters": "star-CC fixpoint checksum-confirmed; dedup family rep pipeline_dedup_corpus in-window",
+    "dedup_keeper_corpus": "digest keeper core shared with in-window pipeline_dedup_corpus",
+    "dedup_ngram_jaccard": "shares the _shingles core with in-window corpus_decontaminate",
+    "dedup_simhash": "fuzzy-dedup family; independent hashlib property test",
+    "dedup_span_fraction": "linear span scorer, property-tested; benched every round",
+    "dedup_embedding_cosine": "embedding-dedup sibling dedup_incremental_embedding NEWLY in-window (shared _signature + left-fold cosine core)",
+    "similarity_ivf_kmeans": "nprobe-parameterized core's nprobe=2 form byte-identity-pinned (test_nprobe2_oracle_is_the_registered_form, md5 literal); wide sibling similarity_ivf_kmeans_wide NEWLY in-window",
+    "similarity_topk": "exact leg consumed in-window by similarity_recall (oracle delegated verbatim); vectorized-body swap scheduled for its MANDATORY r14 slot (VERDICT r12 item 2)",
+    "kmeans_lloyd": "shares the Lloyd training round with in-window similarity_ivf_kmeans_wide (one _CENT1_CACHE chain)",
+    # multimodal tier: codec rep in-window
+    "multimodal_meta": "BMP metadata over the shared codec; family rep multimodal_decode in-window",
+    "multimodal_frames": "frame sampler over the shared codec; family rep multimodal_decode in-window",
+    "multimodal_resize": "box-filter resize over the shared codec; family rep multimodal_decode in-window",
     # detection tier: online/offline twins share SQL constants, so a
     # drift is structurally impossible without the partner churning
-    "events_anomaly_mad": "anomaly family rep events_anomaly_zscore in-window; judge sf0.01 spot-check r11 green",
-    "events_beaconing": "online twin stream_exec_beaconing r10-green (shared PLANTS_SQL)",
-    "events_cooccurrence_lift": "association family rep events_markov_transitions in-window; dow_association r11-green shares the lift discipline",
-    "events_first_seen": "equal-age pair with stream_exec_first_seen (shared FIRST_SEEN_SQL); pair-MIN machinery untouched since r9",
-    "events_funnel_daily_conversion": "funnel family rep events_funnel r11-green (shared funnel_stages core)",
-    "events_impossible_travel": "online twin stream_exec_impossible_travel r10-green (shared IMPOSSIBLE_TRAVEL_SQL)",
-    "events_password_spray": "equal-age pair with stream_exec_password_spray (shared PASSWORD_SPRAY_SQL + SPRAY_PLANTS_SQL)",
-    "events_session_paths": "trigram miner on the shared _sessionized core; session family reps events_sessionize_batch + stream_session in-window",
-    "events_session_rarity": "online twin stream_exec_session_rarity r10-green (shared SESSION_RARITY_SQL); brute-force property test",
-    "logs_cidr_enrich": "zero-shuffle LPM plan-pinned; longest_prefix_match core exercised by the r11-green lateral-movement tier",
-    "logs_dga_score": "equal-age pair with stream_exec_dga_score (shared scorer); judge sf0.01 spot-check r11 green",
-    "stream_tumbling_count": "batch twin of in-window stream_exec_tumbling; judge sf0.01 spot-check r11 green",
-    "rollup_multires": "rollup machinery rep grouping_rollup in-window; drain twin stream_exec_incremental_rollup equal-age",
-    # streaming-exec tier: each shares its oracle constant with its
-    # batch twin (above) or keeps an in-window machinery rep
-    "stream_exec_anomaly_mad": "equal-age pair with events_anomaly_mad (shared ANOMALY_MAD_SQL); kernel recovery tests",
-    "stream_exec_dga_score": "equal-age pair with logs_dga_score (shared scorer core)",
-    "stream_exec_first_seen": "complete-mode MIN drain; complete-mode agg machinery rep stream_exec_tumbling in-window",
-    "stream_exec_funnel": "shared FUNNEL_SQL with events_funnel r11-green; stateful-kernel family rep stateful_running_total in-window",
-    "stream_exec_incremental_rollup": "store-conf path re-measured every bench (headline key); rollup SQL untouched since r8",
-    "stream_exec_password_spray": "equal-age pair with events_password_spray (shared SQL); COUNT-only state, order-insensitive",
-    "stream_exec_template_drift": "shared TEMPLATE_DRIFT_SQL with logs_template_drift in-window",
-    "ts_resample_ffill_clamped": "family twin ts_resample_ffill in-window; clamp guard test-pinned; judge sf0.01 spot-check r11 green",
+    "events_dow_association": "equal-age pair with stream_exec_dow_association (shared DOW_ASSOC_SQL); association rep events_cooccurrence_lift in-window",
+    "stream_exec_dow_association": "equal-age pair with events_dow_association (shared SQL)",
+    "events_lateral_movement": "chain family sibling events_lateral_movement_3hop r11-green (shared hop machinery); LPM rep logs_cidr_enrich in-window",
+    "logs_typosquat": "equal-age pair with stream_exec_typosquat (shared scorer); judge sf0.01 spot-check r12 green",
+    "stream_exec_typosquat": "equal-age pair with logs_typosquat (shared scorer core)",
+    "stream_exec_beaconing": "batch twin events_beaconing in-window (shared PLANTS_SQL)",
+    "stream_exec_impossible_travel": "batch twin events_impossible_travel in-window (shared IMPOSSIBLE_TRAVEL_SQL)",
+    "stream_exec_session_rarity": "batch twin events_session_rarity in-window (shared SESSION_RARITY_SQL)",
+    "stream_exec_session_totals": "session-state kernel recovery-tested; sessionization reps events_session_rarity + events_session_paths in-window",
+    "stream_exec_running_total": "batch twin stateful_running_total r12-green (shared kernel); stateful rep stream_exec_incremental_rollup in-window",
+    "stream_passthrough": "the BASELINE.md comparison key, re-measured by bench.py every round (constant delivery-count oracle)",
 }
 
 

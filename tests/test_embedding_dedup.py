@@ -174,6 +174,30 @@ def test_incremental_embedding_registration_ready(spark):
         assert p % 10 < INC_PRIOR_MOD, (n, p)
 
 
+def test_registered_twin20_equals_batch_key(spark):
+    """Twin #20 (stream_exec_dedup_incremental_embedding) through the
+    real streaming runtime must emit exactly the batch key's rows —
+    the map-side signature stage is a stateless 1:1 transform, so no
+    ordering contract is needed and equality is exact (cosines
+    included: both sides run the same left-fold on the same vectors)."""
+    from kawa_spark import registry
+
+    registry.load_all()
+    online = {
+        tuple(r)
+        for r in registry.QUERIES["stream_exec_dedup_incremental_embedding"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_incremental_embedding"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert online == batch and batch
+
+
 def test_embedding_sig_core_composes_with_drained_stream(spark, tmp_path):
     """The banked twin-#20 shape, minus registration (the twin-#19
     pre-stage discipline): NEW-side sign-LSH sigs computed map-side

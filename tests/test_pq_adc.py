@@ -231,19 +231,23 @@ def test_pq_adc_is_deterministic(spark):
     assert a == b
 
 
-def test_recall_pq_matches_oracle_and_contains_registered(spark):
-    """The banked six-method audit: (a) hash-green vs its oracle,
-    (b) its five registered method rows are EXACTLY the registered
-    similarity_recall output (the parameterized core cannot drift
-    from the registered binding), (c) the pq_adc row is non-vacuous
-    — PQ finds a nonzero share of the exact top-k."""
-    rep = compare(spark, SF, S.similarity_recall_pq, S._recall_pq_oracle())
+def test_registered_recall_contains_five_row_core(spark):
+    """The six-method audit, REGISTERED as similarity_recall since
+    r13: (a) hash-green vs its oracle, (b) its five r12-method rows
+    are EXACTLY the five-method _recall_frame(_RECALL_METHODS) core
+    (the parameterized core cannot drift from the r12-registered
+    binding), (c) the pq_adc row is non-vacuous — PQ finds a nonzero
+    share of the exact top-k."""
+    rep = compare(spark, SF, S.similarity_recall, S._recall_pq_oracle())
     assert rep["values_match"], rep
 
-    full = S.similarity_recall_pq(spark, SF).collect()
+    full = S.similarity_recall(spark, SF).collect()
     five = sorted(tuple(r) for r in full if r["method"] != "pq_adc")
-    reg = sorted(tuple(r) for r in S.similarity_recall(spark, SF).collect())
-    assert five == reg
+    core = sorted(
+        tuple(r)
+        for r in S._recall_frame(spark, SF, S._RECALL_METHODS).collect()
+    )
+    assert five == core
     pq = [r for r in full if r["method"] == "pq_adc"]
     assert len(pq) == S.N_QUERIES
     assert pq[0]["method_total"] == S.N_QUERIES * S.TOP_K

@@ -20,8 +20,7 @@ from kawa_spark.queries.llm_similarity import (
     _ivf_kmeans_sql,
     _multiprobe_sql,
     _probe_masks,
-    similarity_ivf_kmeans_wide,
-    similarity_lsh_multiprobe_wide,
+    similarity_pq_adc,
 )
 
 registry.load_all()
@@ -32,13 +31,14 @@ METHOD_KEYS = {
     "ivf_kmeans": "similarity_ivf_kmeans",
     "lsh_ann": "similarity_lsh_ann",
     "lsh_multiprobe": "similarity_lsh_multiprobe",
+    # registered at the r13 rotation (built r12)
+    "lsh_multiprobe_wide": "similarity_lsh_multiprobe_wide",
+    "ivf_kmeans_wide": "similarity_ivf_kmeans_wide",
 }
-# the wide variants are cores, not (yet) registered keys — banked for
-# the r13 rotation; their recall rows ARE driver-checked via
-# similarity_recall
+# pq_adc is a core, not (yet) a registered key — banked for the r14
+# rotation; its recall row IS driver-checked via similarity_recall
 METHOD_FNS = {
-    "lsh_multiprobe_wide": similarity_lsh_multiprobe_wide,
-    "ivf_kmeans_wide": similarity_ivf_kmeans_wide,
+    "pq_adc": similarity_pq_adc,
 }
 ALL_METHODS = list(METHOD_KEYS) + list(METHOD_FNS)
 
