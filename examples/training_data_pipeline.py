@@ -80,22 +80,42 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared cores (image_hashes → image_dedup_from_hashes) hash each
     # survivor's rendered image and drop non-keeper image-duplicates
     # — the same-pixels/different-bytes class that byte- and
-    # shingle-level dedup structurally miss
+    # shingle-level dedup structurally miss.
+    # CONFIRMED drops only (ADVICE r12): the 63-bit dHash quantizes
+    # cell-sum gradients of the rendered 64x8 crop, so two distinct
+    # documents can coincidentally agree on every gradient sign; a
+    # DELETION gate must not act on the sketch alone. The crop is a
+    # pure function of the first 512 payload bytes, so byte-prefix
+    # equality with the group keeper is an EXACT same-image check
+    # at the cost of one equi-join on values both sides already
+    # carry — hash-collided docs whose rendered crops differ are
+    # kept (the sketch stays the cheap candidate filter, exactly the
+    # LSH-then-verify discipline of the text near-dup stage above).
     from kawa_spark.queries.llm_multimodal import (
         image_dedup_from_hashes,
         image_hashes,
     )
 
+    renders = deduped.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    crops = renders.select(
+        "doc_id", F.substring(F.col("payload"), 1, 512).alias("crop")
+    )
     img_losers = (
-        image_dedup_from_hashes(
-            image_hashes(
-                deduped.filter(F.length("text") > 0).select(
-                    "doc_id",
-                    F.encode(F.col("text"), "UTF-8").alias("payload"),
-                )
-            )
-        )
+        image_dedup_from_hashes(image_hashes(renders))
         .filter(F.col("is_dup"))
+        .select("doc_id", "keeper")
+        .join(crops, "doc_id")
+        .join(
+            crops.select(
+                F.col("doc_id").alias("keeper"),
+                F.col("crop").alias("keeper_crop"),
+            ),
+            "keeper",
+        )
+        .filter(F.col("crop") == F.col("keeper_crop"))
         .select("doc_id")
     )
     deduped = deduped.join(img_losers, "doc_id", "left_anti")

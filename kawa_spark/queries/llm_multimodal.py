@@ -585,8 +585,14 @@ def _dhash_ctes(plants: list[tuple[int, str]]) -> str:
     never runs the codec. ONE generator, parameterized on the plant
     set, shared by the exact-dedup and near-dup oracles (the shared-
     training-CTE rule from _pq_train_ctes)."""
+    # SQL-literal discipline (ADVICE r12): the plant texts are
+    # interpolated into single-quoted literals in BOTH engines, so a
+    # quote would break (or inject into) the oracles; escape by SQL
+    # doubling — a no-op for the current quote-free ASCII plants,
+    # correctness for any future plant set.
     plant_rows = "".join(
-        f"\n      UNION ALL SELECT {i}, '{t}'" for i, t in plants
+        "\n      UNION ALL SELECT {}, '{}'".format(i, t.replace("'", "''"))
+        for i, t in plants
     )
     return f"""
     WITH docs AS (
@@ -942,10 +948,22 @@ def multimodal_image_dedup_near(
         .select("doc_a", "doc_b", "ia", "ib")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.select(
+    out = cand.select(
         "doc_a",
         "doc_b",
         F.bit_count(F.col("ia").bitwiseXOR(F.col("ib")))
         .cast("int")
         .alias("hamming"),
     ).filter(F.col("hamming") <= IMG_HAM_T)
+    # materialize the BOUNDED verified-pair set eagerly, then release
+    # the two corpus-sized caches (ADVICE r12 — the registry-sweep
+    # cache-leak class events_cooccurrence_lift hit in r8: a builder
+    # that persists and never unpersists accumulates cached corpus
+    # partitions across sweep invocations until LRU eviction). The
+    # localCheckpoint blocks the caller reads from are pair-count-
+    # sized (19k candidates at the 100× build), not corpus-sized,
+    # and are GC-cleaned with the returned frame.
+    out = out.localCheckpoint(eager=True)
+    hashed.unpersist()
+    sized.unpersist()
+    return out

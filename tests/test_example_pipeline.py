@@ -132,11 +132,21 @@ def test_training_data_pipeline_composes(spark, tmp_path):
         F.col("doc_id").isin([int(x) for x in dedup_survivors])
         & (F.length("text") > 0)
     ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    # confirmed drops only (ADVICE r12), exactly as the pipeline
+    # composes them: a hash-collided doc is dropped only when its
+    # 512-byte rendered crop equals the keeper's byte-for-byte
+    img_crops = {
+        r["doc_id"]: bytes(r["crop"])
+        for r in img_in.select(
+            "doc_id", F.substring(F.col("payload"), 1, 512).alias("crop")
+        ).collect()
+    }
     img_losers = {
         r["doc_id"]
         for r in image_dedup_from_hashes(image_hashes(img_in))
         .filter(F.col("is_dup"))
         .collect()
+        if img_crops[r["doc_id"]] == img_crops[r["keeper"]]
     }
     post_img = dedup_survivors - img_losers
     gate_in = docs.filter(
