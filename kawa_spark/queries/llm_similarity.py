@@ -1330,7 +1330,16 @@ _RECALL_METHODS: tuple = (
 def _recall_frame(
     spark: SparkSession, sf_dir: str, methods: tuple
 ) -> DataFrame:
-    exact = similarity_topk(spark, sf_dir).select("q_id", "n_id")
+    # the exact leg runs the VECTORIZED core (r13 — the recall half
+    # of VERDICT r12 item 2, folded into this round's in-window
+    # similarity_recall change): bit-identical to similarity_topk by
+    # construction (np.cumsum sequential fold; pinned by
+    # tests/test_pq_adc.py::test_vectorized_topk_bit_identical) and
+    # 18× faster at the 100× probe, so the audit's dominant linear
+    # leg no longer carries the measured 46×-at-100× Catalyst-fold
+    # ceiling. The registered similarity_topk body itself swaps in
+    # r14, riding its mandatory deferred-tier slot.
+    exact = similarity_topk_vectorized(spark, sf_dir).select("q_id", "n_id")
     frames = []
     for name, fn in methods:
         a = fn(spark, sf_dir).select(
@@ -1832,9 +1841,10 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees batches·|Q|·k rows, not the corpus. This is the sanctioned
     slow-path discipline (Arrow-batched, never row-at-a-time) applied
     to the one deliberately-linear audit leg the similarity tier
-    keeps (similarity_recall's exact side). Banked as the swap-in
-    body for that leg; registration would be a changed-implementation
-    window slot (docs/STATUS.md)."""
+    keeps. Since r13 this IS similarity_recall's exact side
+    (_recall_frame); the registered similarity_topk body swaps onto
+    it in r14, riding its mandatory deferred-tier window slot
+    (docs/STATUS.md round-13 notes)."""
     from kawa_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
