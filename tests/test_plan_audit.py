@@ -690,3 +690,51 @@ def test_quantile_sketch_bottom_k_is_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r13 registrations: the two wide ANN keys + incremental embedding dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "similarity_lsh_multiprobe_wide",
+        "similarity_ivf_kmeans_wide",
+        "dedup_incremental_embedding",
+    ],
+)
+def test_r13_plans_clean(spark, key):
+    """Round-13 registrations pass the mechanical scale audit."""
+    df = registry.QUERIES[key](spark, SF)
+    assert audit_plan(df) == []
+
+
+def test_wide_ivf_search_is_broadcast_only(spark):
+    """The wide-probe trained IVF inherits the nprobe=2 pin: no join
+    anywhere in the search may shuffle the corpus on the K-value cell
+    id — centroids broadcast for assignment, probes broadcast for
+    candidate selection — so widening nprobe moves MORE data through
+    the SAME broadcast shape, never into a hot-key shuffle."""
+    df = registry.QUERIES["similarity_ivf_kmeans_wide"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_incremental_embedding_bucket_window_is_sig_keyed(spark):
+    """dedup_incremental_embedding: the combined-population cap must
+    be a window PARTITIONED BY sig (bounded group sizes by the cap's
+    own eviction), never a global window; and the new×prior pairing
+    is an equi-join on sig — no cartesian anywhere."""
+    import re
+
+    df = registry.QUERIES["dedup_incremental_embedding"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"windowspecdefinition\(sig", plan), plan
+    assert not re.search(
+        r"Window \[[^\]]*\]$", plan, re.M
+    ) or "windowspecdefinition(sig" in plan
