@@ -103,19 +103,24 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     crops = renders.select(
         "doc_id", F.substring(F.col("payload"), 1, 512).alias("crop")
     )
+    # ONE crops join: every group member carries its crop, and the
+    # keeper's crop rides a first-by-doc_id window over the SAME
+    # dhash groups the verdict already shuffles on (the keeper IS the
+    # group's min doc_id) — a second crops join would re-run the
+    # documents scan + encode lineage per side (code review r13)
+    from pyspark.sql.window import Window
+
+    w_grp = Window.partitionBy("dhash").orderBy("doc_id")
     img_losers = (
         image_dedup_from_hashes(image_hashes(renders))
-        .filter(F.col("is_dup"))
-        .select("doc_id", "keeper")
         .join(crops, "doc_id")
-        .join(
-            crops.select(
-                F.col("doc_id").alias("keeper"),
-                F.col("crop").alias("keeper_crop"),
-            ),
-            "keeper",
+        .select(
+            "doc_id",
+            "is_dup",
+            "crop",
+            F.first("crop").over(w_grp).alias("keeper_crop"),
         )
-        .filter(F.col("crop") == F.col("keeper_crop"))
+        .filter(F.col("is_dup") & (F.col("crop") == F.col("keeper_crop")))
         .select("doc_id")
     )
     deduped = deduped.join(img_losers, "doc_id", "left_anti")

@@ -714,7 +714,15 @@ def incremental_embedding_matches(
     docs = prior.select(
         "vec_id", F.lit("p").alias("side"), "embedding"
     ).unionByName(newb.select("vec_id", F.lit("n").alias("side"), "embedding"))
-    return incremental_embedding_from_sigs(embedding_sigs(docs))
+    e = embedding_sigs(docs)
+    # materialize the BOUNDED match set eagerly, then release the
+    # corpus-sized sig cache (code review r13 — the registry-sweep /
+    # bench-rep cache-leak class multimodal_image_dedup_near fixed
+    # the same way this round): the checkpoint blocks the caller
+    # reads are pair-count-sized, never corpus-sized
+    out = incremental_embedding_from_sigs(e).localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 @register("dedup_incremental_embedding", oracle=_inc_embedding_oracle())
@@ -1858,6 +1866,13 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     # sequential-fold norms: cumsum, take the last partial
     q_norm = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+    if np.any(q_norm == 0.0):
+        bad = [q for q, n in zip(q_ids, q_norm) if n == 0.0][:5]
+        raise ArithmeticError(
+            f"zero-norm query embedding(s) {bad}: cosine is 0/0 — "
+            "the JVM fold raises DIVIDE_BY_ZERO here (ANSI); the "
+            "vectorized form refuses identically"
+        )
 
     def batch_topk(batches):
         import pandas as pd
@@ -1870,6 +1885,19 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             e_norm = np.sqrt(np.cumsum(em * em, axis=1)[:, -1])
+            # domain guard (code review r13): the JVM fold raises
+            # DIVIDE_BY_ZERO on a zero-norm embedding under ANSI mode
+            # (the driver session's default); numpy would silently
+            # produce NaN (or, non-ANSI, Spark would produce NULL)
+            # and the two forms would diverge on where that row
+            # ranks. Fail as loudly as the registered body does.
+            if np.any(e_norm == 0.0):
+                bad = ids[e_norm == 0.0][:5].tolist()
+                raise ArithmeticError(
+                    f"zero-norm embedding(s) {bad}: cosine is 0/0 — "
+                    "the JVM fold raises DIVIDE_BY_ZERO here (ANSI); "
+                    "the vectorized form refuses identically"
+                )
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(q_ids):
                 dots = np.cumsum(em * qm[qi], axis=1)[:, -1]
@@ -1878,7 +1906,9 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sids, sscore = ids[mask], score[mask]
                 if len(sids) == 0:
                     continue
-                # (score desc, n_id asc), batch-local k
+                # (score desc, n_id asc), batch-local k — NaN-free by
+                # the zero-norm guard above, so the lexsort order is
+                # total and matches the JVM window exactly
                 order = np.lexsort((sids, -sscore))[:TOP_K]
                 out_q.extend([qid] * len(order))
                 out_n.extend(sids[order])

@@ -1636,7 +1636,14 @@ def stream_exec_dedup_incremental_embedding(
         sn.unionByName(p).withColumn("side", F.lit("n")), persist=False
     )
     drained = _drain_files(sig_stream, spark, "kawa_incemb_sigdrain_")
-    return incremental_embedding_from_sigs(prior_sig.unionByName(drained))
+    # eager bounded-output checkpoint + release of the corpus-sized
+    # prior-sig cache (code review r13 — the sweep cache-leak class;
+    # the drained side is parquet-backed, nothing to release there)
+    out = incremental_embedding_from_sigs(
+        prior_sig.unionByName(drained)
+    ).localCheckpoint(eager=True)
+    prior_sig.unpersist()
+    return out
 
 
 def _quantile_sketch_oracle() -> str:

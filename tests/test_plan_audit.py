@@ -734,7 +734,11 @@ def test_incremental_embedding_bucket_window_is_sig_keyed(spark):
     df = registry.QUERIES["dedup_incremental_embedding"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert re.search(r"windowspecdefinition\(sig", plan), plan
-    assert not re.search(
-        r"Window \[[^\]]*\]$", plan, re.M
-    ) or "windowspecdefinition(sig" in plan
+    # EVERY window spec in the plan must partition by sig: the first
+    # argument of windowspecdefinition is the leading partition
+    # column (an unpartitioned window's first argument would be its
+    # order column / frame instead — code review r13 replaced an
+    # always-true disjunction here)
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, plan
+    assert all(s == "sig" for s in specs), specs

@@ -11,6 +11,8 @@ candidates); these tests keep them release-ready in the meantime.
 from __future__ import annotations
 
 import hashlib
+
+import pytest
 from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
@@ -44,6 +46,61 @@ def test_vectorized_topk_bit_identical(spark):
         tuple(r) for r in S.similarity_topk_vectorized(spark, SF).collect()
     )
     assert jvm == vec
+
+
+def test_vectorized_topk_zero_norm_is_loud_in_both_forms(spark, tmp_path):
+    """The zero-norm edge of the bit-identity claim (code review
+    r13): a zero-norm embedding makes cosine 0/0. Under ANSI mode
+    (the Spark 4 default — what the driver's plain session runs) the
+    JVM fold RAISES DIVIDE_BY_ZERO; numpy would instead produce a
+    silent NaN that np.lexsort sorts LAST (Spark sorts NaN/NULL
+    differently), so the two forms would quietly diverge on where
+    that row ranks. The vectorized form therefore carries an explicit
+    zero-norm guard and must refuse the input as loudly as the JVM
+    body does — on the candidate side AND the query side."""
+    import random
+
+    rng = random.Random(0xAE13)
+
+    def write_sf(name, zero_ids):
+        rows = []
+        for vid in range(24):
+            emb = (
+                [0.0] * S.DIM
+                if vid in zero_ids
+                else [rng.gauss(0, 1) for _ in range(S.DIM)]
+            )
+            rows.append((vid, emb, 0))
+        sf = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(2).write.mode("overwrite").parquet(
+            f"{sf}/embeddings.parquet"
+        )
+        return sf
+
+    # zero-norm CANDIDATE (vec_id >= N_QUERIES)
+    sf_cand = write_sf("zn_cand", {17})
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.similarity_topk(spark, sf_cand).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        S.similarity_topk_vectorized(spark, sf_cand).collect()
+
+    # zero-norm QUERY (vec_id < N_QUERIES) — guarded driver-side
+    sf_q = write_sf("zn_query", {3})
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S.similarity_topk(spark, sf_q).collect()
+    with pytest.raises(ArithmeticError, match="zero-norm query"):
+        S.similarity_topk_vectorized(spark, sf_q)
+
+    # and a clean corpus of the same shape agrees exactly (the
+    # bit-identity pin on a non-testdata corpus)
+    sf_ok = write_sf("zn_none", set())
+    jvm = sorted(tuple(r) for r in S.similarity_topk(spark, sf_ok).collect())
+    vec = sorted(
+        tuple(r) for r in S.similarity_topk_vectorized(spark, sf_ok).collect()
+    )
+    assert jvm == vec and jvm
 
 
 # ---------------------------------------------------------------------------
