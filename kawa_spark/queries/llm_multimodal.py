@@ -962,8 +962,11 @@ def multimodal_image_dedup_near(
     # partitions across sweep invocations until LRU eviction). The
     # localCheckpoint blocks the caller reads from are pair-count-
     # sized (19k candidates at the 100× build), not corpus-sized,
-    # and are GC-cleaned with the returned frame.
-    out = out.localCheckpoint(eager=True)
-    hashed.unpersist()
-    sized.unpersist()
-    return out
+    # and are GC-cleaned with the returned frame. Releases in a
+    # finally so a failed checkpoint job cannot leave the caches
+    # resident for the rest of a sweep (code review r13 pass 2).
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+        sized.unpersist()

@@ -695,7 +695,7 @@ def incremental_embedding_from_sigs(e: DataFrame) -> DataFrame:
 
 
 def incremental_embedding_matches(
-    prior: DataFrame, newb: DataFrame
+    prior: DataFrame, newb: DataFrame, checkpoint: bool = True
 ) -> DataFrame:
     """Today's embedding batch bucket-joined against the PRIOR
     corpus's sign-LSH buckets and verified with exact cosine ≥ 0.9 —
@@ -703,6 +703,15 @@ def incremental_embedding_matches(
     cross-snapshot form (the dedup_incremental_minhash shape in
     vector space). Combined-population EMB_BUCKET_CAP guard, output
     (vec_id, prior_id, cos_sim); novel vectors are absent.
+
+    ``checkpoint=True`` (the registered form) materializes the
+    BOUNDED match set eagerly and releases the corpus-sized sig
+    cache in a finally (code review r13, twice: the registry-sweep
+    cache-leak class, AND the leak must not recur on the error
+    path). ``checkpoint=False`` returns the LAZY expression tree
+    with nothing persisted — the plan-audit form, since an eager
+    localCheckpoint truncates lineage to a Scan ExistingRDD that
+    blinds audit_plan (code review r13 pass 2).
 
     Scale: a production run persists the prior side's (vec_id, sig)
     table bucketed by sig with the snapshot (the compact-state
@@ -714,15 +723,33 @@ def incremental_embedding_matches(
     docs = prior.select(
         "vec_id", F.lit("p").alias("side"), "embedding"
     ).unionByName(newb.select("vec_id", F.lit("n").alias("side"), "embedding"))
-    e = embedding_sigs(docs)
-    # materialize the BOUNDED match set eagerly, then release the
-    # corpus-sized sig cache (code review r13 — the registry-sweep /
-    # bench-rep cache-leak class multimodal_image_dedup_near fixed
-    # the same way this round): the checkpoint blocks the caller
-    # reads are pair-count-sized, never corpus-sized
-    out = incremental_embedding_from_sigs(e).localCheckpoint(eager=True)
-    e.unpersist()
-    return out
+    e = embedding_sigs(docs, persist=checkpoint)
+    out = incremental_embedding_from_sigs(e)
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def _inc_embedding_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The registered key's (prior, newb) construction — shared by
+    the registered binding and its lazy plan-audit twin below."""
+    from kawa_spark.queries.llm_dedup import is_prior_doc
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    prior = base.filter(is_prior_doc(F.col("vec_id")))
+    plants = prior.filter(F.col("vec_id") < EMB_INC_PLANT_N).select(
+        (F.col("vec_id") + F.lit(3000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    newb = base.filter(~is_prior_doc(F.col("vec_id"))).unionByName(plants)
+    return prior, newb
 
 
 @register("dedup_incremental_embedding", oracle=_inc_embedding_oracle())
@@ -736,18 +763,19 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold cosine ≥ 0.9 verify (incremental_embedding_matches —
     combined-population EMB_BUCKET_CAP, never quadratic). Oracle:
     _inc_embedding_oracle."""
-    from kawa_spark.queries.llm_dedup import is_prior_doc
-
-    base = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    prior = base.filter(is_prior_doc(F.col("vec_id")))
-    plants = prior.filter(F.col("vec_id") < EMB_INC_PLANT_N).select(
-        (F.col("vec_id") + F.lit(3000000)).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
-    )
-    newb = base.filter(~is_prior_doc(F.col("vec_id"))).unionByName(plants)
+    prior, newb = _inc_embedding_inputs(spark, sf_dir)
     return incremental_embedding_matches(prior, newb)
+
+
+def dedup_incremental_embedding_lazy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered key's exact expression tree WITHOUT the eager
+    bounded checkpoint (and with nothing persisted) — what the plan
+    audits read, since the checkpoint collapses the executed plan to
+    a Scan ExistingRDD (code review r13 pass 2)."""
+    prior, newb = _inc_embedding_inputs(spark, sf_dir)
+    return incremental_embedding_matches(prior, newb, checkpoint=False)
 
 
 @register(

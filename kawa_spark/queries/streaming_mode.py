@@ -1638,12 +1638,15 @@ def stream_exec_dedup_incremental_embedding(
     drained = _drain_files(sig_stream, spark, "kawa_incemb_sigdrain_")
     # eager bounded-output checkpoint + release of the corpus-sized
     # prior-sig cache (code review r13 — the sweep cache-leak class;
-    # the drained side is parquet-backed, nothing to release there)
-    out = incremental_embedding_from_sigs(
-        prior_sig.unionByName(drained)
-    ).localCheckpoint(eager=True)
-    prior_sig.unpersist()
-    return out
+    # the drained side is parquet-backed, nothing to release there).
+    # The release is in a finally so a failed checkpoint job cannot
+    # leave the cache resident for the rest of a sweep (pass 2).
+    try:
+        return incremental_embedding_from_sigs(
+            prior_sig.unionByName(drained)
+        ).localCheckpoint(eager=True)
+    finally:
+        prior_sig.unpersist()
 
 
 def _quantile_sketch_oracle() -> str:

@@ -702,11 +702,15 @@ def test_quantile_sketch_bottom_k_is_window_group_limit(spark):
     [
         "similarity_lsh_multiprobe_wide",
         "similarity_ivf_kmeans_wide",
-        "dedup_incremental_embedding",
     ],
 )
 def test_r13_plans_clean(spark, key):
-    """Round-13 registrations pass the mechanical scale audit."""
+    """Round-13 registrations pass the mechanical scale audit.
+    dedup_incremental_embedding is audited separately through its
+    LAZY twin — the registered binding eagerly checkpoints its
+    bounded output, which collapses the executed plan to a Scan
+    ExistingRDD that audit_plan cannot see into (code review r13
+    pass 2)."""
     df = registry.QUERIES[key](spark, SF)
     assert audit_plan(df) == []
 
@@ -728,10 +732,20 @@ def test_incremental_embedding_bucket_window_is_sig_keyed(spark):
     """dedup_incremental_embedding: the combined-population cap must
     be a window PARTITIONED BY sig (bounded group sizes by the cap's
     own eviction), never a global window; and the new×prior pairing
-    is an equi-join on sig — no cartesian anywhere."""
+    is an equi-join on sig — no cartesian anywhere. Audited through
+    the LAZY twin (dedup_incremental_embedding_lazy — the registered
+    key's exact expression tree minus the eager bounded checkpoint,
+    which collapses the executed plan to a Scan ExistingRDD and
+    would make every assertion here vacuous; code review r13
+    pass 2)."""
     import re
 
-    df = registry.QUERIES["dedup_incremental_embedding"](spark, SF)
+    from kawa_spark.queries.llm_similarity import (
+        dedup_incremental_embedding_lazy,
+    )
+
+    df = dedup_incremental_embedding_lazy(spark, SF)
+    assert audit_plan(df) == []
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     # EVERY window spec in the plan must partition by sig: the first
@@ -742,3 +756,13 @@ def test_incremental_embedding_bucket_window_is_sig_keyed(spark):
     specs = re.findall(r"windowspecdefinition\((\w+)", plan)
     assert specs, plan
     assert all(s == "sig" for s in specs), specs
+    # and the lazy twin must stay ROW-identical to the registered
+    # binding, so the audited plan is the executed semantics
+    lazy = sorted(tuple(r) for r in df.collect())
+    reg = sorted(
+        tuple(r)
+        for r in registry.QUERIES["dedup_incremental_embedding"](
+            spark, SF
+        ).collect()
+    )
+    assert lazy == reg and reg
