@@ -198,6 +198,63 @@ def test_registered_twin20_equals_batch_key(spark):
     assert online == batch and batch
 
 
+def test_twin20_multibatch_drain_accumulates(spark, tmp_path):
+    """Twin #20's map-side sign-LSH stage under a FORCED multi-batch
+    drain (maxFilesPerTrigger=1 over a multi-file source): append-mode
+    parquet-sink accumulation across microbatches must equal the
+    batch signatures exactly — the stateless-stage claim, proven
+    under the runtime's actual batching (the twin-#19 discipline
+    applied to the embedding modality)."""
+    import random
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kawa_spark.queries.llm_similarity import DIM, embedding_sigs
+
+    rng = random.Random(0xE20)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(40)
+    ]
+    src = tmp_path / "embs_mb"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sig_stream = embedding_sigs(
+        stream.withColumn("side", F.lit("n")), persist=False
+    )
+    out = tmp_path / f"emb_mb_drain_{uuid.uuid4().hex[:6]}"
+    q = (
+        sig_stream.writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert len(q.recentProgress) > 1, "must run multiple microbatches"
+    drained = {
+        (r["vec_id"], r["sig"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    batch = {
+        (r["vec_id"], r["sig"])
+        for r in embedding_sigs(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).withColumn("side", F.lit("n")),
+            persist=False,
+        ).collect()
+    }
+    assert drained == batch and len(batch) == 40
+
+
 def test_embedding_sig_core_composes_with_drained_stream(spark, tmp_path):
     """The banked twin-#20 shape, minus registration (the twin-#19
     pre-stage discipline): NEW-side sign-LSH sigs computed map-side
