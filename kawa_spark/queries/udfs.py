@@ -76,10 +76,17 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode() is the fast path — a UDTF earns its cost only when the
     expansion logic is genuinely procedural.) The tokenizer's output
     is deterministic (whitespace split + enumerate), so the UDTF
-    execution path itself is hash-checked against a pure-SQL twin."""
+    execution path itself is hash-checked against a pure-SQL twin.
+
+    ARROW-optimized (r13, in-window change): ``useArrow=True`` moves
+    the JVM↔Python row transfer onto Arrow batches — the plan node is
+    ArrowEvalPythonUDTF instead of row-at-a-time BatchEvalPythonUDTF,
+    the one registered plan the mechanical scale audit still flagged
+    (the repo-wide row-UDF ban, udfs.py:9, now holds for the UDTF
+    surface too); output values are identical and stay hash-checked."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word string, pos int, is_long boolean")
+    @udtf(returnType="word string, pos int, is_long boolean", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
             for i, w in enumerate((text or "").split()):

@@ -766,3 +766,15 @@ def test_incremental_embedding_bucket_window_is_sig_keyed(spark):
         ).collect()
     )
     assert lazy == reg and reg
+
+
+def test_udtf_lateral_is_arrow_not_row_udtf(spark):
+    """udtf_lateral (r13 in-window change): the UDTF must run
+    ARROW-optimized — the last registered plan carrying a
+    row-at-a-time BatchEvalPython node; with useArrow=True the whole
+    195-key surface passes the mechanical scale audit warning-free."""
+    df = registry.QUERIES["udtf_lateral"](spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
