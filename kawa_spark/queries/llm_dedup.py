@@ -541,8 +541,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_jaccard_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered key's exact expression tree WITHOUT the eager
+    bounded checkpoint (and with nothing persisted) — what the plan
+    audits read, since the checkpoint collapses the executed plan to
+    a Scan ExistingRDD (the dedup_incremental_embedding_lazy seam)."""
+    return ngram_jaccard_pairs(
+        spread(table(spark, sf_dir, "documents"), "doc_id"),
+        checkpoint=False,
+    )
+
+
 def ngram_jaccard_pairs(
-    d: DataFrame, cap: int | None = None, threshold: float = 0.15
+    d: DataFrame,
+    cap: int | None = None,
+    threshold: float = 0.15,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Core posting-list jaccard over any (doc_id, text, ...) frame —
     dedup_ngram_jaccard binds it to the documents table; tests drive
@@ -552,7 +566,19 @@ def ngram_jaccard_pairs(
     ``cap``: explicit df cap for tests; None (default) uses the
     adaptive max(DF_CAP_FLOOR, |docs|/DF_CAP_DIVISOR) — the corpus
     size comes from an in-plan 1-row aggregate broadcast onto the
-    postings, no extra driver action."""
+    postings, no extra driver action.
+
+    ``checkpoint=True`` (the registered form) persists the
+    size-annotated postings for the self-join's two sides, eagerly
+    materializes the BOUNDED pair set (≤ cap/2·|postings| rows by the
+    df-cap argument above — dedup-rate-sized, never corpus-sized) via
+    localCheckpoint, and releases the posting cache in a finally so a
+    registry sweep cannot accumulate cached corpus partitions and a
+    failed job cannot leave them resident (VERDICT r13 item 3 — the
+    persist-leak class; the dedup_incremental_embedding pattern).
+    ``checkpoint=False`` returns the LAZY tree with nothing persisted
+    — the plan-audit form, since an eager localCheckpoint truncates
+    lineage to a Scan ExistingRDD that blinds audit_plan."""
     posts = d.select(
         "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
     )
@@ -569,21 +595,23 @@ def ngram_jaccard_pairs(
         cap_col = F.col("df_cap")
     else:
         cap_col = F.lit(cap)
-    # persist: the size-annotated postings feed both self-join sides;
-    # unpersisted, each would re-run the shingle scan.
+    # persist (checkpoint form only): the size-annotated postings
+    # feed both self-join sides; unpersisted, each would re-run the
+    # shingle scan. Released in the finally below.
     pf = (
         posts.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .filter(F.col("df") <= cap_col)
         .drop("df", "df_cap")
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .persist()
     )
+    if checkpoint:
+        pf = pf.persist()
     a, b = pf.alias("a"), pf.alias("b")
     jaccard = (
         F.col("shared").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     ).alias("jaccard")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -602,6 +630,12 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jaccard)
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        pf.unpersist()
 
 
 def _cap_buckets(
@@ -735,7 +769,9 @@ def _simhash_oracle() -> str:
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """SimHash near-dup: 64-bit weighted fingerprint per doc, banded
     hamming-distance candidate join (4 × 16-bit bands), verify with
     bit_count(xor) <= 3.
@@ -745,6 +781,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     used xxhash64, which has no DuckDB twin and forced a rows-only
     check. The 64 bit sums are HOFs over the per-doc term list
     (bounded by distinct terms per doc, not corpus size).
+
+    ``checkpoint=True`` (the registered form) persists the banded
+    fingerprints for the self-join's two sides, eagerly materializes
+    the BOUNDED near-dup pair set via localCheckpoint, and releases
+    the cache in a finally (VERDICT r13 item 3 — the persist-leak
+    class; the dedup_incremental_embedding pattern). False = the lazy
+    plan-audit form with nothing persisted.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     digest = F.md5("term")
@@ -818,9 +861,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join; cap it exactly as minhash does, oracle-mirrored.
     # At test SF every bucket is far below the cap (no result change).
     banded = _cap_buckets(banded, keys=("band_id", "band_val"))
-    banded = banded.persist()  # self-join: materialize simhashes once
+    if checkpoint:
+        banded = banded.persist()  # self-join: hash each doc once
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -837,6 +881,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
+
+
+def dedup_simhash_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash's exact expression tree minus the eager bounded
+    checkpoint — the plan-audit form (Scan ExistingRDD blindness)."""
+    return dedup_simhash(spark, sf_dir, checkpoint=False)
 
 
 # ---------------------------------------------------------------------------

@@ -95,24 +95,20 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for a broadcast query set."""
-    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
-    return (
-        scored.select("q_id", "n_id", "score", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    """Brute-force cosine top-k for a broadcast query set.
+
+    Since r14 the registered body IS the Arrow/numpy vectorized core
+    (``similarity_topk_vectorized`` below — VERDICT r13 item 1): one
+    corpus scan, all |Q| dot products per Arrow batch at C speed,
+    batch-local top-k so the final merge window sees batches·|Q|·k
+    rows, never the corpus. Scores are BIT-IDENTICAL to the previous
+    per-row Catalyst-fold body (np.cumsum is the same sequential
+    IEEE left fold as F.aggregate / DuckDB list_reduce; pinned by
+    tests/test_pq_adc.py::test_vectorized_topk_bit_identical), so
+    the oracle is unchanged. Measured: 34.85 s → 1.90 s at the 100×
+    probe — the swap retires the engine's last plan-level scale
+    ceiling (docs/SCALE.md)."""
+    return similarity_topk_vectorized(spark, sf_dir)
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -547,14 +543,23 @@ def _embedding_dedup_oracle() -> str:
 
 
 @register("dedup_embedding_cosine", oracle=_embedding_dedup_oracle())
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Embedding near-dup: pairs in the same LSH bucket with cosine
     ≥ 0.9. Bucket self-join instead of all-pairs — identical shape to
     dedup_minhash but in vector space.
 
     Round 7: the scan is augmented with planted near-duplicates (see
     N_PLANT above) so the bucket-join + cosine predicate is verified
-    on TRUE POSITIVES, not just on the empty set."""
+    on TRUE POSITIVES, not just on the empty set.
+
+    ``checkpoint=True`` (the registered form) persists the signed
+    vectors for the self-join's two sides, eagerly materializes the
+    BOUNDED match set via localCheckpoint, and releases the cache in
+    a finally (VERDICT r13 item 3 — the persist-leak class; the
+    incremental_embedding_matches pattern). False = the lazy
+    plan-audit form with nothing persisted."""
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -583,10 +588,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
         .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
         .drop("bucket_n")
-        .persist()  # self-join: hash each vector once
     )
+    if checkpoint:
+        e = e.persist()  # self-join: hash each vector once
     a, b = e.alias("a"), e.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
@@ -599,6 +605,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.9)
     )
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def dedup_embedding_cosine_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine's exact expression tree minus the eager
+    bounded checkpoint — the plan-audit form (Scan ExistingRDD
+    blindness)."""
+    return dedup_embedding_cosine(spark, sf_dir, checkpoint=False)
 
 
 # Cross-snapshot embedding near-dup (r12 core — registration banked
@@ -1704,6 +1723,7 @@ def _py_d2(a: list[float], b: list[float]) -> float:
     return acc
 
 
+@register("similarity_pq_adc", oracle=_pq_adc_sql())
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the third ANN family next to LSH
     and IVF, and the memory-bound answer at corpus scale: each vector
@@ -1736,8 +1756,10 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training exchanges 512 rollup groups, never the corpus;
     the scan is map-only (no vec_id exchange — plan-pinned) and emits
     ≤ batches·|Q|·PQ_RERANK rows; rerank is a broadcast of
-    |Q|·PQ_RERANK ids against one more scan. Banked for registration
-    at a window rotation (docs/STATUS.md round-13 candidates).
+    |Q|·PQ_RERANK ids against one more scan. Registered standalone in
+    r14 (VERDICT r13 item 4) — the oracle is the same _pq_adc_sql the
+    similarity_recall sixth-method block embeds, so the standalone
+    hash-check and the recall row validate ONE pipeline.
 
     kawa parity: none; mandate (M) similarity-search extension —
     the IVF/LSH tier's missing memory-compression sibling."""

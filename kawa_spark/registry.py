@@ -11,6 +11,17 @@ aggregate money math is done in DECIMAL (exact, order-independent —
 a parallel Spark sum and a sequential DuckDB sum of decimals are
 bit-identical) and cast to DOUBLE only at the end; both engines then
 hold the identical IEEE value. See kawa_spark/functions/exact.py.
+
+Builder-side-effect contract (ADVICE r13): builders are normally
+cheap — they CONSTRUCT a lazy plan; execution happens when the caller
+acts on it. The exception is the CHECKPOINTING class (the self-join
+dedup keys dedup_ngram_jaccard / dedup_simhash / dedup_embedding_
+cosine / dedup_clusters / dedup_incremental_embedding /
+multimodal_image_dedup_near and the drain-backed stream_exec_* keys):
+those run a full Spark job at construction (localCheckpoint(eager=
+True) materializing a BOUNDED result, releasing corpus-sized caches
+in a finally). Tooling that sweeps QUERIES for schemas only should
+use the ``*_lazy`` twins where they exist, or accept the cost.
 """
 
 from __future__ import annotations
@@ -48,153 +59,153 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # deferred set is exactly the oldest-evidence tier outside the
 # window, and (b) window + deferred are disjoint and registered.
 #
-# Round 13's window (VERDICT r12 item 1): the FORTY-FIVE deferred
-# r9-evidence keys lead (the oldest tier — 3 rounds stale at r12's
-# close — and the r12 registry's standing commitment, verified
-# mechanically by the r12 judge and pinned by
-# test_deferred_is_exactly_the_oldest_offwindow_tier), then the four
-# keys newly registered this round (never driver-checked: the two
-# wide ANN keys, the third incremental-dedup modality, and its twin
-# #20), then the one changed implementation (similarity_recall now
-# measures the SIXTH method row pq_adc — carrying the PQ family's
-# recall into the driver window). Exactly 50. The similarity_topk
-# vectorized-body swap (VERDICT r12 item 2) is deliberately NOT done
-# this round: similarity_topk sits in the r10-evidence tier that
-# must lead r14, so the changed implementation rides r14's MANDATORY
-# slot for free instead of displacing one of this round's five
-# banked registrations — see docs/STATUS.md round-13 notes.
-# Max evidence age after this round's driver check: deferred = r10
-# evidence = 3 rounds at r13 (the standing one-tier lag);
+# Round 14's window (VERDICT r13 items 1-4): the FORTY-NINE deferred
+# r10-evidence keys lead (the oldest tier — the r13 registry's
+# standing commitment, verified mechanically by the r13 judge and
+# pinned by test_deferred_is_exactly_the_oldest_offwindow_tier),
+# then the ONE new registration (never driver-checked:
+# similarity_pq_adc, the PQ search standalone — VERDICT r13 item 4;
+# its oracle is the identical _pq_adc_sql already hash-validated
+# inside similarity_recall's sixth method block). Exactly 50 — the
+# mandatory 49 leave a single free slot, so the second banked
+# registration (multimodal_image_dedup_near, VERDICT r13 item 5) is
+# pre-verified this round and leads r15 (docs/STATUS.md round-14
+# bank). Changed implementations riding their mandatory slots:
+# similarity_topk (registered body swapped to the bit-identity-
+# pinned vectorized core — VERDICT r13 item 1) and the persist-leak
+# release (VERDICT r13 item 3: eager-bounded-checkpoint + unpersist
+# on dedup_simhash / dedup_embedding_cosine / dedup_clusters' minhash
+# cores / dedup_ngram_jaccard / corpus_tfidf — all in-window this
+# round).
+# Max evidence age after this round's driver check: deferred = r11
+# evidence = 3 rounds at r14 (the standing one-tier lag);
 # everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- the 45 deferred r9-evidence keys (VERDICT r12 item 1) ---
-    "scan_project",
-    "filter_predicate",
-    "sort_limit_topk",
-    "union_all",
-    "union_distinct",
-    "intersect",
-    "except_distinct",
-    "join_anti",
-    "join_outer_right",
-    "join_asof",
-    "flatmap_posexplode",
-    "deser_json",
-    "subquery_correlated",
-    "sql_surface",
-    "map_ops_extra",
-    "window_rank_extra",
-    "agg_stats_moments",
-    "agg_cms_freq",
-    "agg_kmv_sliding_window",
-    "corpus_decontaminate",
-    "corpus_split",
-    "multimodal_decode",
-    "pipeline_dedup_corpus",
-    "udtf_lateral",
-    "events_anomaly_mad",
-    "events_beaconing",
-    "events_cooccurrence_lift",
-    "events_first_seen",
-    "events_funnel_daily_conversion",
-    "events_impossible_travel",
-    "events_password_spray",
-    "events_session_paths",
-    "events_session_rarity",
-    "logs_cidr_enrich",
-    "logs_dga_score",
-    "stream_tumbling_count",
-    "rollup_multires",
-    "stream_exec_anomaly_mad",
-    "stream_exec_dga_score",
-    "stream_exec_first_seen",
-    "stream_exec_funnel",
-    "stream_exec_incremental_rollup",
-    "stream_exec_password_spray",
-    "stream_exec_template_drift",
-    "ts_resample_ffill_clamped",
-    # --- new keys this round (never driver-checked): the r12 bank's
-    # committed intents (VERDICT r12 item 1 / STATUS r13 priority) ---
-    "similarity_lsh_multiprobe_wide",
-    "similarity_ivf_kmeans_wide",
-    "dedup_incremental_embedding",
-    "stream_exec_dedup_incremental_embedding",
-    # --- changed implementation this round: similarity_recall adds
-    # the pq_adc method row (six measured pipelines; oracle gains the
-    # pq_adc UNION ALL block) ---
-    "similarity_recall",
+    # --- the 49 deferred r10-evidence keys (VERDICT r13 item 2) ---
+    "agg_argminmax",
+    "agg_bitwise_bool",
+    "agg_string_collect",
+    "array_map_ops",
+    "scalar_string_extra",
+    "null_handling",
+    "interval_arithmetic",
+    "histogram_width_bucket",
+    "pivot_wide",
+    "data_profile",
+    "percentile_cont",
+    "percentile_disc",
+    "json_roundtrip",
+    "sample_hash",
+    "udf_python",
+    "agg_quantile_sketch",
+    "stream_exec_quantile_sketch",
+    "stream_exec_kmv_distinct",
+    "corpus_tfidf",
+    "corpus_stratified_sample",
+    "corpus_dedup_report",
+    "text_chunking",
+    "text_edit_distance",
+    "text_fingerprint",
+    "text_normalize",
+    "text_redact_pii",
+    "dedup_clusters",
+    "dedup_keeper_corpus",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_fraction",
+    "dedup_embedding_cosine",
+    "similarity_ivf_kmeans",
+    "similarity_topk",
+    "kmeans_lloyd",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    "events_dow_association",
+    "stream_exec_dow_association",
+    "events_lateral_movement",
+    "logs_typosquat",
+    "stream_exec_typosquat",
+    "stream_exec_beaconing",
+    "stream_exec_impossible_travel",
+    "stream_exec_session_rarity",
+    "stream_exec_session_totals",
+    "stream_exec_running_total",
+    "stream_passthrough",
+    # --- new key this round (never driver-checked): the PQ-ADC
+    # search standalone (VERDICT r13 item 4) ---
+    "similarity_pq_adc",
 ]
 
-# Keys whose driver evidence is the OLDEST off-window tier (r10) but
+# Keys whose driver evidence is the OLDEST off-window tier (r11) but
 # which did not fit this round's 50-slot window, with displacement
-# grounds. THESE MUST LEAD THE R14 WINDOW (plus any keys whose
-# implementation changes in r14 — note similarity_topk below is BOTH:
-# its vectorized-body swap is scheduled exactly because its mandatory
-# r14 slot makes the changed-implementation check free).
+# grounds. THESE MUST LEAD THE R15 WINDOW (plus any keys whose
+# implementation changes in r15 — note dedup_minhash and
+# dedup_incremental_minhash below are BOTH: the minhash cores'
+# persist-release (the llm_dedup.py:318/:351 half of VERDICT r13
+# item 3, deferred exactly because every consumer of those cores is
+# off-window this round) rides their mandatory r15 slots for free,
+# alongside the banked multimodal_image_dedup_near registration).
 # tests/test_registry_window.py pins that this dict is exactly the
-# oldest-evidence tier outside the window. (The r13 window itself was
-# forced: 45 deferred r9 keys + the four banked registrations + the
-# similarity_recall method-list change = exactly 50 — so the whole
-# r10 tier stays out, each with family/stability grounds.)
+# oldest-evidence tier outside the window. (The r14 window itself was
+# forced: 49 deferred r10 keys + the similarity_pq_adc registration
+# = exactly 50 — so the whole r11 tier stays out, each with
+# family/stability grounds.)
 DEFERRED: dict[str, str] = {
-    # relational / scalar / agg tier: stable SQL untouched for many
-    # rounds, with in-window family representatives
-    "agg_argminmax": "agg family rep agg_stats_moments in-window; stable SQL untouched since r3",
-    "agg_bitwise_bool": "agg family rep agg_stats_moments in-window; stable SQL untouched since r3",
-    "agg_string_collect": "deterministic sorted-collect; agg family rep agg_stats_moments in-window",
-    "array_map_ops": "scalar/array family rep map_ops_extra in-window",
-    "scalar_string_extra": "scalar family rep map_ops_extra in-window; stable SQL untouched since r3",
-    "null_handling": "stable SQL untouched since r2",
-    "interval_arithmetic": "stable SQL untouched since r3",
-    "histogram_width_bucket": "stable SQL untouched since r3",
-    "pivot_wide": "stable SQL untouched since r3",
-    "data_profile": "profiling aggregate over stable columns; agg reps in-window",
-    "percentile_cont": "exact percentile family; agg family rep agg_stats_moments in-window",
-    "percentile_disc": "exact percentile family; agg family rep agg_stats_moments in-window",
-    "json_roundtrip": "deser family rep deser_json in-window",
-    "sample_hash": "md5-rank hash-sampling discipline shared with in-window corpus_split and the r12-green dedup_lsh_recall sampler",
-    "udf_python": "udf surface; UDTF sibling udtf_lateral in-window, udf_grouped_agg r11-green",
-    # sketch / stats tier: in-window reps + hashlib property tests
-    "agg_quantile_sketch": "equal-age pair with stream_exec_quantile_sketch (shared QUANTILE_SKETCH_SQL); bottom-K merge-identity property test; sketch reps agg_cms_freq + agg_kmv_sliding_window in-window",
-    "stream_exec_quantile_sketch": "equal-age pair with agg_quantile_sketch (shared SQL); merge-idempotent state, no ordering contract",
-    "stream_exec_kmv_distinct": "KMV family rep agg_kmv_sliding_window in-window; merge-identity property test",
-    # corpus / text tier: r12-green family reps
-    "corpus_tfidf": "corpus family reps corpus_split + corpus_decontaminate in-window; corpus_bigrams r12-green",
-    "corpus_stratified_sample": "corpus family rep corpus_split in-window (shared hash-sampling discipline)",
-    "corpus_dedup_report": "composition over dedup cores; pipeline rep pipeline_dedup_corpus in-window",
-    "text_chunking": "text family reps text_stats/tokens/quality/langid all r12-green",
-    "text_edit_distance": "text family reps r12-green; DP kernel property-tested vs pure-Python reference",
-    "text_fingerprint": "text family reps r12-green; rolling-hash property test",
-    "text_normalize": "text family reps r12-green; shared normalizer with in-window dedup keys (dedup_exact_norm r12-green)",
-    "text_redact_pii": "text family reps r12-green; regex surface untouched since r10",
-    # dedup / similarity tier: the family's three incremental
-    # modalities and both wide ANN keys are in-window this round
-    "dedup_clusters": "star-CC fixpoint checksum-confirmed; dedup family rep pipeline_dedup_corpus in-window",
-    "dedup_keeper_corpus": "digest keeper core shared with in-window pipeline_dedup_corpus",
-    "dedup_ngram_jaccard": "shares the _shingles core with in-window corpus_decontaminate",
-    "dedup_simhash": "fuzzy-dedup family; independent hashlib property test",
-    "dedup_span_fraction": "linear span scorer, property-tested; benched every round",
-    "dedup_embedding_cosine": "embedding-dedup sibling dedup_incremental_embedding NEWLY in-window (shared _signature + left-fold cosine core)",
-    "similarity_ivf_kmeans": "nprobe-parameterized core's nprobe=2 form byte-identity-pinned (test_nprobe2_oracle_is_the_registered_form, md5 literal); wide sibling similarity_ivf_kmeans_wide NEWLY in-window",
-    "similarity_topk": "exact leg consumed in-window by similarity_recall (oracle delegated verbatim); vectorized-body swap scheduled for its MANDATORY r14 slot (VERDICT r12 item 2)",
-    "kmeans_lloyd": "shares the Lloyd training round with in-window similarity_ivf_kmeans_wide (one _CENT1_CACHE chain)",
-    # multimodal tier: codec rep in-window
-    "multimodal_meta": "BMP metadata over the shared codec; family rep multimodal_decode in-window",
-    "multimodal_frames": "frame sampler over the shared codec; family rep multimodal_decode in-window",
-    "multimodal_resize": "box-filter resize over the shared codec; family rep multimodal_decode in-window",
-    # detection tier: online/offline twins share SQL constants, so a
-    # drift is structurally impossible without the partner churning
-    "events_dow_association": "equal-age pair with stream_exec_dow_association (shared DOW_ASSOC_SQL); association rep events_cooccurrence_lift in-window",
-    "stream_exec_dow_association": "equal-age pair with events_dow_association (shared SQL)",
-    "events_lateral_movement": "chain family sibling events_lateral_movement_3hop r11-green (shared hop machinery); LPM rep logs_cidr_enrich in-window",
-    "logs_typosquat": "equal-age pair with stream_exec_typosquat (shared scorer); judge sf0.01 spot-check r12 green",
-    "stream_exec_typosquat": "equal-age pair with logs_typosquat (shared scorer core)",
-    "stream_exec_beaconing": "batch twin events_beaconing in-window (shared PLANTS_SQL)",
-    "stream_exec_impossible_travel": "batch twin events_impossible_travel in-window (shared IMPOSSIBLE_TRAVEL_SQL)",
-    "stream_exec_session_rarity": "batch twin events_session_rarity in-window (shared SESSION_RARITY_SQL)",
-    "stream_exec_session_totals": "session-state kernel recovery-tested; sessionization reps events_session_rarity + events_session_paths in-window",
-    "stream_exec_running_total": "batch twin stateful_running_total r12-green (shared kernel); stateful rep stream_exec_incremental_rollup in-window",
-    "stream_passthrough": "the BASELINE.md comparison key, re-measured by bench.py every round (constant delivery-count oracle)",
+    # relational / agg tier: stable SQL with in-window family reps
+    "agg_hash_groupby": "agg family reps agg_argminmax/agg_bitwise_bool/agg_string_collect in-window; stable SQL untouched since r2",
+    "agg_approx_distinct": "approx sketch over stable columns; exact twin agg_distinct r12-green; KMV rep stream_exec_kmv_distinct in-window",
+    "agg_kmv_distinct": "KMV family rep stream_exec_kmv_distinct in-window (shared sketch core + merge-identity property test)",
+    "grouping_cube": "grouping-sets family; rollup sibling grouping_rollup r12-green; stable SQL untouched since r4",
+    "join_inner_hash": "join family reps join_anti/join_outer_right/join_asof r13-green; stable SQL untouched since r2",
+    "window_rank": "window family rep window_rank_extra r13-green; stable SQL untouched since r2",
+    "percentile_approx": "percentile family reps percentile_cont/percentile_disc in-window; tolerance-banded oracle untouched since r5",
+    "udf_grouped_agg": "udf surface rep udf_python in-window; pandas-UDF grouped agg untouched since r6",
+    # corpus / quality tier: in-window reps
+    "corpus_domain_stats": "corpus family reps corpus_tfidf/corpus_stratified_sample/corpus_dedup_report in-window",
+    "corpus_length_filter": "quality-filter family; conjunctive flag SQL untouched since r7; corpus reps in-window",
+    "corpus_shuffle_deterministic": "two-level shuffle rank pinned by test_shuffle_det_has_no_global_sort_window; corpus reps in-window",
+    "quality_gopher_filter": "map-only conjunctive flags untouched since r7; corpus/quality reps in-window",
+    "quality_repetition": "map-only ratio flags untouched since r7; the llm_quality persist-release rides ITS r15 slot (quality_lm_commonness is r12-tier)",
+    # dedup / similarity / embedding tier
+    "dedup_minhash": "minhash cores shared with in-window dedup family (sig/banding disciplines identical); ITS persist-release (llm_dedup.py sig/band cores) rides its mandatory r15 slot — VERDICT r13 item 3's remaining half",
+    "dedup_incremental": "cross-snapshot exact modality; incremental family rep dedup_incremental_embedding r13-green; digest core shared with in-window dedup_keeper_corpus",
+    "dedup_incremental_minhash": "cross-snapshot minhash modality; shares the minhash cores whose persist-release rides r15 (see dedup_minhash); twin #20 sibling r13-green",
+    "similarity_lsh_ann": "ANN family reps similarity_pq_adc (NEW) + similarity_topk + similarity_ivf_kmeans in-window; recall row re-measured in-window by similarity_recall r13-green",
+    "embedding_centroids": "shares the quantized-mean rollup with in-window kmeans_lloyd (one training discipline)",
+    "embedding_quantize": "map-only int8 quantizer untouched since r8; embedding reps in-window",
+    "multimodal_audio_features": "RIFF/WAVE codec family rep multimodal_meta/frames/resize in-window (shared codec)",
+    # detection tier: online/offline twins share SQL constants
+    "events_funnel": "funnel family rep stream_exec_funnel r13-green (shared FUNNEL_SQL); events reps in-window",
+    "events_dow_drift": "equal-age pair with stream_exec_dow_drift (shared DOW_DRIFT_SQL); dow sibling events_dow_association in-window",
+    "stream_exec_dow_drift": "equal-age pair with events_dow_drift (shared SQL)",
+    "events_lateral_movement_3hop": "chain family sibling events_lateral_movement in-window (shared hop machinery)",
+    "stream_exec_lateral_movement": "batch twin events_lateral_movement in-window (shared LATERAL_SQL)",
+    "stream_exec_lateral_movement_3hop": "equal-age pair with events_lateral_movement_3hop (shared 3-hop SQL); 2-hop twin in-window",
+    "stream_exec_rate_limit": "batch twin events_rate_limit r12-green (shared RATE_LIMIT_SQL); drain family reps in-window",
+    "stream_exec_dedup_incremental": "batch twin dedup_incremental (same r11 tier, shared digest core); modality sibling twin #20 r13-green",
+    # streaming window twins: batch twins green, kernels property-tested
+    "stream_sliding": "batch-twin family rep stream_tumbling_count r13-green; window arithmetic untouched since r3",
+    "stream_dedup": "dedup-on-stream batch twin; watermark kernel re-verified by stream_exec_dedup_watermark r12-green",
+    # TPC-H: stable SQL, all 22 green r11-r12, swept by the local
+    # 196-key oracle-parity test every suite run; sql_surface (q5
+    # via spark.sql) r13-green covers the SQL-entry path
+    "tpch_q1_pricing_summary": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q2_best_supplier": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q4_priority_check": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q5_local_supplier": "stable TPC-H SQL untouched since r5; sql_surface twin (same query via spark.sql) r13-green",
+    "tpch_q7_volume_shipping": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q8_market_share": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q9_product_profit": "stable TPC-H SQL untouched since r5; judge r13 independent spot-check green",
+    "tpch_q11_important_stock": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q13_customer_distribution": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q14_promo_revenue": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q15_top_supplier": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q16_supplier_relationship": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q17_small_quantity": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q18_large_volume": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q19_discounted_revenue": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q20_part_promotion": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    "tpch_q21_waiting_supplier": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
 }
 
 

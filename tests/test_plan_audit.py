@@ -111,7 +111,6 @@ def test_audit_catches_row_udf(spark):
         "tpch_q14_promo_revenue",
         "tpch_q18_large_volume",
         "dedup_minhash",
-        "dedup_ngram_jaccard",
         "corpus_pack_sequences",
         "embedding_centroids",
         "kmeans_lloyd",
@@ -269,7 +268,6 @@ def test_ivf_sampled_assign_is_aggregate_not_window(spark):
 @pytest.mark.parametrize(
     "key",
     [
-        "dedup_ngram_jaccard",
         "corpus_shuffle_deterministic",
         "corpus_domain_stats",
         "events_funnel",
@@ -778,3 +776,64 @@ def test_udtf_lateral_is_arrow_not_row_udtf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPythonUDTF" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r14: the persist-leak release (VERDICT r13 item 3) — the three
+# in-window self-join keys now eagerly checkpoint their bounded pair
+# sets and release the corpus-sized caches; plan audits read the LAZY
+# twins (the registered bindings collapse to Scan ExistingRDD).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key,lazy_path",
+    [
+        ("dedup_ngram_jaccard", "llm_dedup.dedup_ngram_jaccard_lazy"),
+        ("dedup_simhash", "llm_dedup.dedup_simhash_lazy"),
+        ("dedup_embedding_cosine", "llm_similarity.dedup_embedding_cosine_lazy"),
+    ],
+)
+def test_r14_checkpointing_keys_lazy_plans_clean(spark, key, lazy_path):
+    """Each r14 checkpointing key: (a) its lazy twin passes the
+    mechanical scale audit with no cartesian, and (b) the twin stays
+    ROW-identical to the registered binding, so the audited plan is
+    the executed semantics (the dedup_incremental_embedding_lazy
+    discipline)."""
+    import importlib
+
+    mod_name, fn_name = lazy_path.rsplit(".", 1)
+    mod = importlib.import_module(f"kawa_spark.queries.{mod_name}")
+    lazy_fn = getattr(mod, fn_name)
+    df = lazy_fn(spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    lazy = sorted(tuple(r) for r in df.collect())
+    reg = sorted(
+        tuple(r) for r in registry.QUERIES[key](spark, SF).collect()
+    )
+    assert lazy == reg
+
+
+def test_r14_checkpointing_keys_release_their_caches(spark):
+    """The whole point of VERDICT r13 item 3: after a registered
+    checkpointing builder returns, no CORPUS-SIZED ``persist()``
+    cache remains — a registry sweep must not accumulate cached
+    partitions (and bench reps must re-pay the cold plan, keeping
+    the recorded minima honest). The only storage a builder may
+    leave behind is its bounded localCheckpoint block (pair-sized,
+    GC-cleaned with the returned frame) — every residual RDD's call
+    site must therefore read ``localCheckpoint``, never ``persist``
+    (the leaked form's call site)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    for key in ("dedup_ngram_jaccard", "dedup_simhash",
+                "dedup_embedding_cosine"):
+        registry.QUERIES[key](spark, SF)
+        m = sc._jsc.getPersistentRDDs()
+        residues = [str(m[rid].toString()) for rid in set(m.keys()) - before]
+        assert all("localCheckpoint" in r for r in residues), (key, residues)
+        # at most the one bounded checkpoint block per invocation
+        assert len(residues) <= 1, (key, residues)
+        before = set(m.keys())
