@@ -86,10 +86,13 @@ def build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents can coincidentally agree on every gradient sign; a
     # DELETION gate must not act on the sketch alone. The crop is a
     # pure function of the first 512 payload bytes, so byte-prefix
-    # equality with the group keeper is an EXACT same-image check
-    # at the cost of one equi-join on values both sides already
-    # carry — hash-collided docs whose rendered crops differ are
-    # kept (the sketch stays the cheap candidate filter, exactly the
+    # equality with the group keeper is an exact SAME-CROP check
+    # (ADVICE r13: not same-image — two payloads identical in their
+    # first 512 bytes but diverging afterwards still collapse; a
+    # true same-image confirmation would compare full payloads) at
+    # the cost of one equi-join on values both sides already carry —
+    # hash-collided docs whose rendered crops differ are kept (the
+    # sketch stays the cheap candidate filter, exactly the
     # LSH-then-verify discipline of the text near-dup stage above).
     from kawa_spark.queries.llm_multimodal import (
         image_dedup_from_hashes,

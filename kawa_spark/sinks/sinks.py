@@ -77,16 +77,73 @@ class MemorySink:
 
 
 @dataclass
+class S3Options:
+    """S3-compatible endpoint surface, mirroring the reference's
+    custom-endpoint/static-credentials/region config
+    (/root/reference/x/s3/s3.go:111-126 — "some s3 compatible
+    services will not work correctly, like R2" without these).
+    Maps onto the hadoop-aws s3a connector's configuration keys;
+    ``path_style_access`` is the extra knob most S3-compatible
+    stores (R2/minio) need that the reference's aws-sdk sets
+    implicitly from the endpoint shape."""
+
+    endpoint: str | None = None  # ≙ s3.go customEndpoint
+    access_key: str | None = None  # ≙ s3.go accessKeyID
+    secret_key: str | None = None  # ≙ s3.go secretAccessKey
+    region: str | None = None  # ≙ s3.go bucketRegion
+    path_style_access: bool = False
+
+    def hadoop_confs(self, bucket: str | None = None) -> dict[str, str]:
+        """The s3a conf mapping. With ``bucket``, keys are emitted in
+        per-bucket form (``fs.s3a.bucket.<name>.*``) so two FileSinks
+        pointing at different S3-compatible stores coexist in one
+        SparkSession — the multi-destination case the reference runs
+        as separate processes."""
+        base = f"fs.s3a.bucket.{bucket}" if bucket else "fs.s3a"
+        confs: dict[str, str] = {}
+        if self.endpoint:
+            confs[f"{base}.endpoint"] = self.endpoint
+        if self.access_key and self.secret_key:
+            confs[f"{base}.access.key"] = self.access_key
+            confs[f"{base}.secret.key"] = self.secret_key
+        if self.region:
+            confs[f"{base}.endpoint.region"] = self.region
+        if self.path_style_access:
+            confs[f"{base}.path.style.access"] = "true"
+        return confs
+
+
+def _s3_bucket_of(path: str) -> str | None:
+    """bucket name if ``path`` is an s3/s3a/s3n URI, else None."""
+    for scheme in ("s3a://", "s3://", "s3n://"):
+        if path.startswith(scheme):
+            rest = path[len(scheme):]
+            return rest.split("/", 1)[0] or None
+    return None
+
+
+@dataclass
 class FileSink:
     """s3-destination parity: ``prefix/YYYY/MM/DD/HH/…`` becomes hive
     partitioning ``dt=…/hr=…`` (same pruning properties, atomically
-    committed via the file-sink log)."""
+    committed via the file-sink log). ``s3`` (optional) carries the
+    endpoint/credentials/region pass-through for S3-compatible
+    stores; applied to the session's hadoop conf per-bucket at write
+    time (no network touched until the write itself runs)."""
 
     path: str
     format: str = "json"  # gzip NDJSON ≙ reference objects
     compression: str | None = "gzip"
     time_partition: bool = True
     partition_source: str = "ingest_ts"
+    s3: S3Options | None = None
+
+    def _apply_s3(self, df: DataFrame) -> None:
+        if self.s3 is None:
+            return
+        hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+        for k, v in self.s3.hadoop_confs(_s3_bucket_of(self.path)).items():
+            hconf.set(k, v)
 
     def _prep(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
         if not self.time_partition:
@@ -102,6 +159,7 @@ class FileSink:
         return out, ["dt", "hr"]
 
     def write_batch(self, df: DataFrame) -> None:
+        self._apply_s3(df)
         out, parts = self._prep(df)
         w = out.write.format(self.format).mode("append")
         if self.compression:
@@ -111,6 +169,7 @@ class FileSink:
         w.save(self.path)
 
     def start_stream(self, df, trigger=None, checkpoint=None, available_now=False):
+        self._apply_s3(df)
         out, parts = self._prep(df)
         w = out.writeStream.format(self.format).option("path", self.path)
         if self.compression:

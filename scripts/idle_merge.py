@@ -57,6 +57,20 @@ def merge(
     qa = _minmerge(caps, "queries_audit")
     qc = _minmerge(caps, "queries_cold")
     if changed:
+        # A --changed key absent from every post capture would
+        # silently keep the pre-change (flattered) minimum — the
+        # exact failure this restriction exists to prevent (ADVICE
+        # r13). A typo'd or unbenched key must fail loudly instead.
+        covered = set()
+        for c in post:
+            for field in ("queries", "queries_audit", "queries_cold"):
+                covered |= set(c.get(field) or {})
+        missing = changed - covered
+        if missing:
+            raise ValueError(
+                f"--changed keys absent from every --post capture: "
+                f"{sorted(missing)}"
+            )
         q.update(_minmerge(post, "queries", changed))
         qa.update(_minmerge(post, "queries_audit", changed))
         qc.update(_minmerge(post, "queries_cold", changed))

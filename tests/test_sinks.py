@@ -95,3 +95,72 @@ def test_file_sink_streaming_s3_layout(spark, tmp_path):
     expected = table(spark, "/root/testdata/sf0.001", "events").count()
     assert len(rows) == expected
     assert len({r["event_id"] for r in rows}) == expected
+
+
+# ---------------------------------------------------------------------------
+# r14: S3-compatible endpoint pass-through (VERDICT r13 item 6 —
+# reference x/s3/s3.go:111-126). No network in this container, so the
+# pin is the conf MAPPING (the test_kafka.py option-construction
+# discipline): the knobs must land on the session hadoop conf under
+# the right s3a keys, per-bucket when the sink path names a bucket.
+# ---------------------------------------------------------------------------
+
+
+def test_s3_options_conf_mapping():
+    from kawa_spark.sinks.sinks import S3Options
+
+    o = S3Options(
+        endpoint="https://accountid.r2.cloudflarestorage.com",
+        access_key="AK",
+        secret_key="SK",
+        region="auto",
+        path_style_access=True,
+    )
+    confs = o.hadoop_confs("logs-bucket")
+    assert confs == {
+        "fs.s3a.bucket.logs-bucket.endpoint":
+            "https://accountid.r2.cloudflarestorage.com",
+        "fs.s3a.bucket.logs-bucket.access.key": "AK",
+        "fs.s3a.bucket.logs-bucket.secret.key": "SK",
+        "fs.s3a.bucket.logs-bucket.endpoint.region": "auto",
+        "fs.s3a.bucket.logs-bucket.path.style.access": "true",
+    }
+    # global form (no bucket): plain fs.s3a.* keys
+    assert set(o.hadoop_confs()) == {
+        "fs.s3a.endpoint", "fs.s3a.access.key", "fs.s3a.secret.key",
+        "fs.s3a.endpoint.region", "fs.s3a.path.style.access",
+    }
+    # credentials only land as a PAIR (the reference's
+    # `accessKeyID != "" && secretAccessKey != ""` guard)
+    half = S3Options(endpoint="e", access_key="AK")
+    assert "fs.s3a.access.key" not in half.hadoop_confs()
+
+
+def test_s3_bucket_extraction():
+    from kawa_spark.sinks.sinks import _s3_bucket_of
+
+    assert _s3_bucket_of("s3a://my-bucket/prefix/path") == "my-bucket"
+    assert _s3_bucket_of("s3://b") == "b"
+    assert _s3_bucket_of("s3n://b/x") == "b"
+    assert _s3_bucket_of("/local/dir") is None
+    assert _s3_bucket_of("s3a://") is None
+
+
+def test_filesink_applies_s3_confs_to_session(spark, tmp_path):
+    """write_batch applies the conf mapping to the session hadoop
+    conf before writing (global-form keys here — a local path has no
+    bucket to scope them to) and the write itself still succeeds."""
+    from kawa_spark.sinks.sinks import FileSink, S3Options
+
+    sink = FileSink(
+        path=str(tmp_path / "out"),
+        time_partition=False,
+        compression=None,
+        s3=S3Options(endpoint="https://minio.local:9000", region="us-dev-1"),
+    )
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    sink.write_batch(df)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "https://minio.local:9000"
+    assert hconf.get("fs.s3a.endpoint.region") == "us-dev-1"
+    assert spark.read.json(str(tmp_path / "out")).count() == 1
