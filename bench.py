@@ -126,6 +126,13 @@ HEADLINE = [
     "similarity_lsh_multiprobe_wide",
     "similarity_ivf_kmeans_wide",
     "dedup_incremental_embedding",
+    # r14 additions: the new PQ-ADC registration, plus the two
+    # leak-fixed self-join dedup keys that had never been benched —
+    # their rows start THIS round, measured cold-per-rep by
+    # construction (the builder releases its caches in a finally)
+    "similarity_pq_adc",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
 ]
 
 # Audit keys (VERDICT r11 item 8): these two deliberately run multiple

@@ -161,3 +161,50 @@ def test_image_near_equals_capped_brute_force(spark):
     }
     assert banded <= uncapped  # the plan never invents pairs
     assert banded  # and finds a non-vacuous set
+
+
+def test_incremental_image_matches_oracle_and_plants(spark):
+    """dedup_incremental_image (r14 core, banked for the r15 window):
+    oracle hash parity, the two planted match classes, and the
+    cross-snapshot contract (every output pairs a new-side doc with a
+    prior-side doc — never within a snapshot)."""
+    rep = compare(spark, SF, M.dedup_incremental_image, M._inc_image_sql())
+    assert rep["values_match"], rep
+    rows = M.dedup_incremental_image(spark, SF).collect()
+    plant = sorted(
+        (r["doc_id"], r["prior_id"], r["hamming"])
+        for r in rows
+        if r["doc_id"] < 0
+    )
+    # crop-identical pair at 0; the constructed bit-flip at EXACTLY 1
+    assert plant == [(-123, -121, 1), (-122, -121, 0)]
+    from kawa_spark.queries.llm_dedup import INC_PRIOR_MOD
+
+    for r in rows:
+        if r["doc_id"] >= 0:
+            assert r["doc_id"] % 10 >= INC_PRIOR_MOD  # new side
+        if r["prior_id"] >= 0:
+            assert r["prior_id"] % 10 < INC_PRIOR_MOD  # prior side
+
+
+def test_incremental_image_lazy_twin_and_cache_release(spark):
+    """Family discipline from birth: the lazy twin passes the
+    mechanical scale audit with no cartesian AND stays row-identical
+    to the checkpointing form; the checkpointing form leaves no
+    persist-callsite storage behind."""
+    from kawa_spark.plans.audit import audit_plan
+
+    df = M.dedup_incremental_image_lazy(spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    lazy = sorted(tuple(r) for r in df.collect())
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    reg = sorted(
+        tuple(r) for r in M.dedup_incremental_image(spark, SF).collect()
+    )
+    m = sc._jsc.getPersistentRDDs()
+    residues = [str(m[rid].toString()) for rid in set(m.keys()) - before]
+    assert all("localCheckpoint" in r for r in residues), residues
+    assert lazy == reg and reg
