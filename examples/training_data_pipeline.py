@@ -164,16 +164,27 @@ def daily_update(
                           corpus's LSH buckets: re-crawls whose ad
                           block rotated — digest misses — are
                           dropped)
+        → image gate     (incremental_image_from_hashes vs the prior
+                          corpus's dHash band table, r14: same-image
+                          different-byte re-encodes — the class BOTH
+                          byte digests and text shingles miss — are
+                          dropped)
 
-    Returns the accepted (doc_id, text) rows to append. Both gates
-    are the registry cores (one definition); the prior side's digest
-    index and signature/band tables are what a deployment PERSISTS
-    between runs (bucketed by digest / (band_id, band_hash)) — only
-    the day's batch is scanned, hashed, and shuffled here."""
+    Returns the accepted (doc_id, text) rows to append. All three
+    gates are the registry cores (one definition); the prior side's
+    digest index, signature/band tables, and (doc_id, dhash) image
+    table are what a deployment PERSISTS between runs (bucketed by
+    digest / (band_id, band_hash)) — only the day's batch is
+    scanned, hashed, and shuffled here."""
     from kawa_spark.queries.llm_dedup import (
         incremental_dedup,
         incremental_minhash_matches,
         prior_digest_index,
+    )
+    from kawa_spark.queries.llm_multimodal import (
+        _dhash_int,
+        image_hashes,
+        incremental_image_from_hashes,
     )
 
     kept_exact = (
@@ -185,7 +196,23 @@ def daily_update(
     near_dup = incremental_minhash_matches(prior, exact_survivors).select(
         "doc_id"
     )
-    return exact_survivors.join(near_dup, "doc_id", "left_anti")
+    text_survivors = exact_survivors.join(near_dup, "doc_id", "left_anti")
+
+    def _hashes(docs: DataFrame, side: str) -> DataFrame:
+        rendered = docs.filter(F.length("text") > 0).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return image_hashes(rendered).select(
+            "doc_id",
+            "dhash",
+            F.lit(side).alias("side"),
+            _dhash_int().alias("dhash_int"),
+        )
+
+    image_dup = incremental_image_from_hashes(
+        _hashes(prior, "p").unionByName(_hashes(text_survivors, "n"))
+    ).select("doc_id")
+    return text_survivors.join(image_dup, "doc_id", "left_anti")
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001", out: str | None = None) -> dict:

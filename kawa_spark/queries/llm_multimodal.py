@@ -1078,7 +1078,7 @@ def dedup_incremental_image(
     rotation (docs/STATUS.md round-14 bank).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
-    from kawa_spark.queries.llm_dedup import _cap_buckets, is_prior_doc
+    from kawa_spark.queries.llm_dedup import is_prior_doc
 
     prior_p, new_p = _inc_image_plants()
     d = (
@@ -1104,13 +1104,35 @@ def dedup_incremental_image(
         )
     )
     hashed = image_hashes(docs).select(
-        "doc_id",
-        "dhash",
-        side.alias("side"),
-        F.conv(F.col("dhash"), 2, 10).cast("long").alias("dhash_int"),
+        "doc_id", "dhash", side.alias("side"), _dhash_int().alias("dhash_int")
     )
-    if checkpoint:
-        hashed = hashed.persist()
+    if not checkpoint:
+        return incremental_image_from_hashes(hashed, checkpoint=False)
+    hashed = hashed.persist()
+    try:
+        return incremental_image_from_hashes(hashed, checkpoint=True)
+    finally:
+        hashed.unpersist()
+
+
+def _dhash_int() -> F.Column:
+    """The 63-bit hash string as a BIGINT (the Horner fold's Spark
+    twin) — shared by every consumer that carries the integer form."""
+    return F.conv(F.col("dhash"), 2, 10).cast("long")
+
+
+def incremental_image_from_hashes(
+    hashed: DataFrame, checkpoint: bool = True
+) -> DataFrame:
+    """The band/cap/join/verify half over an ALREADY-COMPUTED
+    side-tagged hash table (doc_id, side, dhash, dhash_int) — the
+    incremental_embedding_from_sigs seam for the image modality, so a
+    streaming twin can compute hashes ON the document stream (the
+    stateless Arrow stage maps per microbatch), drain them, and feed
+    the identical core. ``checkpoint=True`` persists the capped band
+    table for its two join-side consumers, eagerly materializes the
+    bounded match set, and releases that cache in a finally; the
+    caller owns the hash table's lifecycle."""
     bands = hashed.select(
         "doc_id",
         "side",
@@ -1134,6 +1156,8 @@ def dedup_incremental_image(
             )
         ).alias("s"),
     ).select("doc_id", "side", "dhash_int", "s.band_id", "s.band_str")
+    from kawa_spark.queries.llm_dedup import _cap_buckets
+
     sized = _cap_buckets(bands, cap=IMG_BUCKET_CAP, keys=("band_id", "band_str"))
     if checkpoint:
         sized = sized.persist()
@@ -1167,7 +1191,6 @@ def dedup_incremental_image(
     try:
         return out.localCheckpoint(eager=True)
     finally:
-        hashed.unpersist()
         sized.unpersist()
 
 

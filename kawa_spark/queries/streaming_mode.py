@@ -1649,6 +1649,102 @@ def stream_exec_dedup_incremental_embedding(
         prior_sig.unpersist()
 
 
+def _inc_img_plants_dir() -> str:
+    return _plants_scratch_dir("kawa_incimg_plants_")
+
+
+def stream_exec_dedup_incremental_image(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental_image maintained ONLINE — the twenty-first
+    online/offline twin, completing the incremental-dedup family's
+    FOURTH modality (digest twin #17, minhash twin #19, embedding
+    twin #20, perceptual image hash here): today's document STREAM
+    rides the REAL BMP codec round trip + dHash MAP-SIDE (image_hashes
+    is a stateless 1:1 Arrow stage, so it maps per microbatch — no
+    state store, no ordering contract), the per-DOC hash table is
+    drained through the PARQUET sink (volume-scaling drain stays
+    executor-side, twin #19's rule), side-tagged, unioned with the
+    STATIC prior corpus's hash state, and fed to the same hash-level
+    core as the batch key (llm_multimodal.incremental_image_from_
+    hashes — combined-population band cap, new×prior pairing, integer
+    Hamming verify).
+
+    Oracle = the batch key's SQL verbatim (_inc_image_sql); the new
+    -side plants ride the STREAM as a second file source (the beacon
+    pattern — a batch-side union is not expressible in a streaming
+    query). UNREGISTERED: banked for a window rotation behind the
+    three r15-bound keys (docs/STATUS.md round-14 bank — the r15
+    window is already exactly full at 47 mandatory + 3 banked).
+
+    Scale: per microbatch the stream pays exactly the batch key's
+    map-side codec+hash cost for the day's documents; the drained
+    (doc_id, dhash) parquet IS the state the next snapshot's prior
+    side reads (8 bytes + id per image). Runtime state is zero rows.
+
+    kawa parity: none; mandate (M) multimodal + dedup extension."""
+    from kawa_spark.queries.llm_dedup import is_prior_doc
+    from kawa_spark.queries.llm_multimodal import (
+        _dhash_int,
+        _inc_image_plants,
+        image_hashes,
+        incremental_image_from_hashes,
+    )
+
+    prior_plants, new_plants = _inc_image_plants()
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    prior_docs = d.filter(is_prior_doc(F.col("doc_id"))).unionByName(
+        spark.createDataFrame(prior_plants, "doc_id long, text string")
+    )
+    prior_hashed = image_hashes(
+        prior_docs.select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+    ).select(
+        "doc_id",
+        "dhash",
+        F.lit("p").alias("side"),
+        _dhash_int().alias("dhash_int"),
+    ).persist()
+
+    plants_dir = _inc_img_plants_dir()
+    spark.createDataFrame(
+        new_plants, "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(plants_dir)
+    s = stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sn = s.filter(
+        (~is_prior_doc(F.col("doc_id"))) & (F.length("text") > 0)
+    )
+    ps = spark.readStream.schema("doc_id long, text string").parquet(
+        plants_dir
+    )
+    hash_stream = image_hashes(
+        sn.unionByName(ps).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+    )
+    drained = _drain_files(hash_stream, spark, "kawa_incimg_hashdrain_")
+    new_hashed = drained.select(
+        "doc_id",
+        "dhash",
+        F.lit("n").alias("side"),
+        _dhash_int().alias("dhash_int"),
+    )
+    # the shared core checkpoints the bounded match set and releases
+    # its own band cache; the prior-hash cache releases here in a
+    # finally (the twin #20 lifecycle)
+    try:
+        return incremental_image_from_hashes(
+            prior_hashed.unionByName(new_hashed)
+        )
+    finally:
+        prior_hashed.unpersist()
+
+
 def _quantile_sketch_oracle() -> str:
     from kawa_spark.queries.stats import QUANTILE_SKETCH_SQL
 

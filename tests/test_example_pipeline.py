@@ -201,14 +201,17 @@ def test_training_data_pipeline_composes(spark, tmp_path):
 
 
 def test_daily_update_gates_compose(spark):
-    """examples/training_data_pipeline.daily_update (r12): the
-    incremental form classifies today's batch against the committed
-    prior corpus through the registry cores. Checked independently:
-    accepted docs are exactly the batch minus (exact-gate drops ∪
-    near-dup-gate drops), the exact gate is verified against a
-    hashlib digest reference, and both gates bite (a re-delivered
-    prior doc exercises dup_prior; the natural cross-split near-dups
-    exercise the minhash gate)."""
+    """examples/training_data_pipeline.daily_update (r12; image gate
+    r14): the incremental form classifies today's batch against the
+    committed prior corpus through the registry cores. Checked
+    independently: accepted docs are exactly the batch minus
+    (exact-gate drops ∪ near-dup-gate drops ∪ image-gate drops), the
+    exact gate is verified against a hashlib digest reference, and
+    all three gates bite (a re-delivered prior doc exercises
+    dup_prior; the natural cross-split near-dups exercise the
+    minhash gate; a planted same-crop/different-text re-encode
+    exercises the image gate — the class the first two structurally
+    miss)."""
     import hashlib
     import re
     import sys
@@ -223,6 +226,7 @@ def test_daily_update_gates_compose(spark):
         incremental_minhash_matches,
         is_prior_doc,
     )
+    from kawa_spark.queries import llm_multimodal as M
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
@@ -238,6 +242,17 @@ def test_daily_update_gates_compose(spark):
     # the EXACT gate — at-least-once redelivery, the tier's raison
     redelivered = (-1, prior_rows[0][1])
     new_rows = new_rows + [redelivered]
+    # image-gate plant: a prior doc whose 512-byte crop a NEW doc
+    # reproduces exactly while the text body diverges completely (a
+    # long disjoint-word tail → different digest, shingle jaccard ≈ 0)
+    # — only the rendered image agrees. The irregular 512-char body
+    # from the near-dup plant construction keeps its bands out of the
+    # corpus's crowded low-entropy buckets.
+    crop_body = M._dhash_near_plants()[0][1][:512]
+    img_tail = " ".join(f"imgtailword{i}" for i in range(400))
+    prior_rows = prior_rows + [(-51, crop_body + " end-of-prior")]
+    img_plant = (-52, crop_body + " " + img_tail)
+    new_rows = new_rows + [img_plant]
 
     prior = spark.createDataFrame(prior_rows, "doc_id long, text string")
     newb = spark.createDataFrame(new_rows, "doc_id long, text string")
@@ -262,27 +277,57 @@ def test_daily_update_gates_compose(spark):
         for d, t in new_rows
         if norm_digest(t) in prior_digests or d != batch_keeper[norm_digest(t)]
     }
+    text_survivor_rows = [
+        (d, t) for d, t in new_rows if d not in exact_drops
+    ]
     near_drops = {
         r["doc_id"]
         for r in incremental_minhash_matches(
             prior,
-            newb.join(
-                spark.createDataFrame(
-                    [(d,) for d in exact_drops], "doc_id long"
-                ),
-                "doc_id",
-                "left_anti",
+            spark.createDataFrame(
+                text_survivor_rows, "doc_id long, text string"
             ),
         ).collect()
     }
-    want = {d for d, _ in new_rows} - exact_drops - near_drops
+    text_survivor_rows = [
+        (d, t) for d, t in text_survivor_rows if d not in near_drops
+    ]
+    # image-gate reference: the shared hash-level core over the same
+    # side-tagged inputs the example feeds it (the core itself is
+    # brute-force-pinned in test_image_dedup.py)
+    def _href(rows, side):
+        docs = spark.createDataFrame(
+            [(d, t) for d, t in rows if t], "doc_id long, text string"
+        ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+        return M.image_hashes(docs).select(
+            "doc_id",
+            "dhash",
+            F.lit(side).alias("side"),
+            M._dhash_int().alias("dhash_int"),
+        )
+
+    image_drops = {
+        r["doc_id"]
+        for r in M.incremental_image_from_hashes(
+            _href(prior_rows, "p").unionByName(
+                _href(text_survivor_rows, "n")
+            )
+        ).collect()
+    }
+    want = (
+        {d for d, _ in new_rows} - exact_drops - near_drops - image_drops
+    )
     assert accepted == want, sorted(accepted ^ want)
-    # both gates bit: the redelivered doc via the exact gate, the
-    # natural cross-split near-dups via the minhash gate
+    # all three gates bit: the redelivered doc via the exact gate,
+    # the natural cross-split near-dups via the minhash gate, the
+    # same-crop plant via the image gate
     assert redelivered[0] in exact_drops
     assert redelivered[0] not in accepted
     assert near_drops, "near-dup gate must drop the natural re-crawls"
-    assert len(accepted) < len(new_rows) - 1
+    assert img_plant[0] not in exact_drops and img_plant[0] not in near_drops
+    assert img_plant[0] in image_drops, "image gate must drop the re-encode"
+    assert img_plant[0] not in accepted
+    assert len(accepted) < len(new_rows) - 2
 
 
 def test_security_analytics_composes(spark):

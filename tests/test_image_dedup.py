@@ -208,3 +208,21 @@ def test_incremental_image_lazy_twin_and_cache_release(spark):
     residues = [str(m[rid].toString()) for rid in set(m.keys()) - before]
     assert all("localCheckpoint" in r for r in residues), residues
     assert lazy == reg and reg
+
+
+def test_incremental_image_twin_equals_batch_key(spark):
+    """Twin #21 (banked): the streaming form — hashes computed ON the
+    document stream per microbatch, parquet-drained, fed to the
+    SHARED hash-level core — must equal the batch key row-for-row."""
+    from kawa_spark.queries.streaming_mode import (
+        stream_exec_dedup_incremental_image,
+    )
+
+    online = sorted(
+        tuple(r)
+        for r in stream_exec_dedup_incremental_image(spark, SF).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in M.dedup_incremental_image(spark, SF).collect()
+    )
+    assert online == batch and batch
