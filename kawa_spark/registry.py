@@ -74,9 +74,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # similarity_topk (registered body swapped to the bit-identity-
 # pinned vectorized core — VERDICT r13 item 1) and the persist-leak
 # release (VERDICT r13 item 3: eager-bounded-checkpoint + unpersist
-# on dedup_simhash / dedup_embedding_cosine / dedup_clusters' minhash
-# cores / dedup_ngram_jaccard / corpus_tfidf — all in-window this
-# round).
+# on dedup_ngram_jaccard / dedup_simhash / dedup_embedding_cosine,
+# with dedup_clusters inheriting through its ngram edge input — all
+# in-window this round; the minhash cores' release rides r15 with
+# dedup_minhash, see DEFERRED).
 # Max evidence age after this round's driver check: deferred = r11
 # evidence = 3 rounds at r14 (the standing one-tier lag);
 # everything else <= 2.
