@@ -197,7 +197,12 @@ def main() -> None:
     # such key's rep-0 so BOTH keys get a true cold number (they
     # would otherwise share one training run).
     lloyd_keys = {"kmeans_lloyd", "similarity_ivf_kmeans"}
-    from kawa_spark.queries.llm_similarity import _CENT1_CACHE
+    # similarity_pq_adc trains its own model artifact (the PQ
+    # codebook, _PQ_CB_CACHE) — same warm/cold split, same handling
+    # (r14): rep-0 cold with the cache cleared, reported in
+    # queries_cold; headline min measures warm search.
+    pq_keys = {"similarity_pq_adc"}
+    from kawa_spark.queries.llm_similarity import _CENT1_CACHE, _PQ_CB_CACHE
 
     for r in range(reps):
         for key in HEADLINE:
@@ -205,6 +210,8 @@ def main() -> None:
                 continue  # failed on an earlier rep; don't retry
             if r == 0 and key in lloyd_keys:
                 _CENT1_CACHE.clear()
+            if r == 0 and key in pq_keys:
+                _PQ_CB_CACHE.clear()
             fn = registry.QUERIES[key]
             t0 = time.perf_counter()
             # One broken query must cost its own number, never the whole
@@ -232,7 +239,9 @@ def main() -> None:
         k: min(v) for k, v in samples.items() if k in AUDIT_KEYS
     }
     cold = {
-        k: samples[k][0] for k in sorted(lloyd_keys) if samples.get(k)
+        k: samples[k][0]
+        for k in sorted(lloyd_keys | pq_keys)
+        if samples.get(k)
     }
     # host-load stamp: 1/5/15-min loadavg at end of run, plus CPU
     # count — a loadavg far above SPARK_GRAFT_CPUS means the numbers
