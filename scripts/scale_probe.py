@@ -136,6 +136,9 @@ BANKED = {
         ("kawa_spark.queries.llm_multimodal", "dedup_incremental_image"),
     "embedding_pq_codes":
         ("kawa_spark.queries.llm_similarity", "embedding_pq_codes"),
+    "stream_exec_dedup_incremental_image":
+        ("kawa_spark.queries.streaming_mode",
+         "stream_exec_dedup_incremental_image"),
 }
 
 
