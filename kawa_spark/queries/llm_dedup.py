@@ -278,8 +278,11 @@ def minhash_signatures(
     measured). ``vh`` re-bases each shingle's (h1, h2) pair as one
     long (injective: base-P digits), so exact-jaccard verifies
     intersect 8-byte ints — the string shingles never leave the scan
-    stage. Persisted: the table feeds the banding AND both sides of
-    the verify join."""
+    stage. Persisted (default): the table feeds the banding AND both
+    sides of the verify join; the r15 checkpoint forms
+    (minhash_pairs / incremental_minhash_matches with
+    checkpoint=True) release it in a finally once the bounded pair
+    set is materialized."""
     d = d.select("doc_id", *extra, _shingles(F.col("text")).alias("shingles"))
     P = _MH_PRIME
 
@@ -318,12 +321,17 @@ def minhash_signatures(
     return sig.persist() if persist else sig
 
 
-def minhash_band_rows(sig: DataFrame, extra: tuple = ()) -> DataFrame:
+def minhash_band_rows(
+    sig: DataFrame, extra: tuple = (), persist: bool = True
+) -> DataFrame:
     """Signature table → capped NARROW (doc_id[, *extra], band_id,
     band_hash) rows: the bucket joins move three longs + a short
     string, never the shingle arrays. The BUCKET_CAP skew guard runs
     over the combined bucket population (a degenerate bucket is
-    degenerate regardless of which snapshot its rows came from)."""
+    degenerate regardless of which snapshot its rows came from).
+    ``persist=False`` is the lazy-twin / plan-audit form (nothing
+    cached, full lineage); callers that persist own the release
+    (the r15 checkpoint forms unpersist in a finally)."""
     rows_per_band = N_PERM // N_BANDS
     banded = sig.select(
         "doc_id",
@@ -348,7 +356,8 @@ def minhash_band_rows(sig: DataFrame, extra: tuple = ()) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", *extra, "band.band_id", "band.band_hash")
-    return _cap_buckets(banded).persist()
+    capped = _cap_buckets(banded)
+    return capped.persist() if persist else capped
 
 
 @register("dedup_minhash", oracle=_minhash_oracle())
@@ -372,6 +381,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join uses, so the guard costs no extra repartitioning. Cap
     and prefilter are both mirrored in the oracle, so the exact
     semantics are hash-verified.
+
+    r15 (VERDICT r14 item 2): the registered form eagerly
+    materializes the bounded verified-pair set and releases the
+    signature + band caches in a finally — see minhash_pairs;
+    dedup_minhash_lazy is the plan-audit twin.
     """
     # Small single-file inputs arrive as ONE partition; the signature
     # stage is CPU-bound (16·|shingles| md5 per doc), so spread() it
@@ -380,16 +394,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
     )
-    return minhash_pairs(d)
+    return minhash_pairs(d, checkpoint=True)
 
 
-def minhash_pairs(d: DataFrame) -> DataFrame:
+def dedup_minhash_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered key's exact expression tree WITHOUT the eager
+    bounded checkpoint (and with nothing persisted) — what the plan
+    audits read, since the checkpoint collapses the executed plan to
+    a Scan ExistingRDD (the dedup_ngram_jaccard_lazy seam)."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    return minhash_pairs(d, checkpoint=False, persist=False)
+
+
+def minhash_pairs(
+    d: DataFrame, checkpoint: bool = False, persist: bool = True
+) -> DataFrame:
     """The full self-join minhash pipeline over any (doc_id, text)
     frame — dedup_minhash binds it to documents; dedup_lsh_recall
     runs it over the plant-extended audit universe. Returns verified
-    (doc_a, doc_b, jaccard) pairs."""
-    sig = minhash_signatures(d)
-    banded = minhash_band_rows(sig)
+    (doc_a, doc_b, jaccard) pairs.
+
+    ``checkpoint=True`` (the registered dedup_minhash form) eagerly
+    materializes the BOUNDED verified-pair set (dedup-rate-sized —
+    band buckets are capped, so candidates ≤ BUCKET_CAP/2 · |band
+    rows|) via localCheckpoint and releases the two corpus-sized
+    caches (signatures + capped band rows) in a finally — VERDICT
+    r14 item 2, the persist-leak class; the ngram_jaccard_pairs
+    pattern. ``checkpoint=False, persist=False`` is the pure lazy
+    tree (plan audits; an eager localCheckpoint truncates lineage to
+    a Scan ExistingRDD that blinds audit_plan). The default
+    ``checkpoint=False, persist=True`` keeps the legacy
+    persist-without-release form that dedup_lsh_recall's registered
+    binding must preserve until its own mandatory r16 slot (the
+    rotation contract bars off-window execution changes; its
+    release — together with its audit-universe persist — rides
+    r16)."""
+    sig = minhash_signatures(d, persist=persist)
+    banded = minhash_band_rows(sig, persist=persist)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -405,7 +448,14 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
         )
         .distinct()  # distinct over two longs, not two shingle arrays
     )
-    return minhash_verify(pairs, sig, sig, "doc_a", "doc_b")
+    out = minhash_verify(pairs, sig, sig, "doc_a", "doc_b")
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
+        sig.unpersist()
 
 
 def minhash_verify(
@@ -537,7 +587,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow postings (measured equal-or-faster at sf0.1 too).
     """
     return ngram_jaccard_pairs(
-        spread(table(spark, sf_dir, "documents"), "doc_id")
+        spread(table(spark, sf_dir, "documents"), "doc_id"),
+        checkpoint=True,
     )
 
 
@@ -556,7 +607,7 @@ def ngram_jaccard_pairs(
     d: DataFrame,
     cap: int | None = None,
     threshold: float = 0.15,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Core posting-list jaccard over any (doc_id, text, ...) frame —
     dedup_ngram_jaccard binds it to the documents table; tests drive
@@ -568,7 +619,11 @@ def ngram_jaccard_pairs(
     size comes from an in-plan 1-row aggregate broadcast onto the
     postings, no extra driver action.
 
-    ``checkpoint=True`` (the registered form) persists the
+    ``checkpoint=True`` (the registered form — opted into explicitly
+    at the dedup_ngram_jaccard binding; the core DEFAULTS to the
+    side-effect-free lazy tree so direct library callers and
+    property tests never pay an eager Spark job at construction,
+    ADVICE r14) persists the
     size-annotated postings for the self-join's two sides, eagerly
     materializes the BOUNDED pair set (≤ cap/2·|postings| rows by the
     df-cap argument above — dedup-rate-sized, never corpus-sized) via
@@ -1413,23 +1468,61 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior, newb = snapshot_split(
         spark, d, INC_MH_PLANTS_PRIOR, INC_MH_PLANTS_NEW
     )
-    return incremental_minhash_matches(prior, newb)
+    return incremental_minhash_matches(prior, newb, checkpoint=True)
 
 
-def incremental_minhash_matches(prior: DataFrame, newb: DataFrame) -> DataFrame:
+def dedup_incremental_minhash_lazy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered key's exact expression tree WITHOUT the eager
+    bounded checkpoint (and with nothing persisted) — the plan-audit
+    form (Scan ExistingRDD blindness)."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    prior, newb = snapshot_split(
+        spark, d, INC_MH_PLANTS_PRIOR, INC_MH_PLANTS_NEW
+    )
+    return incremental_minhash_matches(
+        prior, newb, checkpoint=False, persist=False
+    )
+
+
+def incremental_minhash_matches(
+    prior: DataFrame,
+    newb: DataFrame,
+    checkpoint: bool = False,
+    persist: bool = True,
+) -> DataFrame:
     """Core over any two (doc_id, text) snapshots — the registered
     key binds the modulo split + plants; the property test
     (tests/test_incremental_minhash.py) drives it against a pure
-    hashlib md5-minhash reference on synthetic corpora."""
+    hashlib md5-minhash reference on synthetic corpora.
+
+    ``checkpoint=True`` (the registered dedup_incremental_minhash
+    form) eagerly materializes the bounded match set inside
+    incremental_minhash_from_sigs and releases the side-tagged
+    signature cache here in a finally (the band cache is released by
+    from_sigs) — VERDICT r14 item 2. ``checkpoint=False,
+    persist=False`` is the lazy plan-audit tree. The default keeps
+    the legacy persist form for the example pipeline and direct
+    library callers that manage their own session lifetime."""
     docs = prior.withColumn("side", F.lit("p")).unionByName(
         newb.withColumn("side", F.lit("n"))
     )
-    return incremental_minhash_from_sigs(
-        minhash_signatures(docs, extra=("side",))
-    )
+    sig = minhash_signatures(docs, extra=("side",), persist=persist)
+    try:
+        return incremental_minhash_from_sigs(
+            sig, checkpoint=checkpoint, persist=persist
+        )
+    finally:
+        if checkpoint:
+            sig.unpersist()
 
 
-def incremental_minhash_from_sigs(sig: DataFrame) -> DataFrame:
+def incremental_minhash_from_sigs(
+    sig: DataFrame, checkpoint: bool = False, persist: bool = True
+) -> DataFrame:
     """The band/pair/verify half over an ALREADY-COMPUTED side-tagged
     signature table — split out so the streaming twin (#19,
     streaming_mode.stream_exec_dedup_incremental_minhash, shipped
@@ -1438,8 +1531,14 @@ def incremental_minhash_from_sigs(sig: DataFrame) -> DataFrame:
     sigs. Composition equality is pinned by
     tests/test_incremental_minhash.py
     ::test_sig_level_core_composes_with_drained_stream, twin equality
-    by ::test_registered_twin_equals_batch_key."""
-    bands = minhash_band_rows(sig, extra=("side",))
+    by ::test_registered_twin_equals_batch_key.
+
+    ``checkpoint=True`` eagerly materializes the bounded match set
+    and releases the band cache in a finally; the caller owns the
+    signature table's lifecycle. Twin #19 keeps the DEFAULT
+    (legacy-persist) form until its own mandatory r16 slot — the
+    rotation contract bars off-window execution changes."""
+    bands = minhash_band_rows(sig, extra=("side",), persist=persist)
     bands_n = bands.filter(F.col("side") == "n").select(
         "doc_id", "band_id", "band_hash"
     )
@@ -1453,7 +1552,13 @@ def incremental_minhash_from_sigs(sig: DataFrame) -> DataFrame:
     )
     sig_n = sig.filter(F.col("side") == "n").drop("side")
     sig_p = sig.filter(F.col("side") == "p").drop("side")
-    return minhash_verify(pairs, sig_n, sig_p, "doc_id", "prior_id")
+    out = minhash_verify(pairs, sig_n, sig_p, "doc_id", "prior_id")
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -839,6 +839,7 @@ def _image_near_sql() -> str:
     """
 
 
+@register("multimodal_image_dedup_near", oracle=_image_near_sql())
 def multimodal_image_dedup_near(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1045,6 +1046,7 @@ def _inc_image_sql() -> str:
     """
 
 
+@register("dedup_incremental_image", oracle=_inc_image_sql())
 def dedup_incremental_image(
     spark: SparkSession, sf_dir: str, checkpoint: bool = True
 ) -> DataFrame:
@@ -1070,12 +1072,13 @@ def dedup_incremental_image(
     mirrored in the oracle, so the capped semantics are
     hash-verified.
 
-    ``checkpoint=True`` (the registration-bound form) persists the
-    hash and band tables for their multiple consumers, eagerly
-    materializes the BOUNDED match set, and releases both caches in
-    a finally (the family discipline — clean from birth; VERDICT r13
-    item 3's class never existed here). Banked for the r15 window
-    rotation (docs/STATUS.md round-14 bank).
+    ``checkpoint=True`` (the registered form) persists the capped
+    band table for its two join-side consumers, eagerly materializes
+    the BOUNDED match set, and releases the cache in a finally (the
+    family discipline — clean from birth; VERDICT r13 item 3's class
+    never existed here; the hash table itself is single-consumer and
+    deliberately unpersisted, ADVICE r14). Registered on an r15 free
+    slot (docs/STATUS.md round-14 bank).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
     from kawa_spark.queries.llm_dedup import is_prior_doc
@@ -1106,13 +1109,11 @@ def dedup_incremental_image(
     hashed = image_hashes(docs).select(
         "doc_id", "dhash", side.alias("side"), _dhash_int().alias("dhash_int")
     )
-    if not checkpoint:
-        return incremental_image_from_hashes(hashed, checkpoint=False)
-    hashed = hashed.persist()
-    try:
-        return incremental_image_from_hashes(hashed, checkpoint=True)
-    finally:
-        hashed.unpersist()
+    # No persist on the hash table: its single consumer here is the
+    # band explode (both join sides read the capped band table, which
+    # incremental_image_from_hashes persists itself) — caching a
+    # corpus-sized frame with one reader buys nothing (ADVICE r14).
+    return incremental_image_from_hashes(hashed, checkpoint=checkpoint)
 
 
 def _dhash_int() -> F.Column:

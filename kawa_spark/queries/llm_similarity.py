@@ -102,13 +102,45 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, all |Q| dot products per Arrow batch at C speed,
     batch-local top-k so the final merge window sees batches·|Q|·k
     rows, never the corpus. Scores are BIT-IDENTICAL to the previous
-    per-row Catalyst-fold body (np.cumsum is the same sequential
-    IEEE left fold as F.aggregate / DuckDB list_reduce; pinned by
-    tests/test_pq_adc.py::test_vectorized_topk_bit_identical), so
-    the oracle is unchanged. Measured: 34.85 s → 1.90 s at the 100×
-    probe — the swap retires the engine's last plan-level scale
-    ceiling (docs/SCALE.md)."""
+    per-row Catalyst-fold body — retained as the private witness
+    ``_similarity_topk_catalyst`` below (np.cumsum is the same
+    sequential IEEE left fold as F.aggregate / DuckDB list_reduce;
+    pinned by tests/test_pq_adc.py::test_vectorized_topk_bit_identical
+    against that witness, ADVICE r14) — so the oracle is unchanged.
+    Measured: 34.85 s → 1.90 s at the 100× probe — the swap retires
+    the engine's last plan-level scale ceiling (docs/SCALE.md)."""
     return similarity_topk_vectorized(spark, sf_dir)
+
+
+def _similarity_topk_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r14 registered body — the per-row JVM Catalyst-fold
+    cosine (F.aggregate is a strictly sequential IEEE left fold) kept
+    PRIVATE as the bit-identity witness: with the registered key now
+    delegating to the vectorized core, a registered-vs-vectorized
+    comparison would test the vectorized form against itself (ADVICE
+    r14). tests/test_pq_adc.py::test_vectorized_topk_bit_identical
+    compares THIS body to the Arrow/numpy core, and the zero-norm
+    test's DIVIDE_BY_ZERO legs exercise ITS ANSI division. Not a
+    query path — never registered, never benched; retired from
+    production for the measured 46×-at-100× fold ceiling
+    (docs/SCALE.md r13/r14)."""
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.select("q_id", "n_id", "score", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -2051,6 +2083,7 @@ def _pq_codes_sql() -> str:
     """
 
 
+@register("embedding_pq_codes", oracle=_pq_codes_sql())
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ PERSISTENCE step: encode every vector to its PQ_M code
     ids (the 4-byte column a production corpus stores — 64× smaller
@@ -2066,7 +2099,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     write back columnar). err is Σ over subspaces of the quantized
     integer sub-distance — order-independent, so hash-exact. Codes
     emit CSV-stringified (the array-column canonicalizer rule).
-    Banked for a window-rotation registration (docs/STATUS.md).
+    Registered on an r15 free slot (docs/STATUS.md round-14 bank).
 
     kawa parity: none; mandate (M) similarity-search extension."""
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")

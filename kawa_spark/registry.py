@@ -59,154 +59,168 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # deferred set is exactly the oldest-evidence tier outside the
 # window, and (b) window + deferred are disjoint and registered.
 #
-# Round 14's window (VERDICT r13 items 1-4): the FORTY-NINE deferred
-# r10-evidence keys lead (the oldest tier — the r13 registry's
-# standing commitment, verified mechanically by the r13 judge and
-# pinned by test_deferred_is_exactly_the_oldest_offwindow_tier),
-# then the ONE new registration (never driver-checked:
-# similarity_pq_adc, the PQ search standalone — VERDICT r13 item 4;
-# its oracle is the identical _pq_adc_sql already hash-validated
-# inside similarity_recall's sixth method block). Exactly 50 — the
-# mandatory 49 leave a single free slot, so the second banked
-# registration (multimodal_image_dedup_near, VERDICT r13 item 5) is
-# pre-verified this round and leads r15 (docs/STATUS.md round-14
-# bank). Changed implementations riding their mandatory slots:
-# similarity_topk (registered body swapped to the bit-identity-
-# pinned vectorized core — VERDICT r13 item 1) and the persist-leak
-# release (VERDICT r13 item 3: eager-bounded-checkpoint + unpersist
-# on dedup_ngram_jaccard / dedup_simhash / dedup_embedding_cosine,
-# with dedup_clusters inheriting through its ngram edge input — all
-# in-window this round; the minhash cores' release rides r15 with
-# dedup_minhash, see DEFERRED).
-# Max evidence age after this round's driver check: deferred = r11
-# evidence = 3 rounds at r14 (the standing one-tier lag);
+# Round 15's window (VERDICT r14 items 1-3): the FORTY-SEVEN
+# deferred r11-evidence keys lead (the oldest tier — the r14
+# registry's standing commitment, verified mechanically by the r14
+# judge and pinned by
+# test_deferred_is_exactly_the_oldest_offwindow_tier), then the
+# THREE banked registrations (never driver-checked, all pre-verified
+# hash-green at both gate SFs in r14 AND re-verified this round):
+# multimodal_image_dedup_near (the image near-dup search),
+# embedding_pq_codes (the PQ persistence step), and
+# dedup_incremental_image (the incremental family's fourth
+# modality). Exactly 50. Changed implementations riding their
+# mandatory slots: dedup_minhash and dedup_incremental_minhash take
+# the minhash-core persist release (VERDICT r14 item 2 — the
+# llm_dedup.py sig/band cores' eager-bounded-checkpoint + unpersist-
+# in-finally + *_lazy twins; the r14 pattern), and their bench/SCALE
+# rows are re-baselined honestly this round. The r16 window is
+# already fully determined: the 49 r12-evidence keys below + twin
+# #21 (stream_exec_dedup_incremental_image, built r14) = exactly 50;
+# r17's mandatory tier is the full 50-key r13 cohort with ZERO free
+# slots — no new unregistrable keys may be built in r15/r16.
+# Max evidence age after this round's driver check: deferred = r12
+# evidence = 3 rounds at r15 (the standing one-tier lag);
 # everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- the 49 deferred r10-evidence keys (VERDICT r13 item 2) ---
-    "agg_argminmax",
-    "agg_bitwise_bool",
-    "agg_string_collect",
-    "array_map_ops",
-    "scalar_string_extra",
-    "null_handling",
-    "interval_arithmetic",
-    "histogram_width_bucket",
-    "pivot_wide",
-    "data_profile",
-    "percentile_cont",
-    "percentile_disc",
-    "json_roundtrip",
-    "sample_hash",
-    "udf_python",
-    "agg_quantile_sketch",
-    "stream_exec_quantile_sketch",
-    "stream_exec_kmv_distinct",
-    "corpus_tfidf",
-    "corpus_stratified_sample",
-    "corpus_dedup_report",
-    "text_chunking",
-    "text_edit_distance",
-    "text_fingerprint",
-    "text_normalize",
-    "text_redact_pii",
-    "dedup_clusters",
-    "dedup_keeper_corpus",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_fraction",
-    "dedup_embedding_cosine",
-    "similarity_ivf_kmeans",
-    "similarity_topk",
-    "kmeans_lloyd",
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_resize",
-    "events_dow_association",
-    "stream_exec_dow_association",
-    "events_lateral_movement",
-    "logs_typosquat",
-    "stream_exec_typosquat",
-    "stream_exec_beaconing",
-    "stream_exec_impossible_travel",
-    "stream_exec_session_rarity",
-    "stream_exec_session_totals",
-    "stream_exec_running_total",
-    "stream_passthrough",
-    # --- new key this round (never driver-checked): the PQ-ADC
-    # search standalone (VERDICT r13 item 4) ---
-    "similarity_pq_adc",
+    # --- the 47 deferred r11-evidence keys (VERDICT r14 item 1) ---
+    # relational / agg / window tier
+    "agg_hash_groupby",
+    "agg_approx_distinct",
+    "agg_kmv_distinct",
+    "grouping_cube",
+    "join_inner_hash",
+    "window_rank",
+    "percentile_approx",
+    "udf_grouped_agg",
+    # corpus / quality tier
+    "corpus_domain_stats",
+    "corpus_length_filter",
+    "corpus_shuffle_deterministic",
+    "quality_gopher_filter",
+    "quality_repetition",
+    # dedup / similarity / embedding tier (dedup_minhash +
+    # dedup_incremental_minhash carry the minhash-core persist
+    # release on these mandatory slots — VERDICT r14 item 2)
+    "dedup_minhash",
+    "dedup_incremental",
+    "dedup_incremental_minhash",
+    "similarity_lsh_ann",
+    "embedding_centroids",
+    "embedding_quantize",
+    "multimodal_audio_features",
+    # detection tier
+    "events_funnel",
+    "events_dow_drift",
+    "stream_exec_dow_drift",
+    "events_lateral_movement_3hop",
+    "stream_exec_lateral_movement",
+    "stream_exec_lateral_movement_3hop",
+    "stream_exec_rate_limit",
+    "stream_exec_dedup_incremental",
+    # streaming window twins
+    "stream_sliding",
+    "stream_dedup",
+    # TPC-H
+    "tpch_q1_pricing_summary",
+    "tpch_q2_best_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    # --- the three banked registrations (never driver-checked;
+    # docs/STATUS.md round-14 bank, pre-verified both gate SFs) ---
+    "multimodal_image_dedup_near",
+    "embedding_pq_codes",
+    "dedup_incremental_image",
 ]
 
-# Keys whose driver evidence is the OLDEST off-window tier (r11) but
+# Keys whose driver evidence is the OLDEST off-window tier (r12) but
 # which did not fit this round's 50-slot window, with displacement
-# grounds. THESE MUST LEAD THE R15 WINDOW (plus any keys whose
-# implementation changes in r15 — note dedup_minhash and
-# dedup_incremental_minhash below are BOTH: the minhash cores'
-# persist-release (the llm_dedup.py:318/:351 half of VERDICT r13
-# item 3, deferred exactly because every consumer of those cores is
-# off-window this round) rides their mandatory r15 slots for free,
-# alongside the banked multimodal_image_dedup_near registration).
+# grounds. THESE MUST LEAD THE R16 WINDOW (plus twin #21,
+# stream_exec_dedup_incremental_image — built r14, banked — which
+# takes the single free slot: 49 + 1 = exactly 50). Three of these
+# keys carry the REMAINING persist-leak sites (VERDICT r14 item 1 /
+# what's-wrong item 1) and take their releases on their mandatory
+# r16 slots: dedup_lsh_recall (the audit-universe persist,
+# llm_dedup.py), quality_lm_commonness (llm_quality.py posting
+# persist), similarity_containment (llm_corpus.py posting persist).
 # tests/test_registry_window.py pins that this dict is exactly the
-# oldest-evidence tier outside the window. (The r14 window itself was
-# forced: 49 deferred r10 keys + the similarity_pq_adc registration
-# = exactly 50 — so the whole r11 tier stays out, each with
+# oldest-evidence tier outside the window. (The r15 window itself
+# was forced: 47 deferred r11 keys + the three banked registrations
+# = exactly 50 — so the whole r12 tier stays out, each with
 # family/stability grounds.)
 DEFERRED: dict[str, str] = {
-    # relational / agg tier: stable SQL with in-window family reps
-    "agg_hash_groupby": "agg family reps agg_argminmax/agg_bitwise_bool/agg_string_collect in-window; stable SQL untouched since r2",
-    "agg_approx_distinct": "approx sketch over stable columns; exact twin agg_distinct r12-green; KMV rep stream_exec_kmv_distinct in-window",
-    "agg_kmv_distinct": "KMV family rep stream_exec_kmv_distinct in-window (shared sketch core + merge-identity property test)",
-    "grouping_cube": "grouping-sets family; rollup sibling grouping_rollup r12-green; stable SQL untouched since r4",
-    "join_inner_hash": "join family reps join_anti/join_outer_right/join_asof r13-green; stable SQL untouched since r2",
-    "window_rank": "window family rep window_rank_extra r13-green; stable SQL untouched since r2",
-    "percentile_approx": "percentile family reps percentile_cont/percentile_disc in-window; tolerance-banded oracle untouched since r5",
-    "udf_grouped_agg": "udf surface rep udf_python in-window; pandas-UDF grouped agg untouched since r6",
-    # corpus / quality tier: in-window reps
-    "corpus_domain_stats": "corpus family reps corpus_tfidf/corpus_stratified_sample/corpus_dedup_report in-window",
-    "corpus_length_filter": "quality-filter family; conjunctive flag SQL untouched since r7; corpus reps in-window",
-    "corpus_shuffle_deterministic": "two-level shuffle rank pinned by test_shuffle_det_has_no_global_sort_window; corpus reps in-window",
-    "quality_gopher_filter": "map-only conjunctive flags untouched since r7; corpus/quality reps in-window",
-    "quality_repetition": "map-only ratio flags untouched since r7; the llm_quality persist-release rides ITS r15 slot (quality_lm_commonness is r12-tier)",
-    # dedup / similarity / embedding tier
-    "dedup_minhash": "minhash cores shared with in-window dedup family (sig/banding disciplines identical); ITS persist-release (llm_dedup.py sig/band cores) rides its mandatory r15 slot — VERDICT r13 item 3's remaining half",
-    "dedup_incremental": "cross-snapshot exact modality; incremental family rep dedup_incremental_embedding r13-green; digest core shared with in-window dedup_keeper_corpus",
-    "dedup_incremental_minhash": "cross-snapshot minhash modality; shares the minhash cores whose persist-release rides r15 (see dedup_minhash); twin #20 sibling r13-green",
-    "similarity_lsh_ann": "ANN family reps similarity_pq_adc (NEW) + similarity_topk + similarity_ivf_kmeans in-window; recall row re-measured in-window by similarity_recall r13-green",
-    "embedding_centroids": "shares the quantized-mean rollup with in-window kmeans_lloyd (one training discipline)",
-    "embedding_quantize": "map-only int8 quantizer untouched since r8; embedding reps in-window",
-    "multimodal_audio_features": "RIFF/WAVE codec family rep multimodal_meta/frames/resize in-window (shared codec)",
-    # detection tier: online/offline twins share SQL constants
-    "events_funnel": "funnel family rep stream_exec_funnel r13-green (shared FUNNEL_SQL); events reps in-window",
-    "events_dow_drift": "equal-age pair with stream_exec_dow_drift (shared DOW_DRIFT_SQL); dow sibling events_dow_association in-window",
-    "stream_exec_dow_drift": "equal-age pair with events_dow_drift (shared SQL)",
-    "events_lateral_movement_3hop": "chain family sibling events_lateral_movement in-window (shared hop machinery)",
-    "stream_exec_lateral_movement": "batch twin events_lateral_movement in-window (shared LATERAL_SQL)",
-    "stream_exec_lateral_movement_3hop": "equal-age pair with events_lateral_movement_3hop (shared 3-hop SQL); 2-hop twin in-window",
-    "stream_exec_rate_limit": "batch twin events_rate_limit r12-green (shared RATE_LIMIT_SQL); drain family reps in-window",
-    "stream_exec_dedup_incremental": "batch twin dedup_incremental (same r11 tier, shared digest core); modality sibling twin #20 r13-green",
-    # streaming window twins: batch twins green, kernels property-tested
-    "stream_sliding": "batch-twin family rep stream_tumbling_count r13-green; window arithmetic untouched since r3",
-    "stream_dedup": "dedup-on-stream batch twin; watermark kernel re-verified by stream_exec_dedup_watermark r12-green",
-    # TPC-H: stable SQL, all 22 green r11-r12, swept by the local
-    # 196-key oracle-parity test every suite run; sql_surface (q5
-    # via spark.sql) r13-green covers the SQL-entry path
-    "tpch_q1_pricing_summary": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q2_best_supplier": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q4_priority_check": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q5_local_supplier": "stable TPC-H SQL untouched since r5; sql_surface twin (same query via spark.sql) r13-green",
-    "tpch_q7_volume_shipping": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q8_market_share": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q9_product_profit": "stable TPC-H SQL untouched since r5; judge r13 independent spot-check green",
-    "tpch_q11_important_stock": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q13_customer_distribution": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q14_promo_revenue": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q15_top_supplier": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q16_supplier_relationship": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q17_small_quantity": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q18_large_volume": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q19_discounted_revenue": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q20_part_promotion": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
-    "tpch_q21_waiting_supplier": "stable TPC-H SQL untouched since r5; full-suite oracle parity sweep each run",
+    # relational / set / join / window tier: stable SQL, in-window
+    # family reps
+    "agg_distinct": "agg family rep agg_hash_groupby in-window; stable SQL untouched since r2",
+    "agg_kmv_union": "KMV family reps agg_kmv_distinct (in-window) share the sketch core + merge-identity property test",
+    "grouping_rollup": "grouping-sets family; cube sibling grouping_cube in-window; stable SQL untouched since r4",
+    "join_outer_left": "join family rep join_inner_hash in-window; stable SQL untouched since r2",
+    "join_full_outer": "join family rep join_inner_hash in-window; stable SQL untouched since r2",
+    "join_semi": "join family rep join_inner_hash in-window; stable SQL untouched since r2",
+    "join_range_theta": "range-join plan pinned by test_plan_audit; join rep in-window",
+    "window_analytic": "window family rep window_rank in-window; judge r14 independent sf0.01 spot-check green",
+    "window_range_time": "window family rep window_rank in-window; stable SQL untouched since r5",
+    "flatmap_explode": "explode sibling flatmap_posexplode r13-green; stable SQL untouched since r3",
+    "deser_csv": "deser sibling deser_json r13-green + json_roundtrip r14-green; stable SQL untouched since r3",
+    "scalar_string_date_math": "scalar family reps scalar_string_extra/interval_arithmetic r14-green",
+    # dedup / similarity tier
+    "dedup_exact": "digest group-by untouched since r2; incremental sibling dedup_incremental in-window",
+    "dedup_exact_norm": "shares _NORM_SQL with dedup_exact; keeper sibling dedup_keeper_corpus r14-green",
+    "dedup_lsh_recall": "audit key over minhash_pairs — its call KEEPS the legacy persist form this round (rotation contract: its own release + the universe persist ride its mandatory r16 slot); in-window dedup_minhash re-verifies the shared pipeline",
+    "similarity_ivf": "IVF family reps similarity_lsh_ann (in-window) + similarity_ivf_kmeans r14-green",
+    "similarity_lsh_multiprobe": "LSH family rep similarity_lsh_ann in-window; wide sibling r13-green",
+    "similarity_containment": "posting-persist release rides its mandatory r16 slot (VERDICT r14); corpus reps in-window",
+    "quality_lm_commonness": "posting-persist release rides its mandatory r16 slot (VERDICT r14); quality reps quality_gopher_filter/quality_repetition in-window",
+    # corpus / text tier
+    "corpus_bigrams": "corpus family reps corpus_domain_stats/corpus_length_filter/corpus_shuffle_deterministic in-window",
+    "corpus_mixture_sample": "corpus family reps in-window; deterministic-hash sampler untouched since r8",
+    "corpus_pack_sequences": "corpus family reps in-window; greedy packer property-tested each run",
+    "corpus_vocab_coverage": "judge r14 independent sf0.01 spot-check green; corpus reps in-window",
+    "text_langid": "map-only column expressions untouched since r7; text family all r12-green together",
+    "text_quality": "map-only column expressions untouched since r7; text family all r12-green together",
+    "text_stats": "map-only column expressions untouched since r7; text family all r12-green together",
+    "text_tokens": "map-only column expressions untouched since r7; text family all r12-green together",
+    # events / logs tier
+    "events_anomaly_zscore": "anomaly sibling events_anomaly_mad r13-green; stable SQL untouched since r6",
+    "events_dedup_adjacent": "events family reps events_funnel/events_dow_drift in-window",
+    "events_heavy_hitters": "events family reps in-window; CMS sibling agg_cms_freq r13-green",
+    "events_markov_transitions": "events family reps in-window; stable SQL untouched since r7",
+    "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared RATE_LIMIT_SQL)",
+    "events_retention_cohorts": "events family reps in-window; stable SQL untouched since r6",
+    "events_sessionize_batch": "sessionize sibling stream_session same tier; session family rep stream_exec_session_totals r14-green",
+    "logs_pattern_templates": "template sibling logs_template_drift same tier; drift twin stream_exec_template_drift r13-green",
+    "logs_template_drift": "online twin stream_exec_template_drift r13-green (shared TEMPLATE_SQL)",
+    "stateful_running_total": "streaming twin stream_exec_running_total r14-green (shared kernel)",
+    # streaming engine tier: kernels re-verified through in-window
+    # twins / shared cores
+    "stream_exec_tumbling": "batch twin stream_tumbling_count r13-green; runtime drain reps stream_exec_dedup_incremental in-window",
+    "stream_exec_dedup_watermark": "watermark kernel shared with in-window stream_dedup's batch twin",
+    "stream_exec_stream_stream_join": "join-on-stream family; runtime reps in-window; untouched since r10",
+    "stream_exec_stream_static_join": "join-on-stream family; runtime reps in-window; untouched since r10",
+    "stream_exec_dedup_incremental_minhash": "twin #19 — calls incremental_minhash_from_sigs with the DEFAULT (legacy-persist) form, so this round's in-window core release does not alter its executed plan; its own release rides r16 with twin #21",
+    "stream_session": "batch-twin family rep stream_sliding in-window; window arithmetic untouched since r3",
+    # TPC-H: stable SQL, swept by the in-suite oracle-parity test
+    # every run; 17 siblings in-window this round
+    "tpch_q3_shipping_priority": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
+    "tpch_q6_forecast_revenue": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
+    "tpch_q10_returned_items": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
+    "tpch_q12_late_lines": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
+    "tpch_q22_global_sales": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
+    # ts ops
+    "ts_resample_ffill": "clamped sibling ts_resample_ffill_clamped r13-green (shared resample core)",
 }
 
 

@@ -141,8 +141,23 @@ class FileSink:
     def _apply_s3(self, df: DataFrame) -> None:
         if self.s3 is None:
             return
+        bucket = _s3_bucket_of(self.path)
+        if bucket is None:
+            # Refuse to fall back to GLOBAL fs.s3a.* keys (ADVICE
+            # r14): globals on the shared session conf clobber each
+            # other across sinks — silently defeating the documented
+            # per-bucket multi-destination coexistence — and leak
+            # credentials into session scope when the path isn't even
+            # an object-store URI. An S3Options on a non-s3 path is a
+            # configuration error; say so loudly.
+            raise ValueError(
+                f"FileSink(path={self.path!r}) carries S3Options but the "
+                "path names no s3/s3a/s3n bucket to scope them to; "
+                "per-bucket confs (fs.s3a.bucket.<name>.*) are the only "
+                "form applied to the shared session hadoop conf"
+            )
         hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
-        for k, v in self.s3.hadoop_confs(_s3_bucket_of(self.path)).items():
+        for k, v in self.s3.hadoop_confs(bucket).items():
             hconf.set(k, v)
 
     def _prep(self, df: DataFrame) -> tuple[DataFrame, list[str]]:

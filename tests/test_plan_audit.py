@@ -110,7 +110,9 @@ def test_audit_catches_row_udf(spark):
         "tpch_q5_local_supplier",
         "tpch_q14_promo_revenue",
         "tpch_q18_large_volume",
-        "dedup_minhash",
+        # dedup_minhash moved to the r15 lazy-twin audit below: its
+        # registered form now checkpoints, which collapses the plan
+        # to Scan ExistingRDD and made this pin vacuous
         "corpus_pack_sequences",
         "embedding_centroids",
         "kmeans_lloyd",
@@ -835,5 +837,78 @@ def test_r14_checkpointing_keys_release_their_caches(spark):
         residues = [str(m[rid].toString()) for rid in set(m.keys()) - before]
         assert all("localCheckpoint" in r for r in residues), (key, residues)
         # at most the one bounded checkpoint block per invocation
+        assert len(residues) <= 1, (key, residues)
+        before = set(m.keys())
+
+
+# ---------------------------------------------------------------------------
+# r15: the minhash-core persist release (VERDICT r14 item 2) — the
+# two in-window minhash keys now eagerly checkpoint their bounded
+# pair sets and release the signature/band caches; plus the new
+# registration dedup_incremental_image (checkpoint-clean from birth).
+# Plan audits read the LAZY twins (the registered bindings collapse
+# to Scan ExistingRDD).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key,lazy_path",
+    [
+        ("dedup_minhash", "llm_dedup.dedup_minhash_lazy"),
+        (
+            "dedup_incremental_minhash",
+            "llm_dedup.dedup_incremental_minhash_lazy",
+        ),
+        (
+            "dedup_incremental_image",
+            "llm_multimodal.dedup_incremental_image_lazy",
+        ),
+    ],
+)
+def test_r15_checkpointing_keys_lazy_plans_clean(spark, key, lazy_path):
+    """Each r15 checkpointing key: (a) its lazy twin passes the
+    mechanical scale audit with no cartesian, and (b) the twin stays
+    ROW-identical to the registered binding, so the audited plan is
+    the executed semantics (the dedup_ngram_jaccard_lazy
+    discipline)."""
+    import importlib
+
+    mod_name, fn_name = lazy_path.rsplit(".", 1)
+    mod = importlib.import_module(f"kawa_spark.queries.{mod_name}")
+    lazy_fn = getattr(mod, fn_name)
+    df = lazy_fn(spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    lazy = sorted(tuple(r) for r in df.collect())
+    reg = sorted(
+        tuple(r) for r in registry.QUERIES[key](spark, SF).collect()
+    )
+    assert lazy == reg and reg
+
+
+def test_r15_checkpointing_keys_release_their_caches(spark):
+    """VERDICT r14 item 2's acceptance pin: after each registered
+    r15 checkpointing builder returns, no ``persist()`` cache remains
+    — the minhash signature/band cores (llm_dedup.py) and the image
+    keys' hash/band caches must be released in the builders'
+    finallys. The only storage a builder may leave behind is its
+    bounded localCheckpoint block (pair-sized, GC-cleaned with the
+    returned frame)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    for key in (
+        "dedup_minhash",
+        "dedup_incremental_minhash",
+        "dedup_incremental_image",
+        "multimodal_image_dedup_near",
+        "embedding_pq_codes",
+    ):
+        registry.QUERIES[key](spark, SF)
+        m = sc._jsc.getPersistentRDDs()
+        residues = [str(m[rid].toString()) for rid in set(m.keys()) - before]
+        assert all("localCheckpoint" in r for r in residues), (key, residues)
+        # at most the one bounded checkpoint block per invocation
+        # (embedding_pq_codes is map-only: zero)
         assert len(residues) <= 1, (key, residues)
         before = set(m.keys())

@@ -3,9 +3,12 @@ top-k: oracle parity, an independent pure-Python replay of the whole
 train/encode/ADC/rerank pipeline, bit-identity of the numpy fold, and
 the plan/cache pins.
 
-``similarity_pq_adc`` and ``similarity_topk_vectorized`` are BANKED
-for a window-rotation registration (docs/STATUS.md round-13
-candidates); these tests keep them release-ready in the meantime.
+``similarity_pq_adc`` registered on the r14 window; the registered
+``similarity_topk`` has delegated to ``similarity_topk_vectorized``
+since r14, so the JVM-fold legs here drive the retained private
+witness ``_similarity_topk_catalyst`` (ADVICE r14 — a
+registered-vs-vectorized comparison would be the vectorized form
+against itself).
 """
 
 from __future__ import annotations
@@ -40,12 +43,19 @@ def test_pq_adc_matches_oracle(spark):
 def test_vectorized_topk_bit_identical(spark):
     """np.cumsum along the dim axis is a strictly sequential left
     fold, so the Arrow fast path must reproduce the JVM fold's floats
-    BIT-FOR-BIT — not approximately."""
-    jvm = sorted(tuple(r) for r in S.similarity_topk(spark, SF).collect())
+    BIT-FOR-BIT — not approximately. Since the r14 swap the
+    registered similarity_topk IS the vectorized core, so the JVM
+    side here is the retained PRIVATE Catalyst-fold witness
+    ``_similarity_topk_catalyst`` — comparing against the registered
+    key would test the vectorized form against itself (ADVICE
+    r14)."""
+    jvm = sorted(
+        tuple(r) for r in S._similarity_topk_catalyst(spark, SF).collect()
+    )
     vec = sorted(
         tuple(r) for r in S.similarity_topk_vectorized(spark, SF).collect()
     )
-    assert jvm == vec
+    assert jvm == vec and jvm
 
 
 def test_vectorized_topk_zero_norm_is_loud_in_both_forms(spark, tmp_path):
@@ -79,24 +89,30 @@ def test_vectorized_topk_zero_norm_is_loud_in_both_forms(spark, tmp_path):
         )
         return sf
 
-    # zero-norm CANDIDATE (vec_id >= N_QUERIES)
+    # zero-norm CANDIDATE (vec_id >= N_QUERIES). The JVM legs drive
+    # the PRIVATE Catalyst-fold witness — the registered key now IS
+    # the vectorized core, whose guard raising a message containing
+    # the same string would make these legs vacuous (ADVICE r14).
     sf_cand = write_sf("zn_cand", {17})
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        S.similarity_topk(spark, sf_cand).collect()
+        S._similarity_topk_catalyst(spark, sf_cand).collect()
     with pytest.raises(Exception, match="zero-norm"):
         S.similarity_topk_vectorized(spark, sf_cand).collect()
 
     # zero-norm QUERY (vec_id < N_QUERIES) — guarded driver-side
     sf_q = write_sf("zn_query", {3})
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
-        S.similarity_topk(spark, sf_q).collect()
+        S._similarity_topk_catalyst(spark, sf_q).collect()
     with pytest.raises(ArithmeticError, match="zero-norm query"):
         S.similarity_topk_vectorized(spark, sf_q)
 
     # and a clean corpus of the same shape agrees exactly (the
     # bit-identity pin on a non-testdata corpus)
     sf_ok = write_sf("zn_none", set())
-    jvm = sorted(tuple(r) for r in S.similarity_topk(spark, sf_ok).collect())
+    jvm = sorted(
+        tuple(r)
+        for r in S._similarity_topk_catalyst(spark, sf_ok).collect()
+    )
     vec = sorted(
         tuple(r) for r in S.similarity_topk_vectorized(spark, sf_ok).collect()
     )

@@ -146,21 +146,64 @@ def test_s3_bucket_extraction():
     assert _s3_bucket_of("s3a://") is None
 
 
-def test_filesink_applies_s3_confs_to_session(spark, tmp_path):
-    """write_batch applies the conf mapping to the session hadoop
-    conf before writing (global-form keys here — a local path has no
-    bucket to scope them to) and the write itself still succeeds."""
+def test_filesink_applies_s3_confs_per_bucket_only(spark):
+    """_apply_s3 scopes every key per-bucket (fs.s3a.bucket.<name>.*)
+    — never the global fs.s3a.* form, whose keys on the SHARED
+    session conf clobber each other across sinks and leak credentials
+    session-wide (ADVICE r14). Two sinks with different endpoints
+    coexist."""
+    from kawa_spark.sinks.sinks import FileSink, S3Options
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    a = FileSink(
+        path="s3a://logs-a/prefix",
+        s3=S3Options(endpoint="https://minio.local:9000", region="us-dev-1"),
+    )
+    b = FileSink(
+        path="s3a://logs-b/prefix",
+        s3=S3Options(
+            endpoint="https://accountid.r2.cloudflarestorage.com",
+            region="auto",
+        ),
+    )
+    a._apply_s3(df)
+    b._apply_s3(df)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert (
+        hconf.get("fs.s3a.bucket.logs-a.endpoint")
+        == "https://minio.local:9000"
+    )
+    assert (
+        hconf.get("fs.s3a.bucket.logs-b.endpoint")
+        == "https://accountid.r2.cloudflarestorage.com"
+    )
+    assert hconf.get("fs.s3a.bucket.logs-a.endpoint.region") == "us-dev-1"
+    assert hconf.get("fs.s3a.bucket.logs-b.endpoint.region") == "auto"
+    # and neither write touched the GLOBAL namespace
+    assert hconf.get("fs.s3a.endpoint") is None
+
+
+def test_filesink_s3_options_on_unscoped_path_is_loud(spark, tmp_path):
+    """S3Options on a path with no bucket to scope to must raise —
+    not silently write global fs.s3a.* keys (credentials included)
+    onto the shared session conf (ADVICE r14)."""
+    import pytest
+
     from kawa_spark.sinks.sinks import FileSink, S3Options
 
     sink = FileSink(
         path=str(tmp_path / "out"),
         time_partition=False,
         compression=None,
-        s3=S3Options(endpoint="https://minio.local:9000", region="us-dev-1"),
+        s3=S3Options(
+            endpoint="https://minio.local:9000",
+            access_key="AK",
+            secret_key="SK",
+        ),
     )
     df = spark.createDataFrame([("a", 1)], "k string, v int")
-    sink.write_batch(df)
+    with pytest.raises(ValueError, match="names no s3/s3a/s3n bucket"):
+        sink.write_batch(df)
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    assert hconf.get("fs.s3a.endpoint") == "https://minio.local:9000"
-    assert hconf.get("fs.s3a.endpoint.region") == "us-dev-1"
-    assert spark.read.json(str(tmp_path / "out")).count() == 1
+    assert hconf.get("fs.s3a.access.key") is None
+    assert hconf.get("fs.s3a.secret.key") is None
