@@ -912,3 +912,83 @@ def test_r15_checkpointing_keys_release_their_caches(spark):
         # (embedding_pq_codes is map-only: zero)
         assert len(residues) <= 1, (key, residues)
         before = set(m.keys())
+
+
+# ---------------------------------------------------------------------------
+# r15 (VERDICT r14 item 5): the eager checkpoint must not have added
+# a second CORPUS read on the verify side of the released keys. The
+# registered bodies' RETURNED plans are audit-blinded (Scan
+# ExistingRDD), but the checkpoint JOB itself executes the real plan
+# — a localCheckpoint spy captures it. In that plan, every printed
+# `Scan parquet` inside an InMemoryRelation rendering is the cached
+# plan's echo (built once); a scan OUTSIDE any InMemoryRelation is a
+# genuine extra disk read of the corpus. Pin: zero such scans.
+# ---------------------------------------------------------------------------
+
+
+def _raw_scans_outside_cache(jnode, out: list[str]) -> None:
+    """Walk an executed SparkPlan (JVM node), collecting FileSourceScan
+    nodes reachable WITHOUT crossing an InMemoryTableScan — i.e. disk
+    reads the job performs beyond its cache builds. Descends through
+    AQE wrappers and query-stage leaves (both are LeafExecNode, so a
+    plain children() walk would see nothing); stops at
+    InMemoryTableScan because its cached relation executes once, on
+    first touch, regardless of how many consumers reference it.
+    String-parsing toString() instead is WRONG here: nested
+    InMemoryRelation renderings re-print their cached plans (with
+    reset indentation), so scan-line counts overcount by the number
+    of cache references."""
+    name = jnode.getClass().getSimpleName()
+    if "InMemoryTableScan" in name:
+        return
+    if "FileSourceScan" in name:
+        out.append(str(jnode.simpleString(100)))
+        return
+    if "AdaptiveSparkPlan" in name:
+        _raw_scans_outside_cache(jnode.executedPlan(), out)
+        return
+    if "QueryStage" in name:
+        _raw_scans_outside_cache(jnode.plan(), out)
+        return
+    it = jnode.children().iterator()
+    while it.hasNext():
+        _raw_scans_outside_cache(it.next(), out)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_minhash",
+        "dedup_incremental_minhash",
+        "dedup_incremental_image",
+    ],
+)
+def test_checkpoint_job_reads_each_corpus_input_once(
+    spark, key, monkeypatch
+):
+    """The checkpoint job's executed plan reads the corpus only to
+    build the persisted input caches: both self-join sides (and the
+    verify leg) consume InMemoryTableScan, never a second raw
+    parquet scan of documents/embeddings."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    orig = _CDF.localCheckpoint
+    captured: list[str] = []
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        captured.append(self._jdf.queryExecution().executedPlan())
+        return out
+
+    monkeypatch.setattr(_CDF, "localCheckpoint", spy)
+    registry.QUERIES[key](spark, SF)
+    assert captured, f"{key} no longer checkpoints — update this pin"
+    for jplan in captured:
+        raw: list[str] = []
+        _raw_scans_outside_cache(jplan, raw)
+        assert raw == [], (key, raw)
+        # non-vacuous: the cached inputs actually appear in the plan
+        assert "InMemoryTableScan" in jplan.toString(), key
