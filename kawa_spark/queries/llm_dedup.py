@@ -433,6 +433,16 @@ def minhash_pairs(
     r16)."""
     sig = minhash_signatures(d, persist=persist)
     banded = minhash_band_rows(sig, persist=persist)
+    if checkpoint:
+        # Serialize the cache build before fanning out: the one-action
+        # form lets the pair join's two map stages and the verify
+        # join's broadcast build race to populate the sig/band caches
+        # CONCURRENTLY, each recomputing the md5 signature stage until
+        # a partition lands (measured 2.0x wall at the 10x probe:
+        # 19.5-25.2s -> 10.3-12.2s, identical rows). One cheap pass
+        # over the narrow band rows populates both caches exactly
+        # once; every later consumer reads memory.
+        banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -1576,6 +1586,11 @@ def incremental_minhash_from_sigs(
     (legacy-persist) form until its own mandatory r16 slot — the
     rotation contract bars off-window execution changes."""
     bands = minhash_band_rows(sig, extra=("side",), persist=persist)
+    if checkpoint:
+        # Same cache-build serialization as minhash_pairs: the n/p
+        # band splits and the two sig-side verify joins otherwise
+        # race the signature stage into the caches concurrently.
+        bands.count()
     bands_n = bands.filter(F.col("side") == "n").select(
         "doc_id", "band_id", "band_hash"
     )
