@@ -133,6 +133,12 @@ HEADLINE = [
     "similarity_pq_adc",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    # r15 additions: the three banked registrations on the window's
+    # free slots; their rows start THIS round (streaming twin #21
+    # stays out of the headline per the r9 drain convention)
+    "multimodal_image_dedup_near",
+    "embedding_pq_codes",
+    "dedup_incremental_image",
 ]
 
 # Audit keys (VERDICT r11 item 8): these two deliberately run multiple
@@ -201,7 +207,9 @@ def main() -> None:
     # codebook, _PQ_CB_CACHE) — same warm/cold split, same handling
     # (r14): rep-0 cold with the cache cleared, reported in
     # queries_cold; headline min measures warm search.
-    pq_keys = {"similarity_pq_adc"}
+    # embedding_pq_codes (r15) trains through the same _PQ_CB_CACHE,
+    # so it gets the identical cold/warm split.
+    pq_keys = {"similarity_pq_adc", "embedding_pq_codes"}
     from kawa_spark.queries.llm_similarity import _CENT1_CACHE, _PQ_CB_CACHE
 
     for r in range(reps):

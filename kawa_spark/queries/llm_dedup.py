@@ -790,8 +790,13 @@ def write_dedup_edges(
     discipline of the incremental family. The pair table is bounded
     (≤ cap/2 · |postings| by the df-cap argument at
     ngram_jaccard_pairs), so the parquet is dedup-rate-sized, never
-    corpus-sized."""
-    dedup_ngram_jaccard_lazy(spark, sf_dir).select("doc_a", "doc_b").write.mode(
+    corpus-sized.
+
+    Uses the CHECKPOINT form, not the lazy twin: the lazy tree
+    recomputes the posting scan on both self-join sides (measured
+    >10 min at the 100x probe vs ~80 s checkpointed), and the write
+    then just drains the already-materialized bounded pair blocks."""
+    dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").write.mode(
         mode
     ).parquet(path)
 
