@@ -893,16 +893,17 @@ def multimodal_image_dedup_near(
     )
     from kawa_spark.queries.llm_dedup import _cap_buckets
 
-    # persist the codec output: it feeds the band explode AND both
-    # self-join sides — un-persisted, every consumer re-ran the
-    # Arrow codec+hash corpus scan (4 MapInPandas nodes in the
-    # executed plan; code review r12 pass 2). The dedup tier's
-    # materialize-once precedent (dedup_minhash/_simhash).
+    # No persist on the hash table: since r15 the capped band table
+    # below is eagerly materialized (sized.count()), so the codec
+    # chain runs exactly once regardless — a corpus-sized cache with
+    # one reader buys nothing (the ADVICE r14 rule; the r12 4-scan
+    # finding this persist originally fixed is covered by the sized
+    # cache + serialization instead).
     hashed = image_hashes(docs).select(
         "doc_id",
         "dhash",
         F.conv(F.col("dhash"), 2, 10).cast("long").alias("dhash_int"),
-    ).persist()
+    )
     bands = hashed.select(
         "doc_id",
         "dhash_int",
@@ -931,6 +932,12 @@ def multimodal_image_dedup_near(
     sized = _cap_buckets(
         bands, cap=IMG_BUCKET_CAP, keys=("band_id", "band_str")
     ).persist()
+    # Serialize the cache build before the self-join fan-out: the
+    # left/right map stages otherwise race to populate the sized
+    # cache, each re-running the Python codec chain until a partition
+    # lands (the minhash checkpoint forms' r15 finding, worst here
+    # because the racing work is the Arrow codec scan).
+    sized.count()
     left = sized.select(
         "band_id",
         "band_str",
@@ -969,7 +976,6 @@ def multimodal_image_dedup_near(
     try:
         return out.localCheckpoint(eager=True)
     finally:
-        hashed.unpersist()
         sized.unpersist()
 
 
@@ -1162,6 +1168,12 @@ def incremental_image_from_hashes(
     sized = _cap_buckets(bands, cap=IMG_BUCKET_CAP, keys=("band_id", "band_str"))
     if checkpoint:
         sized = sized.persist()
+        # Serialize the cache build: the n/p split consumers otherwise
+        # race the codec chain into the cache concurrently (the
+        # minhash checkpoint forms' r15 finding — worst for this
+        # modality, where the raced work is the Arrow codec scan and
+        # the hash table is deliberately unpersisted).
+        sized.count()
     n = sized.filter(F.col("side") == "n").select(
         "band_id",
         "band_str",
