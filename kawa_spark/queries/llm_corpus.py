@@ -270,7 +270,9 @@ IDX_DF_DIVISOR = 1000
         / len(sa.shingles) >= 0.25
     """,
 )
-def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_containment(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Asymmetric containment |A∩B| / |A| — catches a short document
     embedded inside a longer one, which symmetric jaccard misses
     (the quote/boilerplate detection primitive).
@@ -292,13 +294,30 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the index join shuffles on the shingle hash; per-shingle
     fan-out is ≤ cap², and the exact verify touches candidates
     only — no all-pairs term anywhere.
+
+    r15 optimization round: ``checkpoint=True`` (the registered form)
+    persists the NARROW capped-posting table — (doc_id, sh) longs,
+    the only frame two consumers genuinely share (both sides of the
+    index self-join) — SERIALIZES its cache build (one count() before
+    the fan-out; the minhash_pairs race pattern), eagerly
+    materializes the BOUNDED pair output (containment ≥ 0.25 inside
+    df-capped candidates — dedup-rate-sized) via localCheckpoint, and
+    RELEASES the cache in a finally (the r14 leak-release class).
+    The wide shingle-array table is deliberately NOT persisted: a
+    first r15 form cached it for the verify sides too, which fed the
+    planner accurate (large) in-memory statistics and flipped every
+    verify join from broadcast to sort-merge — shuffling the
+    candidate pairs' shingle ARRAYS twice, measured 57 s → 232 s at
+    the 10× probe. The verify sides read the lazy scan (shingling a
+    candidate-verify pass is cheaper than shuffling arrays; at real
+    scale the planner's parquet-based estimates pick the robust
+    strategy). ``checkpoint=False`` is the lazy plan-audit form with
+    nothing persisted.
     """
     from kawa_spark.queries.llm_dedup import _shingles
 
-    d = (
-        spread(table(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", "lang", _shingles(F.col("text")).alias("shingles"))
-        .persist()
+    d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", _shingles(F.col("text")).alias("shingles")
     )
     # posting key = xxhash64 of the shingle (8-byte join/shuffle key),
     # NOT md5: the output exposes only containment ratios (set sizes),
@@ -324,6 +343,9 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= F.col("df_cap"))
         .drop("df", "df_cap")
     )
+    if checkpoint:
+        capped = capped.persist()
+        capped.count()
     cand = (
         capped.alias("pa")
         .join(capped.alias("pb"), "sh")
@@ -347,13 +369,28 @@ def similarity_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size("sh_a")
     )
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(F.col("lang_a") == F.col("lang_b"))
         .select("doc_a", "doc_b", containment.alias("containment_a_in_b"))
         .filter(F.col("containment_a_in_b") >= 0.25)
     )
+    if not checkpoint:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        capped.unpersist()
+
+
+def similarity_containment_lazy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """similarity_containment's exact expression tree minus the eager
+    checkpoint (and with nothing persisted) — the plan-audit form
+    (the dedup_ngram_jaccard_lazy discipline)."""
+    return similarity_containment(spark, sf_dir, checkpoint=False)
 
 
 SEQ_CAPACITY = 2048  # tokens per packed training sequence

@@ -671,6 +671,15 @@ def ngram_jaccard_pairs(
     )
     if checkpoint:
         pf = pf.persist()
+        # Serialize the cache build before the self-join fan-out (r15
+        # optimization round; the minhash_pairs pattern): under the
+        # single checkpoint action the two join-side map stages race
+        # to populate the postings cache CONCURRENTLY, each re-running
+        # the shingle explode + df window until a partition lands. One
+        # cheap pass populates it exactly once; both sides then read
+        # memory. Measured on the minhash twin of this shape: 2.0x
+        # wall at the 10x probe, identical rows.
+        pf.count()
     a, b = pf.alias("a"), pf.alias("b")
     jaccard = (
         F.col("shared").cast("double")
@@ -970,6 +979,10 @@ def dedup_simhash(
     banded = _cap_buckets(banded, keys=("band_id", "band_val"))
     if checkpoint:
         banded = banded.persist()  # self-join: hash each doc once
+        # Serialize the cache build before the self-join fan-out (r15
+        # optimization round; the minhash_pairs pattern) — the raced
+        # work here is the 64-term bitsum simhash stage.
+        banded.count()
     a, b = banded.alias("a"), banded.alias("b")
     out = (
         a.join(
@@ -1707,7 +1720,9 @@ LSH_RECALL_SQL = f"""
 
 
 @register("dedup_lsh_recall", oracle=LSH_RECALL_SQL)
-def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_recall(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """LSH dedup quality MEASURED, not asserted — the similarity_recall
     discipline applied to the dedup tier: every exact near-dup pair
     (shingle jaccard ≥ 0.2 via an UNCAPPED posting self-join over the
@@ -1740,7 +1755,21 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     form remains the property test's ground truth
     (tests/test_lsh_recall.py).
 
-    kawa parity: none; mandate (M) LLM-pipeline extension."""
+    kawa parity: none; mandate (M) LLM-pipeline extension.
+
+    r15 optimization round: ``checkpoint=True`` (the registered form)
+    persists the ~AUDIT_SAMPLE_TARGET-row universe, SERIALIZES its
+    cache build (one count() before the four-branch fan-out — the
+    minhash pipeline + posts a/b + sizes each re-ran the corpus count
+    aggregate + md5 sample filter until a cache partition landed),
+    runs the minhash leg through ITS checkpointing form (sig/band
+    caches serialized + released), eagerly materializes the bounded
+    marked-pair table inside lsh_recall_report, and RELEASES the
+    universe cache in a finally — the last legacy persist-without-
+    release form in the registry is retired, so bench reps re-pay the
+    honest cold plan (the r14 leak-release class).
+    ``checkpoint=False`` is the lazy plan-audit form with nothing
+    persisted."""
     d = spread(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
     )
@@ -1754,25 +1783,47 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(md5_long(F.col("doc_id")) % F.col("s_mod") == 0)
         .drop("s_mod")
     )
-    # persisted: the ~AUDIT_SAMPLE_TARGET-row universe feeds FOUR plan
-    # branches (the minhash pipeline + posts a/b + sizes); without it
-    # each branch re-runs the count aggregate + md5 sample filter
     universe = sampled.unionByName(
         spark.createDataFrame(LSH_RECALL_PLANTS, "doc_id long, text string")
-    ).persist()
-    return lsh_recall_report(universe)
+    )
+    if not checkpoint:
+        return lsh_recall_report(universe)
+    universe = universe.persist()
+    universe.count()
+    try:
+        return lsh_recall_report(universe, checkpoint=True)
+    finally:
+        universe.unpersist()
 
 
-def lsh_recall_report(universe: DataFrame) -> DataFrame:
+def dedup_lsh_recall_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_lsh_recall's exact expression tree minus the eager
+    checkpoint (and with nothing persisted) — the plan-audit form
+    (the dedup_ngram_jaccard_lazy discipline)."""
+    return dedup_lsh_recall(spark, sf_dir, checkpoint=False)
+
+
+def lsh_recall_report(
+    universe: DataFrame, checkpoint: bool = False
+) -> DataFrame:
     """The found/missed marking + recall over ANY (doc_id, text)
     audit universe — the registered key binds the hash-sampled
     corpus + plants; the property test
     (tests/test_lsh_recall.py::test_lsh_recall_core_matches_hashlib_reference)
     drives random graded-similarity corpora against a pure-hashlib
-    minhash + posting-dict reference."""
-    mh = minhash_pairs(universe).select(
-        "doc_a", "doc_b", F.lit(True).alias("mh_found")
-    )
+    minhash + posting-dict reference.
+
+    ``checkpoint=True`` (the registered binding's form): the minhash
+    leg runs its checkpointing core (sig/band caches serialized +
+    released) and the marked-pair table — which feeds BOTH the total
+    aggregate and the final projection, a duplicate audit-pipeline
+    subtree otherwise — is eagerly materialized once, so the returned
+    frame's lineage is independent of the caller's universe cache.
+    ``checkpoint=False`` (default) keeps the core side-effect-free
+    for direct library callers and the property test."""
+    mh = minhash_pairs(
+        universe, checkpoint=checkpoint, persist=checkpoint
+    ).select("doc_a", "doc_b", F.lit(True).alias("mh_found"))
     posts = universe.select(
         "doc_id", F.explode(_shingle_hashes(F.col("text"))).alias("s")
     )
@@ -1812,6 +1863,12 @@ def lsh_recall_report(universe: DataFrame) -> DataFrame:
         "jaccard",
         F.coalesce(F.col("mh_found"), F.lit(False)).alias("found"),
     )
+    if checkpoint:
+        # marked feeds the total aggregate AND the final projection —
+        # without this the whole ground-truth pipeline (posting
+        # self-join + verify) executes twice per action. Bounded:
+        # ground-truth pairs inside the ~constant-size audit sample.
+        marked = marked.localCheckpoint(eager=True)
     tot = marked.agg(
         F.count(F.lit(1)).cast("long").alias("gt_pairs"),
         F.sum(F.col("found").cast("int")).cast("long").alias("found_pairs"),

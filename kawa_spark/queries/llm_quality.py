@@ -259,7 +259,9 @@ def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored, corpus
     """,
 )
-def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_lm_commonness(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """LM-lite rarity filter — the n-gram stand-in for CCNet-style
     perplexity filtering: a document whose bigrams are systematically
     rarer than the corpus norm is likely garbled/off-distribution.
@@ -277,7 +279,30 @@ def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling on the bigram; the count table is partial-aggregated
     map-side) → one doc_id aggregate. The corpus norm is a 1-row
     broadcast. Nothing driver-side, no UDF; bigram skew (stopword
-    pairs) rides the same two-level agg AQE handles for any hot key."""
+    pairs) rides the same two-level agg AQE handles for any hot key.
+
+    r15 optimization round, two plan changes (rows bit-identical,
+    oracle untouched):
+
+    * The corpus norm is now derived from the per-doc table instead
+      of a second read of the bigram count table: over the posting
+      rows, Σ_docs sum_commonness == Σ_b n_b² and Σ_docs n_bigrams
+      == Σ_b n_b EXACTLY (every posting row of bigram b contributes
+      n_b to exactly one doc's sum), so the same two integers reach
+      the same one double division — but the aggregate now reads the
+      tiny checkpointed per-doc frame, eliminating the third consumer
+      of the corpus-sized posting cache and the duplicate count-table
+      subtree.
+    * ``checkpoint=True`` (the registered form): the posting cache is
+      persisted, its build SERIALIZED (one count() before the fan-out
+      — the minhash_pairs race pattern), the per-doc scored table
+      eagerly checkpointed (|docs| rows of three longs — the output's
+      own cardinality, not the posting table's), and the posting
+      cache RELEASED in a finally: a registry sweep no longer
+      accumulates corpus-sized cached partitions and bench reps
+      re-pay the cold plan (the r14 leak-release class, VERDICT r14
+      what's-wrong item 1). ``checkpoint=False`` is the lazy
+      plan-audit twin with nothing persisted."""
     from kawa_spark.functions.hof import bigrams, bind
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
@@ -285,15 +310,11 @@ def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty array (zero posting rows), matching the oracle's empty
     # generate_series — the unguarded sequence(1, 0) form crashes
     bg_col = bind(F.split(F.lower(F.col("text")), " "), bigrams)
-    posts = d.select("doc_id", F.explode(bg_col).alias("bg")).persist()
+    posts = d.select("doc_id", F.explode(bg_col).alias("bg"))
+    if checkpoint:
+        posts = posts.persist()
+        posts.count()
     counts = posts.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
-    corpus = counts.agg(
-        (
-            F.sum(F.col("n_bg").cast("decimal(19,0)") * F.col("n_bg"))
-            .cast("double")
-            / F.sum("n_bg").cast("double")
-        ).alias("corpus_avg")
-    )
     scored = (
         posts.join(counts, "bg")
         .groupBy("doc_id")
@@ -301,6 +322,22 @@ def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("n_bg").alias("sum_commonness"),
         )
+    )
+    if checkpoint:
+        try:
+            scored = scored.localCheckpoint(eager=True)
+        finally:
+            posts.unpersist()
+    # Σ_docs sum_commonness == Σ_b n_b², Σ_docs n_bigrams == Σ_b n_b:
+    # identical integers to the old counts-table aggregate, summed in
+    # DECIMAL so corpus scale cannot wrap, cast to DOUBLE only at the
+    # division — the same IEEE value the oracle computes from counts.
+    corpus = scored.agg(
+        (
+            F.sum(F.col("sum_commonness").cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum(F.col("n_bigrams").cast("decimal(38,0)")).cast("double")
+        ).alias("corpus_avg")
     )
     avg = F.col("sum_commonness").cast("double") / F.col("n_bigrams")
     ratio = avg / F.col("corpus_avg")
@@ -312,3 +349,12 @@ def quality_lm_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("commonness_ratio"),
         (ratio >= 0.5).alias("keep"),
     )
+
+
+def quality_lm_commonness_lazy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quality_lm_commonness's exact expression tree minus the eager
+    checkpoint (and with nothing persisted) — the plan-audit form
+    (the dedup_ngram_jaccard_lazy discipline)."""
+    return quality_lm_commonness(spark, sf_dir, checkpoint=False)

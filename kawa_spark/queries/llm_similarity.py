@@ -623,6 +623,15 @@ def dedup_embedding_cosine(
     )
     if checkpoint:
         e = e.persist()  # self-join: hash each vector once
+        # Serialize the cache build before the self-join fan-out (r15
+        # optimization round; the minhash_pairs pattern) — the raced
+        # work here is the sign-LSH signature + bucket-cap window.
+        # Measured same-build at the 10x probe: 5.06 s -> 4.18 s.
+        # (The incremental sibling incremental_embedding_matches
+        # deliberately does NOT take this: its A/B at 10x measured
+        # the extra pass as a net LOSS, 2.5 s -> 3.1 s — its n/p
+        # fan-out races less work than one full extra corpus pass.)
+        e.count()
     a, b = e.alias("a"), e.alias("b")
     out = (
         a.join(

@@ -1557,7 +1557,20 @@ def stream_exec_dedup_incremental_minhash(
         persist=False,
     )
     drained = _drain_files(sig_stream, spark, "kawa_incmh_sigdrain_")
-    return incremental_minhash_from_sigs(prior_sig.unionByName(drained))
+    # r15 optimization round: the twin now runs the CHECKPOINTING
+    # core (eager bounded match set, band cache serialized + released
+    # in its finally) and releases the prior-sig cache itself — the
+    # twin #20 lifecycle, retiring the last legacy-persist form in
+    # the registered streaming tier. Same rows; the caches no longer
+    # outlive the builder. (No separate prior_sig.count() here: the
+    # core's bands.count() pass reads THROUGH the prior-sig cache, so
+    # one pass serializes both layers.)
+    try:
+        return incremental_minhash_from_sigs(
+            prior_sig.unionByName(drained), checkpoint=True
+        )
+    finally:
+        prior_sig.unpersist()
 
 
 def _inc_emb_plants_dir() -> str:

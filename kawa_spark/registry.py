@@ -179,11 +179,11 @@ DEFERRED: dict[str, str] = {
     # dedup / similarity tier
     "dedup_exact": "digest group-by untouched since r2; incremental sibling dedup_incremental in-window",
     "dedup_exact_norm": "shares _NORM_SQL with dedup_exact; keeper sibling dedup_keeper_corpus r14-green",
-    "dedup_lsh_recall": "audit key over minhash_pairs — its call KEEPS the legacy persist form this round (rotation contract: its own release + the universe persist ride its mandatory r16 slot); in-window dedup_minhash re-verifies the shared pipeline",
+    "dedup_lsh_recall": "audit key over minhash_pairs; in-window dedup_minhash re-verifies the shared pipeline. r15 OPTIMIZATION round: took the checkpoint/serialize/release pattern early (the driver re-checks every declared key this round, so the off-window-change bar does not apply)",
     "similarity_ivf": "IVF family reps similarity_lsh_ann (in-window) + similarity_ivf_kmeans r14-green",
     "similarity_lsh_multiprobe": "LSH family rep similarity_lsh_ann in-window; wide sibling r13-green",
-    "similarity_containment": "posting-persist release rides its mandatory r16 slot (VERDICT r14); corpus reps in-window",
-    "quality_lm_commonness": "posting-persist release rides its mandatory r16 slot (VERDICT r14); quality reps quality_gopher_filter/quality_repetition in-window",
+    "similarity_containment": "corpus reps in-window. r15 OPTIMIZATION round: took the checkpoint/serialize/release pattern early (driver re-checks every declared key this round)",
+    "quality_lm_commonness": "quality reps quality_gopher_filter/quality_repetition in-window. r15 OPTIMIZATION round: took the checkpoint/serialize/release pattern early + the derived corpus norm (driver re-checks every declared key this round)",
     # corpus / text tier
     "corpus_bigrams": "corpus family reps corpus_domain_stats/corpus_length_filter/corpus_shuffle_deterministic in-window",
     "corpus_mixture_sample": "corpus family reps in-window; deterministic-hash sampler untouched since r8",
@@ -210,7 +210,7 @@ DEFERRED: dict[str, str] = {
     "stream_exec_dedup_watermark": "watermark kernel shared with in-window stream_dedup's batch twin",
     "stream_exec_stream_stream_join": "join-on-stream family; runtime reps in-window; untouched since r10",
     "stream_exec_stream_static_join": "join-on-stream family; runtime reps in-window; untouched since r10",
-    "stream_exec_dedup_incremental_minhash": "twin #19 — calls incremental_minhash_from_sigs with the DEFAULT (legacy-persist) form, so this round's in-window core release does not alter its executed plan; its own release rides r16 with twin #21",
+    "stream_exec_dedup_incremental_minhash": "twin #19; runtime reps in-window. r15 OPTIMIZATION round: moved to the checkpointing core + prior-sig release (the twin #20 lifecycle; driver re-checks every declared key this round)",
     "stream_session": "batch-twin family rep stream_sliding in-window; window arithmetic untouched since r3",
     # TPC-H: stable SQL, swept by the in-suite oracle-parity test
     # every run; 17 siblings in-window this round

@@ -7,8 +7,10 @@ The defaults here are the ones that matter at 100 TB:
 * AQE on (runtime coalesce + skew-join splitting) so shuffle
   partition counts self-tune per stage instead of being hand-set.
 * ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
-  coalesces. 32 suits local[32]; a cluster deployment would raise it
-  to ~2-3x total cores via ``extra_conf``.
+  coalesces. It is DERIVED (max(32, cores); r15 optimization round)
+  rather than hand-set for one box; a cluster deployment sets
+  ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` (or ``extra_conf``) to ~2-3x
+  total executor cores.
 * Arrow enabled so any pandas UDF / toPandas path is vectorized.
 * UTC session timezone so timestamp semantics are engine-independent
   (parquet naive timestamps == oracle's naive timestamps).
@@ -20,12 +22,32 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_shuffle_partitions() -> str:
+    """Scale-adaptive INITIAL shuffle partition count (r15
+    optimization round — the guide's "derive from environment, don't
+    hand-tune for one box" rule): explicit
+    ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` wins (the cluster knob — size
+    to 2-3x total executor cores there); otherwise max(32, core
+    count) so local runs at any ``$SPARK_GRAFT_CPUS`` keep the
+    long-standing 32-partition floor (bench-comparable at the
+    driver's 32-core config, enough tasks to spread skew at lower
+    core counts) while bigger hosts scale up. AQE coalesces
+    downward per stage either way — this is only the ceiling the
+    coalescer starts from."""
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    return str(max(32, n))
+
+
 DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long

@@ -992,3 +992,65 @@ def test_checkpoint_job_reads_each_corpus_input_once(
         assert raw == [], (key, raw)
         # non-vacuous: the cached inputs actually appear in the plan
         assert "InMemoryTableScan" in jplan.toString(), key
+
+
+# ---------------------------------------------------------------------------
+# r15 OPTIMIZATION round: the LAST legacy persist-without-release
+# forms took the checkpoint/serialize/release pattern —
+# quality_lm_commonness, similarity_containment, dedup_lsh_recall,
+# and twin #19's core call. Plan audits read the new LAZY twins (the
+# registered bindings collapse to Scan ExistingRDD).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key,lazy_path",
+    [
+        ("quality_lm_commonness", "llm_quality.quality_lm_commonness_lazy"),
+        ("similarity_containment", "llm_corpus.similarity_containment_lazy"),
+        ("dedup_lsh_recall", "llm_dedup.dedup_lsh_recall_lazy"),
+    ],
+)
+def test_r15_opt_checkpointing_keys_lazy_plans_clean(spark, key, lazy_path):
+    """Each key released in the r15 optimization round: (a) its lazy
+    twin passes the mechanical scale audit with no cartesian, and
+    (b) the twin stays ROW-identical to the registered binding, so
+    the audited plan is the executed semantics (the
+    dedup_ngram_jaccard_lazy discipline)."""
+    import importlib
+
+    mod_name, fn_name = lazy_path.rsplit(".", 1)
+    mod = importlib.import_module(f"kawa_spark.queries.{mod_name}")
+    lazy_fn = getattr(mod, fn_name)
+    df = lazy_fn(spark, SF)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    lazy = sorted(tuple(r) for r in df.collect())
+    reg = sorted(
+        tuple(r) for r in registry.QUERIES[key](spark, SF).collect()
+    )
+    assert lazy == reg and reg
+
+
+def test_r15_opt_checkpointing_keys_release_their_caches(spark):
+    """After each newly-checkpointing builder returns, no
+    ``persist()`` cache remains — only bounded localCheckpoint
+    blocks (dedup_lsh_recall leaves two: the minhash leg's pair set
+    and the marked-pair table; the others one). Twin #19 is included:
+    it now runs the checkpointing core and releases its prior-sig
+    cache (the twin #20 lifecycle)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    for key, max_blocks in (
+        ("quality_lm_commonness", 1),
+        ("similarity_containment", 1),
+        ("dedup_lsh_recall", 2),
+        ("stream_exec_dedup_incremental_minhash", 1),
+    ):
+        registry.QUERIES[key](spark, SF)
+        m = sc._jsc.getPersistentRDDs()
+        residues = [str(m[rid].toString()) for rid in set(m.keys()) - before]
+        assert all("localCheckpoint" in r for r in residues), (key, residues)
+        assert len(residues) <= max_blocks, (key, residues)
+        before = set(m.keys())
