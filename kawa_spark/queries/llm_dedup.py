@@ -895,8 +895,15 @@ def dedup_simhash(
     All column expressions; term hashing is md5-derived (two 32-bit
     halves of the digest) so the oracle replays it exactly — round 1
     used xxhash64, which has no DuckDB twin and forced a rows-only
-    check. The 64 bit sums are HOFs over the per-doc term list
-    (bounded by distinct terms per doc, not corpus size).
+    check. The 64 bit sums are flat SUM(±1) aggregates over term
+    OCCURRENCES: Σ_distinct(±cnt) == Σ_occurrences(±1) exactly (same
+    integers — the oracle's distinct-term form is unchanged), which
+    drops the (doc_id, term) pre-count exchange AND the collect_list
+    shuffle of every term struct — one doc_id exchange carrying 64
+    partially-aggregated longs per doc replaces both (r15 optimization
+    round; guide §2.3/§2.4) — and replaces 64 interpreted
+    higher-order-function passes over each doc's term array with one
+    whole-stage-codegen pass over the occurrence stream.
 
     ``checkpoint=True`` (the registered form) persists the banded
     fingerprints for the self-join's two sides, eagerly materializes
@@ -907,53 +914,44 @@ def dedup_simhash(
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     digest = F.md5("term")
-    terms = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h_lo"),
-            F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
-            "cnt",
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("h_lo", "h_hi", "cnt")).alias("terms"))
+    occ = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
     )
-    # bit b of the simhash = sign of sum over terms of ±cnt.
+
+    # bit b of the simhash = sign of sum over occurrences of ±1.
     # b is unrolled as a Python int (shift amounts must be literals);
     # bits 0-31 come from the low digest half, 32-63 from the high.
     def bit_sum(b: int):
         field = "h_lo" if b < 32 else "h_hi"
         shift = b % 32
-        return F.aggregate(
-            F.col("terms"),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(
-                F.shiftright(t.getField(field), shift).bitwiseAND(F.lit(1)) == 1,
-                t.getField("cnt"),
-            ).otherwise(-t.getField("cnt")),
+        return F.sum(
+            F.when(
+                F.shiftright(F.col(field), shift).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
         )
 
+    bitsums = occ.groupBy("doc_id").agg(
+        *[bit_sum(b).alias(f"bs{b}") for b in range(64)]
+    )
     bit_weight = [F.lit(1 << b).cast("long") for b in range(63)] + [
         F.lit(-(1 << 63)).cast("long")  # sign bit: avoid long overflow
     ]
     simhash = reduce(
         add,
         [
-            F.when(F.element_at(F.col("bitsums"), b + 1) > 0, bit_weight[b]).otherwise(
+            F.when(F.col(f"bs{b}") > 0, bit_weight[b]).otherwise(
                 F.lit(0).cast("long")
             )
             for b in range(64)
         ],
     )
-    sh = terms.select(
-        "doc_id", F.array(*[bit_sum(b) for b in range(64)]).alias("bitsums")
-    ).select("doc_id", simhash.alias("simhash"))
+    sh = bitsums.select("doc_id", simhash.alias("simhash"))
     # band into 4 × 16 bits; candidates share ≥1 band
     banded = sh.select(
         "doc_id",
