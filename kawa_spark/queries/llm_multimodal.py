@@ -39,6 +39,13 @@ from kawa_spark.io import table
 from kawa_spark.registry import register
 
 
+# The 256-entry grayscale BGRA palette is a constant — building it
+# per encode call was 44 of the 50 µs each image paid (256 bytes()
+# constructions + a join; r15 optimization round, guide §4.2: the
+# per-row Python work inside the Arrow stage IS this tier's CPU bill).
+_BMP_PALETTE = b"".join(bytes((i, i, i, 0)) for i in range(256))  # BGRA
+
+
 def _bmp_encode(payload: bytes, width: int = 64) -> bytes:
     """Minimal canonical BMP writer: 8-bit indexed pixels with a
     256-entry grayscale palette, rows bottom-up and 4-byte aligned —
@@ -55,7 +62,7 @@ def _bmp_encode(payload: bytes, width: int = 64) -> bytes:
         for r in range(height)
     ]
     pixels = b"".join(reversed(rows))  # positive height ⇒ bottom-up
-    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))  # BGRA
+    palette = _BMP_PALETTE
     offset = 14 + 40 + len(palette)
     header = (
         b"BM"
@@ -185,11 +192,19 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both stages are Arrow-batched mapInPandas with explicit schemas —
     the production contract; codec functions ship to workers via
     shipping.ensure_shipped."""
+    from kawa_spark.io import spread
     from kawa_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    # spread() before the codec stage (r15 optimization round): the
+    # small-SF corpus scans as ONE partition, serializing the per-doc
+    # Python codec on one core — guide §2.5's "repartition immediately
+    # after the read" case; gated no-op at real scale
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        "doc_id",
     )
 
     def encode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,11 +371,17 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     window out, carrying the header fields the parser read. Both
     stages are mapInPandas with explicit schemas; the codec functions
     ship to workers via shipping.ensure_shipped."""
+    from kawa_spark.io import spread
     from kawa_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("pcm")
+    # spread() before the codec stage — see multimodal_decode (r15
+    # optimization round: single-partition scan serialized the codec)
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("pcm")
+        ),
+        "doc_id",
     )
 
     def encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -441,8 +462,15 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF; each emitted row carries exact integer stats of its frame so
     the fan-out is value-checkable cross-engine (raw BLOB columns
     canonicalize differently between engines)."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    from kawa_spark.io import spread
+
+    # spread() before the Python fan-out — see multimodal_decode (r15
+    # optimization round: single-partition scan serialized the stage)
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        "doc_id",
     )
 
     schema = "doc_id long, frame_no int, frame_len int, frame_byte_sum long"
@@ -508,8 +536,15 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size is fixed per row regardless of payload size — the
     property that makes resize the bandwidth-reducing first stage of
     an image pipeline."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    from kawa_spark.io import spread
+
+    # spread() before the Python kernel — see multimodal_decode (r15
+    # optimization round: single-partition scan serialized the stage)
+    d = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        ),
+        "doc_id",
     )
 
     schema = (
@@ -639,9 +674,14 @@ def _dhash_bits(pixels) -> str:
     rows = min(pixels.shape[0], DHASH_CROP_ROWS)
     crop[:rows] = pixels[:rows].astype(np.int64)
     cells = crop.reshape(DHASH_CELLS, DHASH_CELL_BYTES).sum(axis=1)
-    return "".join(
-        "1" if int(cells[k]) > int(cells[k + 1]) else "0"
-        for k in range(DHASH_CELLS - 1)
+    # vectorized bit string: 63 comparisons as one numpy op, bytes of
+    # '0'/'1' (0x30/0x31) decoded once — the per-bit Python loop was
+    # half the per-image hash cost (r15 optimization round, §4.2)
+    return (
+        (np.where(cells[:-1] > cells[1:], 0x31, 0x30))
+        .astype(np.uint8)
+        .tobytes()
+        .decode("ascii")
     )
 
 
@@ -669,11 +709,22 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs/STATUS.md round-13 candidates).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
+    from kawa_spark.io import spread
+
     ta, tb = _dhash_plant_texts()
-    d = (
+    # spread() BEFORE the codec stage (r15 optimization round): the
+    # small-SF corpus arrives as ONE scan partition, so the per-doc
+    # Python codec chain — this tier's measured cost at every probe
+    # scale — ran serially on one core (the union's plant-side
+    # partitions are empty; they masked the skew from a partition
+    # count check). The sibling shingling keys' convention (guide
+    # §2.5 "input skew: repartition immediately after the read");
+    # gated no-op at real scale where file splits already parallelize.
+    d = spread(
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.length("text") > 0)
+        .filter(F.length("text") > 0),
+        "doc_id",
     )
     plants = spark.createDataFrame(
         [(-101, ta), (-102, tb)], schema="doc_id long, text string"
@@ -879,11 +930,17 @@ def multimodal_image_dedup_near(
     registration (docs/STATUS.md round-13 candidates).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
+    from kawa_spark.io import spread
+
     ta = _dhash_near_plants()
-    d = (
+    # spread() before the codec stage — see multimodal_image_dedup
+    # (r15 optimization round: the single-partition scan serialized
+    # the per-doc codec chain on one core at every probe scale)
+    d = spread(
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.length("text") > 0)
+        .filter(F.length("text") > 0),
+        "doc_id",
     )
     plants = spark.createDataFrame(
         ta, schema="doc_id long, text string"
@@ -1087,13 +1144,18 @@ def dedup_incremental_image(
     slot (docs/STATUS.md round-14 bank).
 
     kawa parity: none; mandate (M) multimodal + dedup extension."""
+    from kawa_spark.io import spread
     from kawa_spark.queries.llm_dedup import is_prior_doc
 
     prior_p, new_p = _inc_image_plants()
-    d = (
+    # spread() before the codec stage — see multimodal_image_dedup
+    # (r15 optimization round: the single-partition scan serialized
+    # the per-doc codec chain on one core at every probe scale)
+    d = spread(
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .filter(F.length("text") > 0)
+        .filter(F.length("text") > 0),
+        "doc_id",
     )
     plants = spark.createDataFrame(
         prior_p + new_p, schema="doc_id long, text string"
