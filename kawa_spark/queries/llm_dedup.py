@@ -923,21 +923,24 @@ def dedup_simhash(
         F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
     )
 
-    # bit b of the simhash = sign of sum over occurrences of ±1.
+    # bit b of the simhash = sign of sum over occurrences of ±1, i.e.
+    # bs_b = 2·s_b − n where s_b = Σ bit_b and n = occurrence count —
+    # so the aggregate sums the RAW BIT (shift+and, no branch) 64
+    # times plus ONE shared count, instead of 64 conditional ±1
+    # selects (same integers — bs_b > 0 ⇔ 2·s_b > n — oracle
+    # untouched). Measured PARITY at the 10× probe (7.6 vs 7.4 s —
+    # the md5-per-occurrence stage dominates, not the aggregate
+    # branches); kept as the simpler aggregate shape.
     # b is unrolled as a Python int (shift amounts must be literals);
     # bits 0-31 come from the low digest half, 32-63 from the high.
     def bit_sum(b: int):
         field = "h_lo" if b < 32 else "h_hi"
         shift = b % 32
-        return F.sum(
-            F.when(
-                F.shiftright(F.col(field), shift).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long"))
-        )
+        return F.sum(F.shiftright(F.col(field), shift).bitwiseAND(F.lit(1)))
 
     bitsums = occ.groupBy("doc_id").agg(
-        *[bit_sum(b).alias(f"bs{b}") for b in range(64)]
+        *[bit_sum(b).alias(f"s{b}") for b in range(64)],
+        F.count(F.lit(1)).alias("n_occ"),
     )
     bit_weight = [F.lit(1 << b).cast("long") for b in range(63)] + [
         F.lit(-(1 << 63)).cast("long")  # sign bit: avoid long overflow
@@ -945,9 +948,9 @@ def dedup_simhash(
     simhash = reduce(
         add,
         [
-            F.when(F.col(f"bs{b}") > 0, bit_weight[b]).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.lit(2) * F.col(f"s{b}") > F.col("n_occ"), bit_weight[b]
+            ).otherwise(F.lit(0).cast("long"))
             for b in range(64)
         ],
     )
