@@ -60,6 +60,182 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+# --- Vectorized nearest-centroid assignment (r15 optimization round) ---
+#
+# One mapInPandas pass over the corpus with the K collected centroid
+# rows shipped in the closure — the similarity_topk_vectorized
+# discipline applied to the argmin stage every IVF/k-means path runs
+# (_assign_cells_vectorized = the cosine/IVF form, _lloyd_assign =
+# the squared-L2 form).
+#
+# Why not the previous exploded F.min(struct) aggregate: min/max over
+# a struct has a non-mutable aggregation buffer, so Spark plans it as
+# a SortAggregate — every one of the N·K broadcast-join candidate
+# rows (embedding arrays riding along) is materialized and locally
+# SORTED before reducing back to N rows, and the per-pair distance
+# itself is an interpreted Catalyst HOF fold (~70 µs per 64-dim dot —
+# measured 179.7 s / 108× for similarity_ivf at the 10× probe,
+# K=128). And why not a pure column-expression fold over a broadcast
+# centroid array: the assignment column becomes an alias every
+# downstream equi-join on it can SUBSTITUTE into a pushed-down join
+# condition — the optimizer inlined the whole K-dot fold into a Join
+# Cross condition, re-evaluating it per candidate PAIR (measured >3×
+# WORSE than the SortAggregate form). The opaque Python stage is both
+# the fast path (numpy per-element loops at C speed) and a pushdown
+# barrier the optimizer cannot rewrite through.
+#
+# Bit-identity contract (the vectorized-topk rules): float32→float64
+# casts are exact; per-element products/subtractions are single IEEE
+# ops; reductions are np.cumsum along the dim axis (a strictly
+# sequential left fold — F.aggregate's and DuckDB list_reduce's add
+# order); Spark's struct-min total order is replayed by _spark_argmin
+# below. Pinned against the retained struct-min witnesses by
+# tests/test_argmin_vectorized.py.
+
+
+def _spark_argmin(dists: "np.ndarray") -> "np.ndarray":
+    """First-minimum argmin under Spark's struct-min total order:
+    NaN sorts greater than every number, so a NaN distance can never
+    win unless ALL of a row's distances are NaN — in which case
+    struct-min falls through to the smallest centroid id, which is
+    exactly argmin over an all-inf row (first index). Ties on finite
+    equal distances also resolve to the first (= smallest-id)
+    column. Does not mutate ``dists``."""
+    return np.argmin(np.where(np.isnan(dists), np.inf, dists), axis=1)
+
+
+def _arrow_list_to_f64(col) -> "np.ndarray":
+    """An Arrow list<float> column as an (n, dim) float64 matrix —
+    offsets-based zero-copy reshape when every row has the same
+    width (the corpus case), per-row fallback otherwise. float32 →
+    float64 is exact, so downstream arithmetic sees the same values
+    the JVM's cast-to-double sees."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all():
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals[offs[0] : offs[-1]].astype(np.float64).reshape(
+            len(widths), widths[0]
+        )
+    return np.array(
+        [np.asarray(col[i].as_py(), dtype=np.float64) for i in range(len(col))]
+    )
+
+
+def _assign_cells_vectorized(e: DataFrame, cent_rows: list) -> DataFrame:
+    """IVF cell assignment (cosine form): nearest centroid per corpus
+    vector via one Arrow/numpy pass — see ``_argmin_vectorized`` for
+    the design note and the bit-identity contract. ``cent_rows`` are
+    the collected (cell_id, cent, n_c) centroid rows (a bounded model
+    artifact — ≤ IVF_MAX_CELLS rows, the same driver-collect class as
+    the Lloyd centroids and the PQ codebook). Emits
+    (vec_id, embedding, n_e, cell_id) with n_e the same sequential-
+    fold norm the JVM projection computed."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(e.sparkSession)
+    # embedding passes through untouched, so its declared type must
+    # be the INPUT's (float for the parquet corpus, double for e.g.
+    # the scale-probe's perturbed builds)
+    emb_t = e.schema["embedding"].dataType.simpleString()
+    schema = f"vec_id long, embedding {emb_t}, n_e double, cell_id long"
+    if not cent_rows:
+        return e.sparkSession.createDataFrame([], schema)
+    cent_rows = sorted(cent_rows, key=lambda r: r["cell_id"])
+    cid = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    cm = np.array(
+        [np.asarray(r["cent"], dtype=np.float64) for r in cent_rows]
+    )
+    nc = np.array([r["n_c"] for r in cent_rows], dtype=np.float64)
+    # domain guard (the similarity_topk_vectorized rule): ANSI-mode
+    # JVM division raises DIVIDE_BY_ZERO on a zero denominator even
+    # for doubles (pinned by test_argmin_vectorized's zero-norm leg
+    # against the struct-min witness), so the vectorized form must
+    # refuse identically rather than silently mask a NaN distance.
+    if np.any(nc == 0.0):
+        bad = cid[nc == 0.0][:5].tolist()
+        raise ArithmeticError(
+            f"zero-norm centroid(s) {bad}: cosine is x/0 — the JVM "
+            "struct-min raises DIVIDE_BY_ZERO here (ANSI); the "
+            "vectorized form refuses identically"
+        )
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            em = _arrow_list_to_f64(batch.column(1))
+            n_e = np.sqrt(np.cumsum(em * em, axis=1)[:, -1])
+            if np.any(n_e == 0.0):
+                bad = (
+                    batch.column(0)
+                    .to_numpy(zero_copy_only=False)[n_e == 0.0][:5]
+                    .tolist()
+                )
+                raise ArithmeticError(
+                    f"zero-norm embedding(s) {bad}: cosine is x/0 — "
+                    "the JVM struct-min raises DIVIDE_BY_ZERO here "
+                    "(ANSI); the vectorized form refuses identically"
+                )
+            dists = np.empty((batch.num_rows, len(cid)), dtype=np.float64)
+            for k in range(len(cid)):
+                dots = np.cumsum(em * cm[k], axis=1)[:, -1]
+                dists[:, k] = -(dots / (n_e * nc[k]))
+            best = _spark_argmin(dists)
+            # mapInArrow + explicit pa.array (NOT pandas): pandas
+            # conversion nulls NaN doubles, which would break the
+            # bit-identity contract on NaN-carrying inputs; the
+            # vec_id/embedding columns pass through untouched.
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(n_e, type=pa.float64()),
+                    pa.array(cid[best], type=pa.int64()),
+                ],
+                names=["vec_id", "embedding", "n_e", "cell_id"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(assign, schema=schema)
+
+
+def _assign_cells_structmin(en: DataFrame, cents: DataFrame) -> DataFrame:
+    """The pre-r15 IVF assignment — exploded broadcast join +
+    lexicographic struct-min aggregate — kept PRIVATE as the
+    bit-identity witness for ``_assign_cells_vectorized`` (the
+    ``_similarity_topk_catalyst`` pattern, ADVICE r14): never
+    registered, never benched; retired from the query path for the
+    measured 108×-at-10× SortAggregate/interpreted-fold ceiling.
+    ``en`` must carry (vec_id, embedding, n_e); ``cents``
+    (cell_id, cent, n_c)."""
+    pair_cos = dot(F.col("embedding"), F.col("cent")) / (
+        F.col("n_e") * F.col("n_c")
+    )
+    return (
+        en.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                (-pair_cos).alias("dist"), "cell_id", "embedding", "n_e"
+            ).alias("c"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("c").alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.n_e").alias("n_e"),
+            F.col("b.cell_id").alias("cell_id"),
+        )
+    )
+
+
 _DOT_SQL = """
     list_reduce(
       list_prepend(CAST(0.0 AS DOUBLE),
@@ -454,36 +630,19 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_e").alias("n_c"),
         )
     )
-    # assign: nearest centroid per corpus vector — struct-min ARGMIN
-    # aggregate, NOT a row_number window: the window shape shuffles
-    # the full N×K cross product (embedding arrays riding along) on
-    # vec_id before discarding all but one row per vector — measured
-    # 448× wall at the 100× probe. The groupBy's map-side combine
-    # collapses each vector's K candidate rows to one inside the
-    # broadcast-join stage, so the exchange carries N rows, not N×K.
-    # min(struct(dist, cell_id, …)) compares lexicographically —
-    # identical (dist asc, cell_id asc) tie-break as the window had.
-    # Same pattern as _lloyd_assign, whose 100× ratio is ~14×.
-    pair_cos = dot(F.col("embedding"), F.col("cent")) / (
-        F.col("n_e") * F.col("n_c")
-    )
-    assigned = (
-        en.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            F.struct(
-                (-pair_cos).alias("dist"), "cell_id", "embedding", "n_e"
-            ).alias("c"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("c").alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.embedding").alias("embedding"),
-            F.col("b.n_e").alias("n_e"),
-            F.col("b.cell_id").alias("cell_id"),
-        )
-    )
+    # assign: nearest centroid per corpus vector — the vectorized
+    # Arrow/numpy argmin pass (r15 optimization round; design note at
+    # _spark_argmin above). NOT a row_number window (shuffles the
+    # full N×K cross product — measured 448× wall at the 100× probe),
+    # and no longer the exploded struct-min aggregate (SortAggregate
+    # over N×K embedding-carrying rows + interpreted per-pair HOF
+    # dots — measured 179.7 s / 108× at the 10× probe). The centroid
+    # set is a bounded model artifact (≤ IVF_MAX_CELLS rows by the
+    # budget above), so collecting it is the same move as the Lloyd
+    # centroids / PQ codebook; the assignment itself is identical —
+    # same IEEE left-fold dots against the same collected n_c norms,
+    # same (dist asc, cell_id asc) tie-break.
+    assigned = _assign_cells_vectorized(e, cents.collect())
     # queries probe their 2 nearest cells
     nprobe = 2
     q = en.filter(F.col("vec_id") < N_QUERIES).select(
@@ -963,13 +1122,85 @@ def _d2_col(a: Column, c: Column) -> Column:
 
 
 def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmin-d2 centroid assignment as a lexicographic struct-min
-    hash aggregate, NOT a row_number sort window: same result
-    ((d2, cid) is unique per vec_id, so the tie-break matches the
-    oracle's ORDER BY d2, cid), but partial-aggregates map-side and
-    never sorts — at corpus scale the cost is a K·N scan + N-row
-    combine instead of a K·N sort. The embedding rides the struct
-    (never compared: d2/cid decide first) for downstream stages."""
+    """Argmin-d2 centroid assignment via the vectorized Arrow/numpy
+    pass (r15 optimization round; design note at _spark_argmin):
+    the K centroid rows are collected (bounded — K_CLUSTERS, the same
+    model-artifact class as _lloyd_cent1_cached's own collect) and
+    each corpus batch computes all K squared-L2 distances at C speed
+    with cumsum left-fold reductions, bit-identical to ``_d2_col``'s
+    Catalyst fold: (x−y) is one IEEE sub evaluated identically for
+    both factors of the square, products are single ops, and the
+    (d2 asc, cid asc) tie-break is np.argmin's first minimum over
+    cid-ascending columns (Spark-total-order NaN handling in
+    _spark_argmin). Replaces the exploded struct-min aggregate —
+    min(struct) has a non-mutable buffer, so it planned as a
+    SortAggregate that materialized and SORTED all K·N candidate
+    rows (each carrying the embedding array) before reducing to N,
+    with each of the K·N distances an interpreted HOF fold. Retained
+    witness: ``_lloyd_assign_structmin`` below
+    (tests/test_argmin_vectorized.py pins row identity).
+    The embedding stays on the row for downstream stages, and the
+    vector's sequential-fold L2 norm ``n_e`` rides along for free
+    (same bits as ``F.sqrt(dot(e, e))``) so rerank stages divide by
+    precomputed factors instead of re-deriving both norms per pair
+    (the similarity_ivf norm rule — 3 interpreted HOF dots per
+    candidate pair down to 1)."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(e.sparkSession)
+    emb_t = e.schema["embedding"].dataType.simpleString()
+    schema = f"vec_id long, cid int, d2 double, embedding {emb_t}, n_e double"
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    if not cent_rows:
+        return e.sparkSession.createDataFrame([], schema)
+    cm = np.array(
+        [np.asarray(r["emb"], dtype=np.float64) for r in cent_rows]
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            em = _arrow_list_to_f64(batch.column(1))
+            dists = np.empty((batch.num_rows, len(cids)), dtype=np.float64)
+            for k in range(len(cids)):
+                diff = em - cm[k]
+                dists[:, k] = np.cumsum(diff * diff, axis=1)[:, -1]
+            best = _spark_argmin(dists)
+            # mapInArrow + explicit pa.array (NOT pandas): pandas
+            # conversion nulls NaN doubles — the winning d2 of a
+            # NaN-carrying vector must stay NaN, as struct-min
+            # emitted it (pinned by test_argmin_vectorized).
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(cids[best].astype(np.int32), type=pa.int32()),
+                    pa.array(
+                        dists[np.arange(batch.num_rows), best],
+                        type=pa.float64(),
+                    ),
+                    batch.column(1),
+                    pa.array(
+                        np.sqrt(np.cumsum(em * em, axis=1)[:, -1]),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["vec_id", "cid", "d2", "embedding", "n_e"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(assign, schema=schema)
+
+
+def _lloyd_assign_structmin(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """The pre-r15 Lloyd assignment — exploded broadcast join +
+    lexicographic struct-min aggregate — kept PRIVATE as the
+    bit-identity witness for ``_lloyd_assign`` (the
+    ``_similarity_topk_catalyst`` pattern, ADVICE r14): never a query
+    path; retired for the SortAggregate-over-K·N-embedding-rows +
+    interpreted-fold cost (22.9× at the 10× probe for K=8)."""
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -1199,8 +1430,13 @@ def _ivf_kmeans_frame(
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     cents = _lloyd_cent1_cached(e, sf_dir)
     assigned = _lloyd_assign(e, cents)
+    # n_q computed ONCE per query row, on the |Q|-row side and below
+    # the probe window (a CollapseProject barrier, so the fold cannot
+    # be re-inlined into the per-pair rerank expression)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("n_q"),
     )
     # probe: nprobe nearest cells per query — the window runs over
     # K=8 broadcast-joined rows per query, not corpus data
@@ -1210,22 +1446,35 @@ def _ivf_kmeans_frame(
         .select(
             "q_id",
             "q_emb",
+            "n_q",
             "cid",
             _d2_col(F.col("q_emb"), F.col("emb")).alias("qd2"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", "cid")
+        .select("q_id", "q_emb", "n_q", "cid")
     )
     cand = assigned.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("q_id")
     )
+    # rerank against PRECOMPUTED norms (r15 optimization round — the
+    # similarity_ivf norm rule): cosine() inline re-derives BOTH
+    # operands' norms at every candidate pair (3 interpreted HOF dots
+    # per pair); n_e rides out of the vectorized assign for free and
+    # n_q is one fold per |Q| query rows. Same IEEE values — the
+    # per-pair math is one dot + a divide against the same
+    # sqrt-of-self-dot factors, so scores are bit-identical and the
+    # oracle is untouched.
     w_rank = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (
-        cand.select(
+        cand
+        .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("score"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("n_q") * F.col("n_e"))
+            ).alias("score"),
         )
         .select("q_id", "n_id", "score", F.row_number().over(w_rank).alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kawa_spark.functions.exact import dec, floordiv
 from kawa_spark.io import table
@@ -270,19 +271,31 @@ def resample_ffill(
     grid = bounds.select(
         "user_id", F.explode(F.sequence("s0", "s1")).alias("slot")
     )
+    # last-in-slot via row_number over (user_id, slot) — the oracle's
+    # own form, selecting the identical max-(us, event_id) row. The
+    # previous max(struct(us, event_id, value)) aggregate has a
+    # non-mutable buffer, so it planned as a SortAggregate pair that
+    # SORTED the full event stream twice (map-side before the partial,
+    # reduce-side before the final); the window shape pays one
+    # exchange on the same key and ONE sort (r15 optimization round,
+    # guide §2.4 — at 100 TB the removed map-side sort is a full
+    # extra pass over the events table).
+    w_slot = Window.partitionBy("user_id", "slot").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
     last_in_slot = (
         e.select(
             "user_id",
             floordiv(F.col("us"), HOUR_US).alias("slot"),
-            F.struct("us", "event_id", "value").alias("o"),
+            "us",
+            "event_id",
+            "value",
         )
-        .groupBy("user_id", "slot")
-        .agg(F.max("o").alias("o"))
-        .select("user_id", "slot", F.col("o.value").alias("obs_value"))
+        .withColumn("rn", F.row_number().over(w_slot))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "slot", F.col("value").alias("obs_value"))
     )
     joined = grid.join(last_in_slot, ["user_id", "slot"], "left")
-    from pyspark.sql.window import Window
-
     w = (
         Window.partitionBy("user_id")
         .orderBy("slot")

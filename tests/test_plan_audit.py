@@ -245,14 +245,19 @@ def test_ivf_sampled_centroid_budget_pinned(spark):
     assert f"limit={IVF_MAX_CELLS}" in plan, plan
 
 
-def test_ivf_sampled_assign_is_aggregate_not_window(spark):
-    """The sampled-IVF cell assignment must stay a struct-min ARGMIN
-    aggregate: a row_number window there shuffles the full N×K
-    broadcast-join output (embedding arrays riding along) — measured
-    448× wall at the 100× probe before the r6 fix. The plan may
-    contain exactly the two query-side windows (probe selection and
-    final rank, both partitioned by q_id — |Q| is fixed); a third
-    window means the assignment argmin regressed."""
+def test_ivf_sampled_assign_is_vectorized_map_stage(spark):
+    """The sampled-IVF cell assignment must stay the single Arrow
+    map stage (r15 optimization round): a row_number window there
+    shuffles the full N×K broadcast-join output (embedding arrays
+    riding along — measured 448× wall at the 100× probe before the
+    r6 fix), and the r6–r14 exploded struct-min aggregate planned as
+    a SortAggregate that materialized and SORTED all N×K candidate
+    rows with an interpreted HOF fold per pair (measured 179.7 s /
+    108× at the 10× probe). The plan may contain exactly the two
+    query-side windows (probe selection and final rank, both
+    partitioned by q_id — |Q| is fixed); a third window means the
+    assignment regressed to the window shape, a SortAggregate means
+    it regressed to the exploded aggregate."""
     import re
 
     df = registry.QUERIES["similarity_ivf"](spark, SF)
@@ -263,8 +268,12 @@ def test_ivf_sampled_assign_is_aggregate_not_window(spark):
     # every window is q_id-partitioned; none on the corpus vector id
     for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
         assert spec.startswith("q_id"), spec
-    # and the argmin aggregate is present
-    assert "partial_min" in plan, plan
+    # the assignment is the vectorized Arrow map pass — present, and
+    # exactly one (a second corpus-wide Python stage means a probe
+    # path started paying the boundary too)
+    assert plan.count("MapInArrow") == 1, plan
+    # no exploded-argmin residue anywhere
+    assert "SortAggregate" not in plan, plan
 
 
 @pytest.mark.parametrize(
