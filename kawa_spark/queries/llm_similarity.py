@@ -1121,7 +1121,7 @@ def _d2_col(a: Column, c: Column) -> Column:
     )
 
 
-def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+def _lloyd_assign(e: DataFrame, cents: "DataFrame | list") -> DataFrame:
     """Argmin-d2 centroid assignment via the vectorized Arrow/numpy
     pass (r15 optimization round; design note at _spark_argmin):
     the K centroid rows are collected (bounded — K_CLUSTERS, the same
@@ -1150,7 +1150,11 @@ def _lloyd_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     ensure_shipped(e.sparkSession)
     emb_t = e.schema["embedding"].dataType.simpleString()
     schema = f"vec_id long, cid int, d2 double, embedding {emb_t}, n_e double"
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    # cents: DataFrame (collected here) or pre-collected rows — the
+    # registered warm paths pass _lloyd_cent1_cached_rows' list to
+    # skip a createDataFrame → re-collect round-trip
+    cent_rows = cents if isinstance(cents, list) else cents.collect()
+    cent_rows = sorted(cent_rows, key=lambda r: r["cid"])
     if not cent_rows:
         return e.sparkSession.createDataFrame([], schema)
     cm = np.array(
@@ -1301,16 +1305,23 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
     return tuple(out)
 
 
-def _lloyd_cent1_cached(e: DataFrame, sf_dir: str) -> DataFrame:
-    spark = e.sparkSession
+def _lloyd_cent1_cached_rows(e: DataFrame, sf_dir: str) -> tuple:
+    """The cached (rows, schema) pair itself — callers that only need
+    the K centroid ROWS (the vectorized ``_lloyd_assign``) read them
+    here without a createDataFrame → re-collect round-trip (one
+    driver job per invocation saved; r15 optimization round)."""
     key = (sf_dir, _embeddings_fingerprint(sf_dir))
     hit = _CENT1_CACHE.get(key)
     if hit is None:
         trained = _lloyd_cent1(e)
         hit = (trained.collect(), trained.schema)
         _CENT1_CACHE[key] = hit
-    rows, schema = hit
-    return spark.createDataFrame(rows, schema)
+    return hit
+
+
+def _lloyd_cent1_cached(e: DataFrame, sf_dir: str) -> DataFrame:
+    rows, schema = _lloyd_cent1_cached_rows(e, sf_dir)
+    return e.sparkSession.createDataFrame(rows, schema)
 
 
 def _cache_evict(sf_dir: str) -> None:
@@ -1339,7 +1350,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=8 centroids (K rows — always broadcastable); the mean is the
     (cluster, dim)-sharded aggregate from embedding_centroids."""
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    return _lloyd_assign(e, _lloyd_cent1_cached(e, sf_dir)).select(
+    rows, _ = _lloyd_cent1_cached_rows(e, sf_dir)
+    return _lloyd_assign(e, rows).select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
         F.col("d2").alias("dist2"),
@@ -1428,8 +1440,11 @@ def _ivf_kmeans_frame(
     literal is the same 2); the banked wide core binds
     IVF_WIDE_NPROBE."""
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    cents = _lloyd_cent1_cached(e, sf_dir)
-    assigned = _lloyd_assign(e, cents)
+    rows, schema = _lloyd_cent1_cached_rows(e, sf_dir)
+    # the probe join still needs the K-row DataFrame; the assign pass
+    # takes the cached rows directly (no re-collect driver job)
+    cents = spark.createDataFrame(rows, schema)
+    assigned = _lloyd_assign(e, rows)
     # n_q computed ONCE per query row, on the |Q|-row side and below
     # the probe window (a CollapseProject barrier, so the fold cannot
     # be re-inlined into the per-pair rerank expression)
