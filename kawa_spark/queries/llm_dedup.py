@@ -1167,13 +1167,22 @@ def span_fractions(d: DataFrame) -> DataFrame:
         "doc_id", F.explode(bind(words, windows)).alias("k")
     )
     per = w.groupBy("doc_id", "k").agg(F.count(F.lit(1)).alias("n_pos"))
-    df_counts = per.groupBy("k").agg(F.count(F.lit(1)).alias("n_docs"))
+    # span document-frequency as a count window over the (doc_id, k)
+    # rows — the _cap_postings shape — instead of a k-level aggregate
+    # joined back: the join form planned BOTH sides from their own
+    # explode+aggregate subtree (the whole window-hashing stage ran
+    # TWICE) plus a sort-merge join; the window consumes `per` once
+    # and shuffles it once on k (r15 optimization round, guide §2.4).
+    # n_docs per (doc_id, k) row = rows sharing k = docs containing k
+    # — identical integers, oracle untouched.
+    per = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
     dup_pos = F.sum(
         F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
     )
     return (
-        per.join(df_counts, "k")
-        .groupBy("doc_id")
+        per.groupBy("doc_id")
         .agg(
             F.sum("n_pos").cast("long").alias("n_windows"),
             dup_pos.cast("long").alias("dup_windows"),
