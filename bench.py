@@ -202,7 +202,14 @@ def main() -> None:
     # like-for-like (ADVICE r6). The cache is cleared before each
     # such key's rep-0 so BOTH keys get a true cold number (they
     # would otherwise share one training run).
-    lloyd_keys = {"kmeans_lloyd", "similarity_ivf_kmeans"}
+    # similarity_ivf_kmeans_wide shares the same trained centroids
+    # (VERDICT r15 watch item b): it joins the cold split in r16 so
+    # every trained-model key shows a cold row.
+    lloyd_keys = {
+        "kmeans_lloyd",
+        "similarity_ivf_kmeans",
+        "similarity_ivf_kmeans_wide",
+    }
     # similarity_pq_adc trains its own model artifact (the PQ
     # codebook, _PQ_CB_CACHE) — same warm/cold split, same handling
     # (r14): rep-0 cold with the cache cleared, reported in
@@ -265,6 +272,13 @@ def main() -> None:
         "queries_audit": audit,
         "audit_value": round(sum(audit.values()), 3),
         "queries_cold": cold,
+        # the fastest key's time = the per-query fixed overhead floor
+        # at this SF (VERDICT r15 item 2): when most keys sit within a
+        # small multiple of floor_sec, core-count ratios read ~1 not
+        # because anything is serial but because the bench SF is
+        # overhead-bound — scaling evidence then lives in
+        # scripts/scale_probe.py's 10x/100x columns (docs/SCALE.md).
+        "floor_sec": (min(timings.values()) if timings else None),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "host": {

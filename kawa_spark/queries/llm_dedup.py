@@ -424,13 +424,13 @@ def minhash_pairs(
     r14 item 2, the persist-leak class; the ngram_jaccard_pairs
     pattern. ``checkpoint=False, persist=False`` is the pure lazy
     tree (plan audits; an eager localCheckpoint truncates lineage to
-    a Scan ExistingRDD that blinds audit_plan). The default
-    ``checkpoint=False, persist=True`` keeps the legacy
-    persist-without-release form that dedup_lsh_recall's registered
-    binding must preserve until its own mandatory r16 slot (the
-    rotation contract bars off-window execution changes; its
-    release — together with its audit-universe persist — rides
-    r16)."""
+    a Scan ExistingRDD that blinds audit_plan). Since the r15
+    optimization round every registered caller — including
+    dedup_lsh_recall's — passes ``checkpoint=True`` (the driver
+    re-checked every declared key that round, so the off-window-
+    change bar did not apply); the default ``checkpoint=False,
+    persist=True`` legacy form remains only for the *_lazy plan-audit
+    twins and tests."""
     sig = minhash_signatures(d, persist=persist)
     banded = minhash_band_rows(sig, persist=persist)
     if checkpoint:
@@ -1610,9 +1610,11 @@ def incremental_minhash_from_sigs(
 
     ``checkpoint=True`` eagerly materializes the bounded match set
     and releases the band cache in a finally; the caller owns the
-    signature table's lifecycle. Twin #19 keeps the DEFAULT
-    (legacy-persist) form until its own mandatory r16 slot — the
-    rotation contract bars off-window execution changes."""
+    signature table's lifecycle. Since the r15 optimization round
+    BOTH registered callers — the batch key and twin #19 — pass
+    ``checkpoint=True`` (twin #19 additionally releases its prior-sig
+    cache); the legacy-persist default remains only for the *_lazy
+    plan-audit twins and tests."""
     bands = minhash_band_rows(sig, extra=("side",), persist=persist)
     if checkpoint:
         # Same cache-build serialization as minhash_pairs: the n/p

@@ -1666,6 +1666,13 @@ def _inc_img_plants_dir() -> str:
     return _plants_scratch_dir("kawa_incimg_plants_")
 
 
+def _inc_img_oracle() -> str:
+    from kawa_spark.queries.llm_multimodal import _inc_image_sql
+
+    return _inc_image_sql()
+
+
+@register("stream_exec_dedup_incremental_image", oracle=_inc_img_oracle())
 def stream_exec_dedup_incremental_image(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1686,9 +1693,8 @@ def stream_exec_dedup_incremental_image(
     Oracle = the batch key's SQL verbatim (_inc_image_sql); the new
     -side plants ride the STREAM as a second file source (the beacon
     pattern — a batch-side union is not expressible in a streaming
-    query). UNREGISTERED: banked for a window rotation behind the
-    three r15-bound keys (docs/STATUS.md round-14 bank — the r15
-    window is already exactly full at 47 mandatory + 3 banked).
+    query). Registered r16 on the window's single free slot (the
+    rotation plan committed in r14; docs/STATUS.md round-14 bank).
 
     Scale: per microbatch the stream pays exactly the batch key's
     map-side codec+hash cost for the day's documents; the drained

@@ -59,168 +59,157 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # deferred set is exactly the oldest-evidence tier outside the
 # window, and (b) window + deferred are disjoint and registered.
 #
-# Round 15's window (VERDICT r14 items 1-3): the FORTY-SEVEN
-# deferred r11-evidence keys lead (the oldest tier — the r14
-# registry's standing commitment, verified mechanically by the r14
-# judge and pinned by
-# test_deferred_is_exactly_the_oldest_offwindow_tier), then the
-# THREE banked registrations (never driver-checked, all pre-verified
-# hash-green at both gate SFs in r14 AND re-verified this round):
-# multimodal_image_dedup_near (the image near-dup search),
-# embedding_pq_codes (the PQ persistence step), and
-# dedup_incremental_image (the incremental family's fourth
-# modality). Exactly 50. Changed implementations riding their
-# mandatory slots: dedup_minhash and dedup_incremental_minhash take
-# the minhash-core persist release (VERDICT r14 item 2 — the
-# llm_dedup.py sig/band cores' eager-bounded-checkpoint + unpersist-
-# in-finally + *_lazy twins; the r14 pattern), and their bench/SCALE
-# rows are re-baselined honestly this round. The r16 window is
-# already fully determined: the 49 r12-evidence keys below + twin
-# #21 (stream_exec_dedup_incremental_image, built r14) = exactly 50;
-# r17's mandatory tier is the full 50-key r13 cohort with ZERO free
-# slots — no new unregistrable keys may be built in r15/r16.
-# Max evidence age after this round's driver check: deferred = r12
-# evidence = 3 rounds at r15 (the standing one-tier lag);
+# Round 16's window (VERDICT r15 item 1 — the rotation pre-committed
+# in r14 and re-mandated by the r15 judge): the FORTY-NINE deferred
+# r12-evidence keys lead (the oldest tier, pinned by
+# test_deferred_is_exactly_the_oldest_offwindow_tier), then twin #21
+# (stream_exec_dedup_incremental_image — built r14, banked, oracle =
+# the batch key's _inc_image_sql verbatim) takes the single free
+# slot. Exactly 50. This window brings the r15 optimization round's
+# off-window rewrites under driver oracles: dedup_lsh_recall,
+# quality_lm_commonness, similarity_containment and twin #19 took
+# the checkpoint/serialize/release pattern in r15 and sit in this
+# mandatory tier. r17's mandatory tier is the full 50-key r13 cohort
+# (DEFERRED below) with ZERO free slots — no new unregistrable keys
+# may be built in r16.
+# Max evidence age after this round's driver check: deferred = r13
+# evidence = 4 rounds at r17 check time (the standing one-tier lag);
 # everything else <= 2.
 DRIVER_WINDOW: list[str] = [
-    # --- the 47 deferred r11-evidence keys (VERDICT r14 item 1) ---
-    # relational / agg / window tier
-    "agg_hash_groupby",
-    "agg_approx_distinct",
-    "agg_kmv_distinct",
-    "grouping_cube",
-    "join_inner_hash",
-    "window_rank",
-    "percentile_approx",
-    "udf_grouped_agg",
-    # corpus / quality tier
-    "corpus_domain_stats",
-    "corpus_length_filter",
-    "corpus_shuffle_deterministic",
-    "quality_gopher_filter",
-    "quality_repetition",
-    # dedup / similarity / embedding tier (dedup_minhash +
-    # dedup_incremental_minhash carry the minhash-core persist
-    # release on these mandatory slots — VERDICT r14 item 2)
-    "dedup_minhash",
-    "dedup_incremental",
-    "dedup_incremental_minhash",
-    "similarity_lsh_ann",
-    "embedding_centroids",
-    "embedding_quantize",
-    "multimodal_audio_features",
-    # detection tier
-    "events_funnel",
-    "events_dow_drift",
-    "stream_exec_dow_drift",
-    "events_lateral_movement_3hop",
-    "stream_exec_lateral_movement",
-    "stream_exec_lateral_movement_3hop",
-    "stream_exec_rate_limit",
-    "stream_exec_dedup_incremental",
-    # streaming window twins
-    "stream_sliding",
-    "stream_dedup",
+    # --- the 49 deferred r12-evidence keys (VERDICT r15 item 1) ---
+    # relational / set / join / window tier
+    "agg_distinct",
+    "agg_kmv_union",
+    "grouping_rollup",
+    "join_outer_left",
+    "join_full_outer",
+    "join_semi",
+    "join_range_theta",
+    "window_analytic",
+    "window_range_time",
+    "flatmap_explode",
+    "deser_csv",
+    "scalar_string_date_math",
+    # dedup / similarity tier (dedup_lsh_recall, similarity_containment
+    # carry their r15 checkpoint/serialize/release rewrites into the
+    # driver gate on these mandatory slots)
+    "dedup_exact",
+    "dedup_exact_norm",
+    "dedup_lsh_recall",
+    "similarity_ivf",
+    "similarity_lsh_multiprobe",
+    "similarity_containment",
+    "quality_lm_commonness",
+    # corpus / text tier
+    "corpus_bigrams",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "corpus_vocab_coverage",
+    "text_langid",
+    "text_quality",
+    "text_stats",
+    "text_tokens",
+    # events / logs tier
+    "events_anomaly_zscore",
+    "events_dedup_adjacent",
+    "events_heavy_hitters",
+    "events_markov_transitions",
+    "events_rate_limit",
+    "events_retention_cohorts",
+    "events_sessionize_batch",
+    "logs_pattern_templates",
+    "logs_template_drift",
+    "stateful_running_total",
+    # streaming engine tier (twin #19 carries its r15 checkpointing-
+    # core rewrite into the driver gate on this mandatory slot)
+    "stream_exec_tumbling",
+    "stream_exec_dedup_watermark",
+    "stream_exec_stream_stream_join",
+    "stream_exec_stream_static_join",
+    "stream_exec_dedup_incremental_minhash",
+    "stream_session",
     # TPC-H
-    "tpch_q1_pricing_summary",
-    "tpch_q2_best_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_relationship",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    # --- the three banked registrations (never driver-checked;
-    # docs/STATUS.md round-14 bank, pre-verified both gate SFs) ---
-    "multimodal_image_dedup_near",
-    "embedding_pq_codes",
-    "dedup_incremental_image",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines",
+    "tpch_q22_global_sales",
+    # ts ops
+    "ts_resample_ffill",
+    # --- the single banked registration (never driver-checked;
+    # built r14, pre-verified hash-green at both gate SFs) ---
+    "stream_exec_dedup_incremental_image",
 ]
 
-# Keys whose driver evidence is the OLDEST off-window tier (r12) but
+# Keys whose driver evidence is the OLDEST off-window tier (r13) but
 # which did not fit this round's 50-slot window, with displacement
-# grounds. THESE MUST LEAD THE R16 WINDOW (plus twin #21,
-# stream_exec_dedup_incremental_image — built r14, banked — which
-# takes the single free slot: 49 + 1 = exactly 50). Three of these
-# keys carry the REMAINING persist-leak sites (VERDICT r14 item 1 /
-# what's-wrong item 1) and take their releases on their mandatory
-# r16 slots: dedup_lsh_recall (the audit-universe persist,
-# llm_dedup.py), quality_lm_commonness (llm_quality.py posting
-# persist), similarity_containment (llm_corpus.py posting persist).
-# tests/test_registry_window.py pins that this dict is exactly the
-# oldest-evidence tier outside the window. (The r15 window itself
-# was forced: 47 deferred r11 keys + the three banked registrations
-# = exactly 50 — so the whole r12 tier stays out, each with
+# grounds. THESE MUST LEAD THE R17 WINDOW — the full 50-key r13
+# cohort, ZERO free slots (the slot algebra committed in r14 and
+# held through r15/r16: no unregistrable keys were built in either
+# optimization round). tests/test_registry_window.py pins that this
+# dict is exactly the oldest-evidence tier outside the window. (The
+# r16 window itself was forced: 49 deferred r12 keys + twin #21 =
+# exactly 50 — so the whole r13 tier stays out, each with
 # family/stability grounds.)
 DEFERRED: dict[str, str] = {
     # relational / set / join / window tier: stable SQL, in-window
     # family reps
-    "agg_distinct": "agg family rep agg_hash_groupby in-window; stable SQL untouched since r2",
-    "agg_kmv_union": "KMV family reps agg_kmv_distinct (in-window) share the sketch core + merge-identity property test",
-    "grouping_rollup": "grouping-sets family; cube sibling grouping_cube in-window; stable SQL untouched since r4",
-    "join_outer_left": "join family rep join_inner_hash in-window; stable SQL untouched since r2",
-    "join_full_outer": "join family rep join_inner_hash in-window; stable SQL untouched since r2",
-    "join_semi": "join family rep join_inner_hash in-window; stable SQL untouched since r2",
-    "join_range_theta": "range-join plan pinned by test_plan_audit; join rep in-window",
-    "window_analytic": "window family rep window_rank in-window; judge r14 independent sf0.01 spot-check green",
-    "window_range_time": "window family rep window_rank in-window; stable SQL untouched since r5",
-    "flatmap_explode": "explode sibling flatmap_posexplode r13-green; stable SQL untouched since r3",
-    "deser_csv": "deser sibling deser_json r13-green + json_roundtrip r14-green; stable SQL untouched since r3",
-    "scalar_string_date_math": "scalar family reps scalar_string_extra/interval_arithmetic r14-green",
-    # dedup / similarity tier
-    "dedup_exact": "digest group-by untouched since r2; incremental sibling dedup_incremental in-window",
-    "dedup_exact_norm": "shares _NORM_SQL with dedup_exact; keeper sibling dedup_keeper_corpus r14-green",
-    "dedup_lsh_recall": "audit key over minhash_pairs; in-window dedup_minhash re-verifies the shared pipeline. r15 OPTIMIZATION round: took the checkpoint/serialize/release pattern early (the driver re-checks every declared key this round, so the off-window-change bar does not apply)",
-    "similarity_ivf": "IVF family reps similarity_lsh_ann (in-window) + similarity_ivf_kmeans r14-green",
-    "similarity_lsh_multiprobe": "LSH family rep similarity_lsh_ann in-window; wide sibling r13-green",
-    "similarity_containment": "corpus reps in-window. r15 OPTIMIZATION round: took the checkpoint/serialize/release pattern early (driver re-checks every declared key this round)",
-    "quality_lm_commonness": "quality reps quality_gopher_filter/quality_repetition in-window. r15 OPTIMIZATION round: took the checkpoint/serialize/release pattern early + the derived corpus norm (driver re-checks every declared key this round)",
-    # corpus / text tier
-    "corpus_bigrams": "corpus family reps corpus_domain_stats/corpus_length_filter/corpus_shuffle_deterministic in-window",
-    "corpus_mixture_sample": "corpus family reps in-window; deterministic-hash sampler untouched since r8",
-    "corpus_pack_sequences": "corpus family reps in-window; greedy packer property-tested each run",
-    "corpus_vocab_coverage": "judge r14 independent sf0.01 spot-check green; corpus reps in-window",
-    "text_langid": "map-only column expressions untouched since r7; text family all r12-green together",
-    "text_quality": "map-only column expressions untouched since r7; text family all r12-green together",
-    "text_stats": "map-only column expressions untouched since r7; text family all r12-green together",
-    "text_tokens": "map-only column expressions untouched since r7; text family all r12-green together",
+    "scan_project": "map-only projection untouched since r1; scan family swept by the in-suite parity test every run",
+    "filter_predicate": "map-only predicate untouched since r1; filter pushdown plan-pinned by test_plan_audit",
+    "sort_limit_topk": "TakeOrdered plan untouched since r1; ordering family rep window_analytic in-window",
+    "union_all": "set-op family; stable SQL untouched since r3",
+    "union_distinct": "set-op family; stable SQL untouched since r3",
+    "intersect": "set-op family; stable SQL untouched since r3",
+    "except_distinct": "set-op family; stable SQL untouched since r3",
+    "join_anti": "join family reps join_outer_left/join_full_outer/join_semi in-window; stable SQL untouched since r2",
+    "join_outer_right": "join family reps in-window; stable SQL untouched since r2",
+    "join_asof": "as-of window form untouched since r5; join reps in-window",
+    "flatmap_posexplode": "explode sibling flatmap_explode in-window; stable SQL untouched since r3",
+    "deser_json": "deser sibling deser_csv in-window; stable SQL untouched since r3",
+    "subquery_correlated": "rewrite untouched since r4; join/agg reps in-window",
+    "sql_surface": "surface smoke over stable SQL; relational reps in-window",
+    "map_ops_extra": "map-only column expressions untouched since r6",
+    "window_rank_extra": "window family rep window_analytic in-window; stable SQL untouched since r6",
+    "agg_stats_moments": "decimal-exact moment math untouched since r6; agg reps in-window",
+    "agg_cms_freq": "CMS sketch shares the md5 hash core with in-window agg_kmv_union; merge-identity property-tested each run",
+    "agg_kmv_sliding_window": "KMV family rep agg_kmv_union in-window (shared sketch core)",
+    # corpus / multimodal tier
+    "corpus_decontaminate": "corpus reps corpus_bigrams/corpus_mixture_sample/corpus_pack_sequences in-window",
+    "corpus_split": "deterministic-hash splitter untouched since r8; corpus reps in-window",
+    "multimodal_decode": "codec core shared with in-window stream_exec_dedup_incremental_image (image_hashes path)",
+    "pipeline_dedup_corpus": "composition over dedup_exact (in-window) + corpus cores; stages individually in-window",
+    "udtf_lateral": "Arrow-UDTF plan pinned by test_udtf_lateral_is_arrow_not_row_udtf; stable since r13",
     # events / logs tier
-    "events_anomaly_zscore": "anomaly sibling events_anomaly_mad r13-green; stable SQL untouched since r6",
-    "events_dedup_adjacent": "events family reps events_funnel/events_dow_drift in-window",
-    "events_heavy_hitters": "events family reps in-window; CMS sibling agg_cms_freq r13-green",
-    "events_markov_transitions": "events family reps in-window; stable SQL untouched since r7",
-    "events_rate_limit": "online twin stream_exec_rate_limit in-window (shared RATE_LIMIT_SQL)",
-    "events_retention_cohorts": "events family reps in-window; stable SQL untouched since r6",
-    "events_sessionize_batch": "sessionize sibling stream_session same tier; session family rep stream_exec_session_totals r14-green",
-    "logs_pattern_templates": "template sibling logs_template_drift same tier; drift twin stream_exec_template_drift r13-green",
-    "logs_template_drift": "online twin stream_exec_template_drift r13-green (shared TEMPLATE_SQL)",
-    "stateful_running_total": "streaming twin stream_exec_running_total r14-green (shared kernel)",
+    "events_anomaly_mad": "anomaly sibling events_anomaly_zscore in-window; stable SQL untouched since r9",
+    "events_beaconing": "events family reps events_rate_limit/events_heavy_hitters in-window",
+    "events_cooccurrence_lift": "lift math shared with r15-green events_dow_association (DECIMAL cross-multiply discipline)",
+    "events_first_seen": "events family reps in-window; stable SQL untouched since r9",
+    "events_funnel_daily_conversion": "funnel sibling events_funnel r15-green; events reps in-window",
+    "events_impossible_travel": "events family reps in-window; stable SQL untouched since r9",
+    "events_password_spray": "events family reps in-window; stable SQL untouched since r9",
+    "events_session_paths": "session family rep events_sessionize_batch in-window",
+    "events_session_rarity": "session family rep events_sessionize_batch in-window",
+    "logs_cidr_enrich": "LPM plan pinned by test_plan_audit; logs family reps logs_pattern_templates/logs_template_drift in-window",
+    "logs_dga_score": "map-only scoring expressions untouched since r9; logs reps in-window",
+    "stream_tumbling_count": "streaming twin stream_exec_tumbling in-window (shared window arithmetic)",
+    "rollup_multires": "rollup family rep grouping_rollup in-window; stable SQL untouched since r5",
     # streaming engine tier: kernels re-verified through in-window
     # twins / shared cores
-    "stream_exec_tumbling": "batch twin stream_tumbling_count r13-green; runtime drain reps stream_exec_dedup_incremental in-window",
-    "stream_exec_dedup_watermark": "watermark kernel shared with in-window stream_dedup's batch twin",
-    "stream_exec_stream_stream_join": "join-on-stream family; runtime reps in-window; untouched since r10",
-    "stream_exec_stream_static_join": "join-on-stream family; runtime reps in-window; untouched since r10",
-    "stream_exec_dedup_incremental_minhash": "twin #19; runtime reps in-window. r15 OPTIMIZATION round: moved to the checkpointing core + prior-sig release (the twin #20 lifecycle; driver re-checks every declared key this round)",
-    "stream_session": "batch-twin family rep stream_sliding in-window; window arithmetic untouched since r3",
-    # TPC-H: stable SQL, swept by the in-suite oracle-parity test
-    # every run; 17 siblings in-window this round
-    "tpch_q3_shipping_priority": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
-    "tpch_q6_forecast_revenue": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
-    "tpch_q10_returned_items": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
-    "tpch_q12_late_lines": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
-    "tpch_q22_global_sales": "stable TPC-H SQL untouched since r5; 17 TPC-H siblings in-window this round",
+    "stream_exec_anomaly_mad": "batch twin events_anomaly_mad same tier; anomaly rep events_anomaly_zscore in-window",
+    "stream_exec_dga_score": "batch twin logs_dga_score same tier; drain runtime reps in-window",
+    "stream_exec_first_seen": "batch twin events_first_seen same tier; drain runtime reps in-window",
+    "stream_exec_funnel": "batch twin events_funnel r15-green (shared FUNNEL_SQL)",
+    "stream_exec_incremental_rollup": "runtime floor documented (swept r6-r8); drain runtime reps in-window",
+    "stream_exec_password_spray": "batch twin events_password_spray same tier; drain runtime reps in-window",
+    "stream_exec_template_drift": "batch twin logs_template_drift in-window (shared TEMPLATE_SQL)",
     # ts ops
-    "ts_resample_ffill": "clamped sibling ts_resample_ffill_clamped r13-green (shared resample core)",
+    "ts_resample_ffill_clamped": "ffill sibling ts_resample_ffill in-window (shared resample core, r15 window rewrite rides that slot)",
+    # similarity / embedding tier
+    "similarity_lsh_multiprobe_wide": "radius-parameterized core byte-identity-pinned to in-window similarity_lsh_multiprobe (radius 1)",
+    "similarity_ivf_kmeans_wide": "nprobe-parameterized core byte-identity-pinned to the registered nprobe=2 form; IVF rep similarity_ivf in-window",
+    "dedup_incremental_embedding": "incremental family reps dedup_lsh_recall (shared lifecycle) in-window; twin #20 same tier",
+    "stream_exec_dedup_incremental_embedding": "twin #20; sig-level core shared with batch sibling same tier; drain runtime reps in-window",
+    "similarity_recall": "audit key over six method pipelines whose cores (lsh_multiprobe, ivf, containment-class caches) are in-window this round",
 }
 
 

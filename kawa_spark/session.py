@@ -33,9 +33,20 @@ def _default_shuffle_partitions() -> str:
     driver's 32-core config, enough tasks to spread skew at lower
     core counts) while bigger hosts scale up. AQE coalesces
     downward per stage either way — this is only the ceiling the
-    coalescer starts from."""
+    coalescer starts from.
+
+    Called from ``get_spark`` (ADVICE r15): evaluating it at module
+    import froze the env vars at first-import time, silently ignoring
+    a ``SPARK_GRAFT_SHUFFLE_PARTITIONS``/``SPARK_GRAFT_CPUS`` set
+    afterwards. An explicit non-positive-integer value is rejected
+    loudly instead of passed through to Spark."""
     explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if explicit:
+        if not explicit.isdigit() or int(explicit) <= 0:
+            raise ValueError(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive "
+                f"integer, got {explicit!r}"
+            )
         return explicit
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     n = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
@@ -47,7 +58,6 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long
@@ -94,6 +104,10 @@ def get_spark(
     """Build (or fetch) the session. Idempotent within a JVM."""
     builder = SparkSession.builder.appName(app_name).master(master or default_master())
     conf = dict(DEFAULT_CONF)
+    # derived at call time, not import time (ADVICE r15)
+    conf.setdefault(
+        "spark.sql.shuffle.partitions", _default_shuffle_partitions()
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
