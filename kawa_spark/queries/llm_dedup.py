@@ -1175,6 +1175,18 @@ def span_fractions(d: DataFrame) -> DataFrame:
     # and shuffles it once on k (r15 optimization round, guide §2.4).
     # n_docs per (doc_id, k) row = rows sharing k = docs containing k
     # — identical integers, oracle untouched.
+    #
+    # Skew note (ADVICE r15): a window partition cannot be skew-split,
+    # so a span shared by a large doc fraction (a universal license
+    # header) serializes its df(k) rows onto one task — k cardinality
+    # does NOT bound this in the worst case. Trade-off accepted
+    # deliberately: (a) the r15 measurement showed the join-back form
+    # pays the whole window-hashing stage twice at EVERY corpus (1.7-
+    # 1.9× at 100×) where the straggler costs only on a degenerate
+    # one, and (b) the straggler has a cheap escape — n_docs is
+    # consumed ONLY as the `>= 2` test below, so a hot-key corpus can
+    # swap in a groupBy(k).agg(count>1) + AQE-skew-splittable join
+    # over a persisted `per` without touching the output integers.
     per = per.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("k"))
     )

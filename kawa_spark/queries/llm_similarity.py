@@ -86,10 +86,12 @@ def cosine(a: Column, b: Column) -> Column:
 #
 # Bit-identity contract (the vectorized-topk rules): float32→float64
 # casts are exact; per-element products/subtractions are single IEEE
-# ops; reductions are np.cumsum along the dim axis (a strictly
-# sequential left fold — F.aggregate's and DuckDB list_reduce's add
-# order); Spark's struct-min total order is replayed by _spark_argmin
-# below. Pinned against the retained struct-min witnesses by
+# ops; reductions are strictly sequential left folds in dim order —
+# F.aggregate's and DuckDB list_reduce's add order — via the per-dim
+# panel accumulation helpers (_seq_fold_dots/_seq_fold_d2, r16; the
+# r15 form was np.cumsum along the dim axis, same bits); Spark's
+# struct-min total order is replayed by _spark_argmin below. Pinned
+# against the retained struct-min witnesses by
 # tests/test_argmin_vectorized.py.
 
 
@@ -116,14 +118,85 @@ def _arrow_list_to_f64(col) -> "np.ndarray":
         col = col.combine_chunks()
     offs = col.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offs)
-    if len(widths) and (widths == widths[0]).all():
+    if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
         vals = col.values.to_numpy(zero_copy_only=False)
         return vals[offs[0] : offs[-1]].astype(np.float64).reshape(
             len(widths), widths[0]
         )
-    return np.array(
-        [np.asarray(col[i].as_py(), dtype=np.float64) for i in range(len(col))]
-    )
+    # ragged / null-carrying fallback (ADVICE r15): a NULL row's
+    # as_py() is None, which np.asarray turns into a 0-d NaN object —
+    # the stacked matrix would then diverge from the JVM form's null
+    # propagation. The corpus schema has no null embeddings; refuse
+    # loudly instead of guessing a width.
+    rows = []
+    for i in range(len(col)):
+        v = col[i].as_py()
+        if v is None:
+            raise ValueError(
+                f"null embedding at batch row {i}: the vectorized "
+                "kernels require non-null embedding arrays (the JVM "
+                "form would propagate NULL here, silently diverging)"
+            )
+        rows.append(np.asarray(v, dtype=np.float64))
+    return np.array(rows)
+
+
+# --- Per-dim fold accumulation (r16 optimization round) ---
+#
+# The r15 form computed each reduction as np.cumsum(axis=1)[:, -1],
+# which allocates an (n, dim) product temp per centroid/query and
+# runs a data-dependent sequential scan per row — the scan's loop-
+# carried dependency defeats SIMD. These helpers keep the EXACT same
+# IEEE add order (the fold starts at the dim-0 term and adds one
+# dim's term at a time, precisely cumsum's partial-sum chain and
+# therefore F.aggregate's / DuckDB list_reduce's left fold — the r15
+# bit-identity contract is unchanged) but accumulate per DIMENSION
+# across the whole (n, k) panel: dim-count iterations of fully
+# vectorizable multiply-adds, one (n, k) temp total, no per-centroid
+# (n, dim) temps (VERDICT r15 item 5; guide §4.2). Pinned against the
+# retained JVM struct-min witnesses by tests/test_argmin_vectorized.py
+# and the topk/PQ bit-identity tests.
+
+
+def _seq_fold_dots(em: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
+    """Left-fold dot products of every row of ``em`` (n, d) against
+    every row of ``w`` (k, d) as an (n, k) float64 matrix, added in
+    dim order — bit-identical to per-pair ``cumsum(em*w[k])[:, -1]``."""
+    if em.shape[1] == 0:
+        return np.zeros((em.shape[0], w.shape[0]), dtype=np.float64)
+    out = np.multiply(em[:, 0, None], w[None, :, 0])
+    tmp = np.empty_like(out)
+    for j in range(1, em.shape[1]):
+        np.multiply(em[:, j, None], w[None, :, j], out=tmp)
+        out += tmp
+    return out
+
+
+def _seq_fold_d2(em: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
+    """Left-fold squared-L2 distances, same (n, k) panel shape and
+    dim-order adds as ``_seq_fold_dots``; (x−y) is one IEEE sub whose
+    square is a single multiply — exactly the ``_d2_col`` fold."""
+    if em.shape[1] == 0:
+        return np.zeros((em.shape[0], w.shape[0]), dtype=np.float64)
+    out = em[:, 0, None] - w[None, :, 0]
+    out *= out
+    tmp = np.empty_like(out)
+    for j in range(1, em.shape[1]):
+        np.subtract(em[:, j, None], w[None, :, j], out=tmp)
+        tmp *= tmp
+        out += tmp
+    return out
+
+
+def _seq_fold_sq_norm(em: "np.ndarray") -> "np.ndarray":
+    """Row-wise left-fold Σx² (the pre-sqrt norm), dim-order adds —
+    bit-identical to ``np.cumsum(em*em, axis=1)[:, -1]``."""
+    if em.shape[1] == 0:
+        return np.zeros(em.shape[0], dtype=np.float64)
+    out = em[:, 0] * em[:, 0]
+    for j in range(1, em.shape[1]):
+        out += em[:, j] * em[:, j]
+    return out
 
 
 def _assign_cells_vectorized(e: DataFrame, cent_rows: list) -> DataFrame:
@@ -171,7 +244,7 @@ def _assign_cells_vectorized(e: DataFrame, cent_rows: list) -> DataFrame:
             if batch.num_rows == 0:
                 continue
             em = _arrow_list_to_f64(batch.column(1))
-            n_e = np.sqrt(np.cumsum(em * em, axis=1)[:, -1])
+            n_e = np.sqrt(_seq_fold_sq_norm(em))
             if np.any(n_e == 0.0):
                 bad = (
                     batch.column(0)
@@ -183,10 +256,21 @@ def _assign_cells_vectorized(e: DataFrame, cent_rows: list) -> DataFrame:
                     "the JVM struct-min raises DIVIDE_BY_ZERO here "
                     "(ANSI); the vectorized form refuses identically"
                 )
-            dists = np.empty((batch.num_rows, len(cid)), dtype=np.float64)
-            for k in range(len(cid)):
-                dots = np.cumsum(em * cm[k], axis=1)[:, -1]
-                dists[:, k] = -(dots / (n_e * nc[k]))
+            dots = _seq_fold_dots(em, cm)
+            denom = n_e[:, None] * nc[None, :]
+            # ADVICE r15: the JVM raises when the PRODUCT n_e·n_c is
+            # exactly 0.0 — two nonzero subnormal norms can underflow
+            # the product even past the factor guards above, where
+            # ANSI Spark errors but numpy would silently yield inf.
+            if np.any(denom == 0.0):
+                raise ArithmeticError(
+                    "zero denominator n_e*n_c (subnormal underflow): "
+                    "cosine is x/0 — the JVM struct-min raises "
+                    "DIVIDE_BY_ZERO here (ANSI); the vectorized form "
+                    "refuses identically"
+                )
+            with np.errstate(over="ignore"):
+                dists = -(dots / denom)
             best = _spark_argmin(dists)
             # mapInArrow + explicit pa.array (NOT pandas): pandas
             # conversion nulls NaN doubles, which would break the
@@ -457,13 +541,151 @@ def _multiprobe_oracle() -> str:
     return _multiprobe_sql(1)
 
 
+def _lsh_sig_bits(dots: "np.ndarray") -> "np.ndarray":
+    """Sign-LSH bucket ids from an (n, n_planes) fold-dot panel: bit
+    k set iff dot_k > 0.0, with a NaN dot counting as greater — Spark
+    and DuckDB both order NaN above every number in comparisons, and
+    numpy's ``NaN > 0`` is False, so the NaN case is OR'd in
+    explicitly to keep the bucket ids engine-identical."""
+    sig = np.zeros(dots.shape[0], dtype=np.int64)
+    for k in range(dots.shape[1]):
+        col = dots[:, k]
+        sig |= ((col > 0.0) | np.isnan(col)).astype(np.int64) << k
+    return sig
+
+
 def _multiprobe_frame(
     spark: SparkSession, sf_dir: str, radius: int = 1
 ) -> DataFrame:
     """The multi-probe pipeline at any probe radius — the registered
-    key binds radius=1 (unchanged expression tree: the radius-1 mask
-    list is exactly the r10 single-bit flips); the wide variant binds
-    radius=2."""
+    key binds radius=1 (the r10 single-bit flips); the wide variant
+    binds radius=2.
+
+    r16 optimization round (VERDICT r15 item 3; guide §4.2): one
+    ``mapInArrow`` pass over the corpus with the |Q| query rows and
+    their probe-bucket sets shipped in the closure, replacing the
+    Catalyst form (retained as the private witness
+    ``_multiprobe_catalyst`` below; tests/test_multiprobe_vectorized.py
+    pins bit-identity at both radii). The Catalyst form paid EIGHT
+    interpreted ``aggregate(zip_with(...))`` HOF folds per corpus row
+    to compute the signature, then one more interpreted 3-fold cosine
+    per candidate pair after the broadcast join — at radius 2 the 37
+    probe buckets make candidates ≈14% of the corpus PER QUERY, so
+    the pair-wise fold work exceeded the corpus scan itself. The
+    vectorized pass computes the 8-plane signature panel, the probe-
+    set membership, and the candidate cosines per Arrow batch at C
+    speed and emits only its batch-local top-k per query — the final
+    merge window sees batches·|Q|·k rows, never the candidate set
+    (the similarity_topk_vectorized discipline).
+
+    Bit-identity contract: fold dots/norms via the per-dim sequential
+    helpers (same adds as the JVM/DuckDB folds); the signature treats
+    a NaN dot as > 0 exactly like both engines; zero-norm cosine is
+    refused like ANSI division, but only when the row is actually a
+    CANDIDATE of some probe — the JVM form, too, evaluates cosine
+    only after the bucket join. Batch-local pruning cannot drop a
+    global top-k row: the local (score desc, n_id asc) order (NaN
+    mapped first, Spark's descending-NaN placement) is the final
+    window's order, so any locally-pruned row is dominated by TOP_K
+    batch-mates that also reach the window. The former ``.distinct()``
+    is gone — the membership test yields one row per (query,
+    candidate) by construction, where the probe JOIN emitted one per
+    MATCHING PROBE (duplicates it then had to collapse)."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    planes = np.array(_hyperplanes()[:ANN_PLANES], dtype=np.float64)
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    qm = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
+    )
+    q_norm = np.sqrt(_seq_fold_sq_norm(qm))
+    q_sig = _lsh_sig_bits(_seq_fold_dots(qm, planes))
+    masks = np.array([0] + _probe_masks(radius), dtype=np.int64)
+    probe_sets = q_sig[:, None] ^ masks[None, :]  # (|Q|, n_probes)
+
+    def probe_score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            em = _arrow_list_to_f64(batch.column(1))
+            sig = _lsh_sig_bits(_seq_fold_dots(em, planes))
+            e_norm = np.sqrt(_seq_fold_sq_norm(em))
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(sig, probe_sets[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                sn = e_norm[mask]
+                # candidate-only zero-norm guard: the JVM form's
+                # cosine is evaluated after the bucket join, so only
+                # a CANDIDATE zero norm raises (ANSI DIVIDE_BY_ZERO)
+                if q_norm[qi] == 0.0 or np.any(sn == 0.0):
+                    raise ArithmeticError(
+                        "zero-norm embedding among probe candidates: "
+                        "cosine is x/0 — the JVM fold raises "
+                        "DIVIDE_BY_ZERO here (ANSI); the vectorized "
+                        "form refuses identically"
+                    )
+                denom = q_norm[qi] * sn
+                if np.any(denom == 0.0):
+                    raise ArithmeticError(
+                        "zero denominator q_norm*e_norm (subnormal "
+                        "underflow): the JVM raises DIVIDE_BY_ZERO "
+                        "here (ANSI); refusing identically"
+                    )
+                sids = ids[mask]
+                with np.errstate(over="ignore"):
+                    sscore = (
+                        _seq_fold_dots(em[mask], qm[qi : qi + 1])[:, 0]
+                        / denom
+                    )
+                # local top-k under the window's total order: score
+                # desc with NaN FIRST (Spark sorts NaN above every
+                # number), n_id asc — np.lexsort would put -NaN last,
+                # so NaN keys map to -inf explicitly
+                key = np.where(np.isnan(sscore), -np.inf, -sscore)
+                order = np.lexsort((sids, key))[:TOP_K]
+                out_q.extend([qid] * len(order))
+                out_n.extend(sids[order])
+                out_s.extend(sscore[order])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(out_q, dtype=np.int64)),
+                    pa.array(np.asarray(out_n, dtype=np.int64)),
+                    pa.array(np.asarray(out_s, dtype=np.float64)),
+                ],
+                names=["q_id", "n_id", "score"],
+            )
+
+    local = e.select("vec_id", "embedding").mapInArrow(
+        probe_score, schema="q_id long, n_id long, score double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return local.select(
+        "q_id", "n_id", "score", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+def _multiprobe_catalyst(
+    spark: SparkSession, sf_dir: str, radius: int = 1
+) -> DataFrame:
+    """The pre-r16 registered body — interpreted-HOF signatures +
+    broadcast probe join + per-pair Catalyst-fold cosine — kept
+    PRIVATE as the bit-identity witness for the vectorized
+    ``_multiprobe_frame`` (the ``_similarity_topk_catalyst`` pattern):
+    never registered, never benched; retired from the query path for
+    the per-candidate interpreted-fold ceiling (candidates ≈14% of
+    the corpus per query at radius 2)."""
     e = table(spark, sf_dir, "embeddings")
     corpus = e.select(
         "vec_id", "embedding", _signature(F.col("embedding"), ANN_PLANES).alias("sig")
@@ -1169,10 +1391,7 @@ def _lloyd_assign(e: DataFrame, cents: "DataFrame | list") -> DataFrame:
             if batch.num_rows == 0:
                 continue
             em = _arrow_list_to_f64(batch.column(1))
-            dists = np.empty((batch.num_rows, len(cids)), dtype=np.float64)
-            for k in range(len(cids)):
-                diff = em - cm[k]
-                dists[:, k] = np.cumsum(diff * diff, axis=1)[:, -1]
+            dists = _seq_fold_d2(em, cm)
             best = _spark_argmin(dists)
             # mapInArrow + explicit pa.array (NOT pandas): pandas
             # conversion nulls NaN doubles — the winning d2 of a
@@ -1188,7 +1407,7 @@ def _lloyd_assign(e: DataFrame, cents: "DataFrame | list") -> DataFrame:
                     ),
                     batch.column(1),
                     pa.array(
-                        np.sqrt(np.cumsum(em * em, axis=1)[:, -1]),
+                        np.sqrt(_seq_fold_sq_norm(em)),
                         type=pa.float64(),
                     ),
                 ],
@@ -2125,16 +2344,14 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             code_idx = np.zeros((n, n_m), dtype=np.int64)
             for m in range(n_m):
                 sub = em[:, m * subdim : (m + 1) * subdim]
-                # sequential-fold d2 per code: elementwise square then
-                # cumsum along the dim axis (bit-identical to the
-                # engine folds, so argmin ties cannot diverge)
-                d2s = np.stack(
-                    [
-                        np.cumsum((sub - c) * (sub - c), axis=1)[:, -1]
-                        for c in cents[m]
-                    ]
+                # sequential-fold d2 per code via the per-dim panel
+                # accumulation (bit-identical to the engine folds —
+                # same dim-order adds — so argmin ties cannot diverge;
+                # first-minimum over ascending-code columns is the
+                # same tie-break as the former per-code stack)
+                code_idx[:, m] = np.argmin(
+                    _seq_fold_d2(sub, cents[m]), axis=1
                 )
-                code_idx[:, m] = np.argmin(d2s, axis=0)
             out_q, out_n, out_a = [], [], []
             for qi in range(n_q):
                 adc = np.zeros(n, dtype=np.int64)
@@ -2220,7 +2437,7 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = [int(r["vec_id"]) for r in q_rows]
     qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     # sequential-fold norms: cumsum, take the last partial
-    q_norm = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+    q_norm = np.sqrt(_seq_fold_sq_norm(qm))
     if np.any(q_norm == 0.0):
         bad = [q for q, n in zip(q_ids, q_norm) if n == 0.0][:5]
         raise ArithmeticError(
@@ -2239,7 +2456,7 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             em = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            e_norm = np.sqrt(np.cumsum(em * em, axis=1)[:, -1])
+            e_norm = np.sqrt(_seq_fold_sq_norm(em))
             # domain guard (code review r13): the JVM fold raises
             # DIVIDE_BY_ZERO on a zero-norm embedding under ANSI mode
             # (the driver session's default); numpy would silently
@@ -2254,9 +2471,9 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "the vectorized form refuses identically"
                 )
             out_q, out_n, out_s = [], [], []
+            all_dots = _seq_fold_dots(em, qm)
             for qi, qid in enumerate(q_ids):
-                dots = np.cumsum(em * qm[qi], axis=1)[:, -1]
-                score = dots / (q_norm[qi] * e_norm)
+                score = all_dots[:, qi] / (q_norm[qi] * e_norm)
                 mask = ids != qid
                 sids, sscore = ids[mask], score[mask]
                 if len(sids) == 0:
