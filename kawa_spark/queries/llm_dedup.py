@@ -895,15 +895,20 @@ def dedup_simhash(
     All column expressions; term hashing is md5-derived (two 32-bit
     halves of the digest) so the oracle replays it exactly — round 1
     used xxhash64, which has no DuckDB twin and forced a rows-only
-    check. The 64 bit sums are flat SUM(±1) aggregates over term
-    OCCURRENCES: Σ_distinct(±cnt) == Σ_occurrences(±1) exactly (same
-    integers — the oracle's distinct-term form is unchanged), which
-    drops the (doc_id, term) pre-count exchange AND the collect_list
-    shuffle of every term struct — one doc_id exchange carrying 64
-    partially-aggregated longs per doc replaces both (r15 optimization
-    round; guide §2.3/§2.4) — and replaces 64 interpreted
-    higher-order-function passes over each doc's term array with one
-    whole-stage-codegen pass over the occurrence stream.
+    check. The 64 bit sums are flat cnt-weighted codegen SUMs over
+    DISTINCT (doc_id, term) pairs (``_simhash_bitsums_precount``):
+    map-side combine compresses in-doc duplicate terms before any
+    exchange, so md5 runs once per distinct pair instead of once per
+    occurrence — the r16 A/B winner (10.60 → 8.49 s at the 100×
+    probe, 1.25×; VERDICT r15 item 7, guide §4.1 keep hashing in the
+    JVM) over both the r15 occurrence form (kept as
+    ``_simhash_bitsums_occ``, the integer-identity witness —
+    Σ_distinct(bit·cnt) == Σ_occurrences(bit) exactly, the oracle's
+    own distinct-term shape) and a Python/Arrow distinct-term
+    dictionary (0.90×: the Arrow boundary on the occurrence stream
+    costs more than the md5 saving). Still no collect_list shuffle
+    and no interpreted higher-order-function passes (the r15 win
+    this builds on).
 
     ``checkpoint=True`` (the registered form) persists the banded
     fingerprints for the self-join's two sides, eagerly materializes
@@ -913,35 +918,181 @@ def dedup_simhash(
     plan-audit form with nothing persisted.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    digest = F.md5("term")
-    occ = d.select(
+    return _simhash_pairs_from_bitsums(
+        _simhash_bitsums_precount(d), checkpoint
+    )
+
+
+def _simhash_occ_terms(d: DataFrame) -> DataFrame:
+    """The (doc_id, term) occurrence stream both bitsum stages share."""
+    return d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
-    ).select(
+    )
+
+
+def _simhash_bitsums_occ(d: DataFrame) -> DataFrame:
+    """Per-doc (s0..s63, n_occ) bit sums, md5 hashed PER OCCURRENCE
+    in the JVM — the r15 registered shape, retired from the query
+    path by the r16 precount A/B (kept as the integer-identity
+    witness; tests/test_simhash_dict.py pins all three stages).
+
+    bit b of the simhash = sign of sum over occurrences of ±1, i.e.
+    bs_b = 2·s_b − n where s_b = Σ bit_b and n = occurrence count —
+    so the aggregate sums the RAW BIT (shift+and, no branch) 64
+    times plus ONE shared count, instead of 64 conditional ±1
+    selects (same integers — bs_b > 0 ⇔ 2·s_b > n — oracle
+    untouched). Measured PARITY at the 10× probe (7.6 vs 7.4 s —
+    the md5-per-occurrence stage dominates, not the aggregate
+    branches); kept as the simpler aggregate shape.
+    b is unrolled as a Python int (shift amounts must be literals);
+    bits 0-31 come from the low digest half, 32-63 from the high."""
+    digest = F.md5("term")
+    occ = _simhash_occ_terms(d).select(
         "doc_id",
         F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h_lo"),
         F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
     )
 
-    # bit b of the simhash = sign of sum over occurrences of ±1, i.e.
-    # bs_b = 2·s_b − n where s_b = Σ bit_b and n = occurrence count —
-    # so the aggregate sums the RAW BIT (shift+and, no branch) 64
-    # times plus ONE shared count, instead of 64 conditional ±1
-    # selects (same integers — bs_b > 0 ⇔ 2·s_b > n — oracle
-    # untouched). Measured PARITY at the 10× probe (7.6 vs 7.4 s —
-    # the md5-per-occurrence stage dominates, not the aggregate
-    # branches); kept as the simpler aggregate shape.
-    # b is unrolled as a Python int (shift amounts must be literals);
-    # bits 0-31 come from the low digest half, 32-63 from the high.
     def bit_sum(b: int):
         field = "h_lo" if b < 32 else "h_hi"
         shift = b % 32
         return F.sum(F.shiftright(F.col(field), shift).bitwiseAND(F.lit(1)))
 
-    bitsums = occ.groupBy("doc_id").agg(
+    return occ.groupBy("doc_id").agg(
         *[bit_sum(b).alias(f"s{b}") for b in range(64)],
         F.count(F.lit(1)).alias("n_occ"),
     )
+
+
+def _simhash_bitsums_precount(d: DataFrame) -> DataFrame:
+    """The r16 registered bitsum stage (A/B winner, VERDICT r15
+    item 7): pre-count distinct (doc_id, term) pairs (map-side
+    combine compresses the in-doc duplicates before the shuffle),
+    md5 each DISTINCT pair once, then the same 64 flat codegen SUMs
+    weighted by cnt — s_b = Σ_pairs bit_b·cnt and n_occ = Σ cnt are
+    the exact integers of the occurrence form (Σ_occ bit_b grouped
+    by term), and the DuckDB oracle's own distinct-term shape. Costs
+    one extra exchange on (doc_id, term); the md5-per-occurrence
+    saving beats it 1.25× at the 100× probe (10.60 → 8.49 s,
+    min-of-2, integer-identical by exceptAll at that build)."""
+    pairs = _simhash_occ_terms(d).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    digest = F.md5("term")
+    h = pairs.select(
+        "doc_id",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
+        "cnt",
+    )
+
+    def bit_sum(b: int):
+        field = "h_lo" if b < 32 else "h_hi"
+        shift = b % 32
+        return F.sum(
+            F.shiftright(F.col(field), shift).bitwiseAND(F.lit(1))
+            * F.col("cnt")
+        )
+
+    return h.groupBy("doc_id").agg(
+        *[bit_sum(b).alias(f"s{b}") for b in range(64)],
+        F.sum("cnt").alias("n_occ"),
+    )
+
+
+def _simhash_bitsums_dict(d: DataFrame) -> DataFrame:
+    """The A/B challenger (VERDICT r15 item 7): per-doc bit sums via
+    one mapInArrow pass that md5-hashes each DISTINCT term once per
+    task (a task-level term→halves dictionary; Arrow dictionary-
+    encode surfaces the distinct terms per batch), then accumulates
+    the (n, 64) bit panel per doc with vectorized segment sums and
+    emits per-batch PARTIAL rows — the JVM groupBy(doc_id) sums the
+    partials to the same integers (Σ over any partition of the
+    occurrences). hashlib.md5 over the term's UTF-8 bytes is the
+    same digest F.md5 computes; int(hex[:8], 16) is conv(_, 16, 10).
+    Integer-exact by construction; pinned against the occurrence
+    form by tests/test_simhash_dict.py."""
+    from kawa_spark.shipping import ensure_shipped
+
+    ensure_shipped(d.sparkSession)
+    n_bits = 64
+    cols = [f"s{b}" for b in range(n_bits)]
+    schema = (
+        "doc_id long, "
+        + ", ".join(f"{c} long" for c in cols)
+        + ", n_occ long"
+    )
+
+    def fold(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        shifts_lo = np.arange(32, dtype=np.int64)
+        cache: dict = {}  # term -> (h_lo, h_hi); lives for the task
+
+        def halves(term: str):
+            hx = hashlib.md5(term.encode("utf-8")).hexdigest()
+            return (int(hx[:8], 16), int(hx[8:16], 16))
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc = batch.column(0).to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(batch.column(1))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            dict_terms = enc.dictionary.to_pylist()
+            pairs = [cache.get(t) or cache.setdefault(t, halves(t)) for t in dict_terms]
+            hl = np.fromiter(
+                (p[0] for p in pairs), dtype=np.int64, count=len(pairs)
+            )
+            hh = np.fromiter(
+                (p[1] for p in pairs), dtype=np.int64, count=len(pairs)
+            )
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            # (n, 64) occurrence bit panel: low digest half → bits
+            # 0-31, high half → bits 32-63 (the bit_sum convention)
+            bits = np.concatenate(
+                [
+                    (hl[idx, None] >> shifts_lo[None, :]) & 1,
+                    (hh[idx, None] >> shifts_lo[None, :]) & 1,
+                ],
+                axis=1,
+            )
+            # contiguous-run segment sums (explode emits a doc's terms
+            # consecutively; a doc split across batches just yields
+            # two partial rows — the downstream SUM is associative)
+            starts = np.r_[0, np.flatnonzero(np.diff(doc) != 0) + 1]
+            seg_doc = doc[starts]
+            seg_n = np.diff(np.r_[starts, len(doc)])
+            seg_sums = np.add.reduceat(bits, starts, axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(seg_doc, type=pa.int64())]
+                + [
+                    pa.array(seg_sums[:, b], type=pa.int64())
+                    for b in range(n_bits)
+                ]
+                + [pa.array(seg_n, type=pa.int64())],
+                names=["doc_id"] + cols + ["n_occ"],
+            )
+
+    partial = _simhash_occ_terms(d).mapInArrow(fold, schema=schema)
+    return partial.groupBy("doc_id").agg(
+        *[F.sum(c).alias(c) for c in cols],
+        F.sum("n_occ").alias("n_occ"),
+    )
+
+
+def _simhash_pairs_from_bitsums(
+    bitsums: DataFrame, checkpoint: bool
+) -> DataFrame:
+    """Simhash assembly + banding + cap + self-join + hamming verify
+    over a per-doc (s0..s63, n_occ) bit-sum table — shared by the
+    registered occurrence form and the dictionary A/B variant."""
     bit_weight = [F.lit(1 << b).cast("long") for b in range(63)] + [
         F.lit(-(1 << 63)).cast("long")  # sign bit: avoid long overflow
     ]
